@@ -1,0 +1,160 @@
+"""Extraction core: reading-order sort + normalize + reindex (SURVEY §7.0).
+
+Rebuilds, Spark-first, the reference pipeline stages W1 (reading-order
+sort + ordered concat; reference ocr_engine.py:33-37, run_ocr.py:194-198),
+T6/T7 (marker + debug-pattern strip; deepseek_ocr2_engine.py:300-318) and
+F1/F2 (empty/noise line filters; ocr_engine.py:226-228,
+deepseek_ocr2_engine.py:320-341).
+
+Everything here is built-in higher-order column expressions — per-row
+work happens inside whole-stage codegen on the JVM, there is **no
+shuffle and no Python** in this stage. That is the property that makes
+the pipeline embarrassingly parallel at 100 TB: each document's spans
+array is transformed in place within its partition; partition count and
+placement never affect the emitted sequence because the sort key
+``(offset, kind, media_ref, text)`` is a total order per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import sqlgen as G
+
+_JRX_MARKER = G.MARKER_RE
+_JRX_BBOX = G.BBOX_RE
+_JRX_DEBUG = G.DEBUG_RE
+
+
+def normalize_text(col: Column) -> Column:
+    """Normalize one span text: strip ``<|...|>`` markers and
+    ``[[x,y,x,y]]`` bbox literals, drop debug/short lines, trim, rejoin.
+    """
+    stripped = F.regexp_replace(
+        F.regexp_replace(col, _JRX_MARKER, ""), _JRX_BBOX, ""
+    )
+    lines = F.split(stripped, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (F.length(F.trim(ln)) >= 2)
+        & ~F.lower(F.trim(ln)).rlike(_JRX_DEBUG),
+    )
+    # NB: must be a one-arg lambda — F.transform also offers the element
+    # index, and trim(col, trimStr) would interpret it as trim characters.
+    return F.array_join(F.transform(kept, lambda ln: F.trim(ln)), "\n")
+
+
+def extract_ordered_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """(doc_id, spans<kind,text,media_ref,offset>) →
+    (doc_id, spans<kind,text,media_ref,order>) — the byte-equality
+    contract of the north rule.
+
+    Steps (all narrow, array-local):
+      1. normalize each text span (media spans keep ``text=''``);
+      2. drop text spans whose normalized text is empty;
+      3. total-order sort by ``(offset, kind, media_ref, text)`` —
+         the struct-field order *is* the sort key, so a plain
+         ``array_sort`` suffices and is partition-invariant;
+      4. reindex ``order = 0..n-1``.
+    """
+    normed = F.transform(
+        F.col(spans_col),
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            s["kind"].alias("kind"),
+            F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
+            F.when(s["kind"] == "media", F.lit(""))
+            .otherwise(normalize_text(F.coalesce(s["text"], F.lit(""))))
+            .alias("text"),
+        ),
+    )
+    kept = F.filter(normed, lambda s: (s["kind"] == "media") | (s["text"] != ""))
+    ordered = F.array_sort(kept)
+    final = F.transform(
+        ordered,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.alias("order"),
+        ),
+    )
+    return docs.withColumn(spans_col, final)
+
+
+def exploded_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Extraction result in per-row form (doc_id, ord, kind, text,
+    media_ref) — the shape the DuckDB oracle compares. posexplode keeps
+    the array order authoritative."""
+    extracted = extract_ordered_spans(docs, spans_col)
+    return extracted.select(
+        "doc_id", F.posexplode(spans_col).alias("_p", "s")
+    ).select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def full_text(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-document ordered concat + content hash.
+
+    ``full_text`` = newline-join of ordered text-span texts (reference
+    "\\n".join at ocr_engine.py:33-37); ``text_hash`` = md5 of the
+    lowercased, whitespace-stripped full text (content_matcher.py:30-35).
+    """
+    extracted = extract_ordered_spans(docs, spans_col)
+    texts = F.filter(F.col(spans_col), lambda s: s["kind"] == "text")
+    ft = F.array_join(F.transform(texts, lambda s: s["text"]), "\n")
+    return extracted.select(
+        "doc_id",
+        ft.alias("full_text"),
+        F.md5(F.lower(F.regexp_replace(ft, r"\s+", ""))).alias("text_hash"),
+        F.size(spans_col).alias("n_spans"),
+        F.size(texts).alias("n_text_spans"),
+    )
+
+
+# ---------------------------------------------------------------- oracle
+def pandas_oracle(docs_pdf):
+    """Single-machine reference implementation (pure pandas/python) of
+    the extraction contract, for pytest byte-equality checks.
+
+    Returns list of (doc_id, [(kind, text, media_ref, order), ...]).
+    """
+    import re
+
+    marker = re.compile(_JRX_MARKER)
+    bbox = re.compile(_JRX_BBOX)
+    debug = re.compile(_JRX_DEBUG)
+
+    def norm(t: str) -> str:
+        t = bbox.sub("", marker.sub("", t or ""))
+        out = []
+        for ln in t.split("\n"):
+            ln = ln.strip()
+            if len(ln) >= 2 and not debug.search(ln.lower()):
+                out.append(ln)
+        return "\n".join(out)
+
+    results = []
+    for _, row in docs_pdf.iterrows():
+        spans = []
+        for s in row["spans"]:
+            if s["kind"] == "media":
+                spans.append((s["offset"], "media", s["media_ref"] or "", ""))
+            else:
+                t = norm(s["text"])
+                if t != "":
+                    spans.append((s["offset"], "text", "", t))
+        spans.sort(key=lambda x: (x[0], x[1], x[2], x[3]))
+        results.append(
+            (
+                row["doc_id"],
+                [(k, t, m, i) for i, (_, k, m, t) in enumerate(spans)],
+            )
+        )
+    return results

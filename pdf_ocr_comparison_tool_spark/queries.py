@@ -1,0 +1,120 @@
+"""Registry of driver-checkable queries.
+
+Each entry pairs a Spark implementation (DataFrame API, built on the
+library operators) with a DuckDB oracle SQL string generated from the
+same spec (:mod:`sqlgen`). The driver runs both at sf=0.01 and compares
+row count + schema + order-insensitive value hash, so:
+
+* every computed column is explicitly aliased identically on both sides;
+* numeric outputs are cast to BIGINT / DOUBLE consistently;
+* float-valued aggregates go through DECIMAL so sums are order-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import sqlgen as G
+from . import synth
+from .operators import extraction
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ------------------------------------------------------------ extraction
+@register(
+    "extract_spans",
+    oracle=G.extraction_sql(G.DUCK),
+)
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline (synth spans → normalize → order →
+    reindex), exploded to rows. SURVEY §7.0 / north-rule invariant."""
+    docs = synth.spans_df(spark, sf_dir)
+    out = extraction.exploded_spans(docs)
+    return out.withColumn("ord", F.col("ord").cast("long"))
+
+
+_FT_AGG = (
+    "coalesce(string_agg(text, chr(10) ORDER BY ord) "
+    "FILTER (WHERE kind = 'text'), '')"
+)
+_FT_STRIPPED = G.replace_all(_FT_AGG, r"\s+", "", G.DUCK)
+_FULLTEXT_ORACLE = f"""
+WITH ext AS ({G.extraction_sql(G.DUCK)})
+SELECT doc_id,
+       {_FT_AGG} AS full_text,
+       md5(lower({_FT_STRIPPED})) AS text_hash,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE kind = 'text') AS n_text_spans
+FROM ext
+GROUP BY doc_id
+"""
+
+
+@register("extract_fulltext", oracle=_FULLTEXT_ORACLE)
+def q_extract_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered concat (W1) + content hash (T1) per document."""
+    docs = synth.spans_df(spark, sf_dir)
+    out = extraction.full_text(docs)
+    return (
+        out.filter(F.col("n_spans") > 0)  # oracle's GROUP BY drops empty docs
+        .select(
+            "doc_id",
+            "full_text",
+            "text_hash",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_text_spans").cast("long").alias("n_text_spans"),
+        )
+    )
+
+
+_SPAN_STATS_ORACLE = f"""
+WITH ext AS ({G.extraction_sql(G.DUCK)})
+SELECT doc_id,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE kind = 'media') AS n_media,
+       count(*) FILTER (WHERE kind = 'text') AS n_text,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       max(ord) AS max_ord
+FROM ext
+GROUP BY doc_id
+"""
+
+
+@register("span_stats", oracle=_SPAN_STATS_ORACLE)
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span statistics over the extraction output (S5/A1
+    analogue)."""
+    docs = synth.spans_df(spark, sf_dir)
+    ex = extraction.exploded_spans(docs)
+    return ex.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.count(F.when(F.col("kind") == "media", 1)).alias("n_media"),
+        F.count(F.when(F.col("kind") == "text", 1)).alias("n_text"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("ord").cast("long").alias("max_ord"),
+    )

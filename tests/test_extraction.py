@@ -1,0 +1,103 @@
+"""Extraction core: byte-equality vs pandas oracle, DuckDB-oracle parity
+for the synth derivation, and partition invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_comparison_tool_spark import sqlgen as G
+from pdf_ocr_comparison_tool_spark import synth
+from pdf_ocr_comparison_tool_spark.operators import extraction
+from tests.conftest import SF_DIR
+
+
+def _collect_contract(df):
+    """(doc_id, spans) → {doc_id: [(kind,text,media_ref,order), ...]}"""
+    out = {}
+    for row in df.collect():
+        out[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
+        ]
+    return out
+
+
+def test_byte_equality_vs_pandas_oracle(spark):
+    pdf = synth.fixture_docs_pandas(n_docs=150, seed=42)
+    docs = spark.createDataFrame(pdf, schema=synth.FIXTURE_SCHEMA)
+    got = _collect_contract(extraction.extract_ordered_spans(docs))
+    expected = dict(extraction.pandas_oracle(pdf))
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], f"mismatch for {doc_id}"
+
+
+def test_empty_and_skew_docs(spark):
+    pdf = synth.fixture_docs_pandas(n_docs=80, seed=7)
+    docs = spark.createDataFrame(pdf, schema=synth.FIXTURE_SCHEMA)
+    res = extraction.extract_ordered_spans(docs)
+    # empty docs survive with empty span arrays
+    empties = res.filter(F.size("spans") == 0).count()
+    assert empties >= 1
+    # order column is always 0..n-1
+    bad = res.select(
+        F.exists(
+            F.zip_with(
+                "spans",
+                F.sequence(F.lit(0), F.greatest(F.size("spans") - 1, F.lit(0))),
+                lambda s, i: s["order"] != i,
+            ),
+            lambda x: x,
+        ).alias("bad")
+    ).filter(F.col("bad")).count()
+    assert bad == 0
+
+
+def test_partition_invariance(spark):
+    pdf = synth.fixture_docs_pandas(n_docs=120, seed=11)
+    docs = spark.createDataFrame(pdf, schema=synth.FIXTURE_SCHEMA)
+    a = _collect_contract(extraction.extract_ordered_spans(docs.repartition(2)))
+    b = _collect_contract(extraction.extract_ordered_spans(docs.repartition(17, "doc_id")))
+    assert a == b
+
+
+def test_synth_spans_matches_duckdb_oracle(spark, duck):
+    """The Spark-native derivation + extraction must equal the generated
+    DuckDB SQL end-to-end (this is what the driver's gate runs)."""
+    docs = synth.spans_df(spark, SF_DIR)
+    got = (
+        extraction.exploded_spans(docs)
+        .orderBy("doc_id", "ord")
+        .collect()
+    )
+    exp = duck.execute(
+        G.extraction_sql(G.DUCK) + " ORDER BY doc_id, ord"
+    ).fetchall()
+    assert len(got) == len(exp), (len(got), len(exp))
+    for g, e in zip(got, exp):
+        assert (g["doc_id"], g["ord"], g["kind"], g["text"], g["media_ref"]) == tuple(e)
+
+
+def test_normalize_strips_noise(spark):
+    df = spark.createDataFrame(
+        [("d1", [("text", "<|ref|>hello world<|/ref|>[[1, 2, 3, 4]]\ntorch.Size([1, 3])\nok line\nx", "", 5)])],
+        schema=synth.FIXTURE_SCHEMA,
+    )
+    rows = extraction.extract_ordered_spans(df).collect()
+    spans = rows[0]["spans"]
+    assert len(spans) == 1
+    assert spans[0]["text"] == "hello world\nok line"
+
+
+def test_full_text_hash(spark):
+    pdf = synth.fixture_docs_pandas(n_docs=30, seed=3)
+    docs = spark.createDataFrame(pdf, schema=synth.FIXTURE_SCHEMA)
+    ft = extraction.full_text(docs).collect()
+    import hashlib, re
+
+    oracle = dict(extraction.pandas_oracle(pdf))
+    for row in ft:
+        texts = [t for (k, t, m, o) in oracle[row["doc_id"]] if k == "text"]
+        joined = "\n".join(texts)
+        assert row["full_text"] == joined
+        norm = re.sub(r"\s+", "", joined).lower()
+        assert row["text_hash"] == hashlib.md5(norm.encode("utf-8")).hexdigest()
