@@ -1,0 +1,80 @@
+"""Keyword-rule document classification (SURVEY §2.4 A10/A11, §2.3 J9/J10).
+
+Rebuilds the reference classifier (document_classifier.py:62-110): per
+document type, score = (total keyword occurrence count) × (100 −
+priority); best type by score (ties → lower priority, then type name);
+confidence = best/total; no match → ("其他", 0.5).
+
+Spark shape: theta-join pages × broadcast keyword dim on substring
+containment, occurrence counting via length arithmetic (exact equivalent
+of non-overlapping regex findall for non-overlapping keywords), then a
+window argmax. All built-in expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+
+def classify_pages(
+    pages: DataFrame,
+    dim: DataFrame,
+    keys: list[str] = ("doc_id", "role", "page_num"),
+) -> DataFrame:
+    """pages(keys…, text) → keys + doc_type, score, confidence, n_matched."""
+    keys = list(keys)
+    occ = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.col("keyword"))))
+        / F.length("keyword")
+    ).cast("long")
+    hits = (
+        pages.join(F.broadcast(dim), F.instr(F.col("text"), F.col("keyword")) > 0)
+        .withColumn("occ", occ)
+        .groupBy(*keys, "doc_type", "priority")
+        .agg(F.sum("occ").alias("matches"))
+        .withColumn("score", F.col("matches") * (100 - F.col("priority")))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("score"), F.asc("priority"), F.asc("doc_type")
+    )
+    ranked = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .withColumn("total_score", F.sum("score").over(Window.partitionBy(*keys)))
+        .filter(F.col("rn") == 1)
+        .select(
+            *keys,
+            F.col("doc_type").alias("best_type"),
+            F.col("score").alias("best_score"),
+            (F.col("score").cast("double") / F.col("total_score")).alias("best_conf"),
+            F.col("matches").alias("n_matched"),
+        )
+    )
+    return (
+        pages.join(ranked, keys, "left")
+        .select(
+            *keys,
+            F.coalesce("best_type", F.lit(C.DEFAULT_DOC_TYPE)).alias("doc_type"),
+            F.coalesce("best_score", F.lit(0)).cast("long").alias("score"),
+            F.coalesce("best_conf", F.lit(C.DEFAULT_CONFIDENCE)).alias("confidence"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+        )
+    )
+
+
+def majority_doc_type(classified: DataFrame) -> DataFrame:
+    """Per-document majority page type (A10, reference main.py:303-306 —
+    python max(set, key=count); our tiebreak: count desc, type asc)."""
+    counts = classified.groupBy("doc_id", "role", "doc_type").agg(
+        F.count("*").alias("n_pages")
+    )
+    w = Window.partitionBy("doc_id", "role").orderBy(
+        F.desc("n_pages"), F.asc("doc_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "role", "doc_type", "n_pages")
+    )

@@ -1,0 +1,163 @@
+"""Staged similarity join — the matching core (SURVEY §2.3 J1-J7).
+
+Rebuilds the reference's find_matches (content_matcher.py:271-318) as a
+composed DataFrame DAG instead of Python dict indexes:
+
+  J1  exact-hash equi-join short-circuit (sim := 1.0, skips fuzzy)
+  J2  blocking join on exploded date strings
+  J3  blocking join on exploded normalized amount strings
+  J4  bounded nested-loop fallback (first 100 reference pages, by
+      (doc_id, page_num) — the reference's "first 100" is its index
+      order; we fix a deterministic order) for probes with no candidate
+  J5  fuzzy theta-join: native levenshtein similarity ≥ partial threshold
+  J6  top-k per probe (k=5), deterministic tiebreak (sim desc, doc, page)
+  J7  best-match left-outer: every voucher page emits exactly one row,
+      status banding per T13 (content_matcher.py:345-351), no match →
+      未找到
+
+Scale notes (100 TB thinking):
+* the reference index (build side) is broadcast when small; at scale the
+  same plan degrades gracefully to a shuffled hash join and AQE handles
+  skewed blocking keys (a hot date like an epoch default would otherwise
+  explode one reducer);
+* the fuzzy compare runs ONLY on blocked candidate pairs + the bounded
+  fallback — never an unblocked cross join (reference O2/O3 preserved);
+* levenshtein inputs are truncated to 1000 chars (reference O4) which
+  bounds per-pair cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import config as C
+from .features import normalize_amount
+
+_PROBE = ["doc_id", "page_num"]
+
+
+def _sim_expr(t1, t2) -> "F.Column":
+    """Levenshtein similarity with the reference's truncation + empty
+    guards (content_matcher.py:120-161): both empty → 1.0, one empty →
+    0.0, else 1 − dist/max_len over 1000-char prefixes."""
+    a = F.substring(t1, 1, C.LEVENSHTEIN_MAX_CHARS)
+    b = F.substring(t2, 1, C.LEVENSHTEIN_MAX_CHARS)
+    return (
+        F.when((F.length(a) == 0) & (F.length(b) == 0), F.lit(1.0))
+        .when((F.length(a) == 0) | (F.length(b) == 0), F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.levenshtein(a, b).cast("double")
+            / F.greatest(F.length(a), F.length(b)).cast("double")
+        )
+    )
+
+
+def match_pages(
+    vouchers: DataFrame,
+    refs: DataFrame,
+    top_k: int = C.TOP_K,
+    partial_threshold: float = C.PARTIAL_THRESHOLD,
+    fallback_cap: int = C.FALLBACK_CAP,
+) -> DataFrame:
+    """vouchers/refs: (doc_id, page_num, text, text_hash, dates, amounts).
+
+    Returns ranked candidate matches: probe keys + t_doc, t_page, sim,
+    rn (1..top_k).
+    """
+    v = vouchers.select(
+        "doc_id", "page_num", "text", "text_hash", "dates", "amounts"
+    )
+    r = refs.select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("page_num").alias("t_page"),
+        F.col("text").alias("t_text"),
+        F.col("text_hash").alias("t_hash"),
+        F.col("dates").alias("t_dates"),
+        F.col("amounts").alias("t_amounts"),
+    )
+
+    # J1 — exact hash short-circuit
+    exact = (
+        v.join(F.broadcast(r), F.col("text_hash") == F.col("t_hash"))
+        .select(*_PROBE, "t_doc", "t_page", F.lit(1.0).alias("sim"))
+    )
+    exact_probes = exact.select(*_PROBE).distinct()
+    rest = v.join(exact_probes, _PROBE, "left_anti")
+
+    # J2/J3 — blocking joins on exploded date / normalized-amount keys
+    v_dates = rest.select(*_PROBE, F.explode("dates").alias("bk"))
+    r_dates = r.select("t_doc", "t_page", F.explode("t_dates").alias("bk"))
+    v_amts = rest.select(
+        *_PROBE, F.explode("amounts").alias("a")
+    ).select(*_PROBE, normalize_amount(F.col("a")).alias("bk"))
+    r_amts = r.select(
+        "t_doc", "t_page", F.explode("t_amounts").alias("a")
+    ).select("t_doc", "t_page", normalize_amount(F.col("a")).alias("bk"))
+    cand = (
+        v_dates.join(r_dates, "bk")
+        .select(*_PROBE, "t_doc", "t_page")
+        .unionByName(v_amts.join(r_amts, "bk").select(*_PROBE, "t_doc", "t_page"))
+        .distinct()
+    )
+
+    # J4 — bounded fallback for probes with zero candidates
+    no_cand = rest.select(*_PROBE).join(
+        cand.select(*_PROBE).distinct(), _PROBE, "left_anti"
+    )
+    fb_refs = (
+        r.select("t_doc", "t_page")
+        .orderBy("t_doc", "t_page")
+        .limit(fallback_cap)
+    )
+    fallback = no_cand.crossJoin(F.broadcast(fb_refs))
+
+    # J5 — fuzzy similarity on candidate ∪ fallback pairs
+    pairs = cand.unionByName(fallback).distinct()
+    scored = (
+        pairs.join(rest.select(*_PROBE, "text"), _PROBE)
+        .join(r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"])
+        .select(*_PROBE, "t_doc", "t_page", _sim_expr(F.col("text"), F.col("t_text")).alias("sim"))
+        .filter(F.col("sim") >= partial_threshold)
+    )
+
+    # J6 — union with exact hits, top-k per probe
+    all_matches = exact.unionByName(scored)
+    w = Window.partitionBy(*_PROBE).orderBy(
+        F.desc("sim"), F.asc("t_doc"), F.asc("t_page")
+    )
+    return (
+        all_matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+    )
+
+
+def status_band(sim_col) -> "F.Column":
+    """T13 status banding (content_matcher.py:345-351)."""
+    return (
+        F.when(sim_col >= C.EXACT_THRESHOLD, F.lit(C.STATUS_EXACT))
+        .when(sim_col >= C.SIMILARITY_THRESHOLD, F.lit(C.STATUS_PARTIAL))
+        .otherwise(F.lit(C.STATUS_LOW))
+    )
+
+
+def best_matches(vouchers: DataFrame, ranked: DataFrame) -> DataFrame:
+    """J7 — exactly one output row per voucher page; unmatched pages get
+    (未找到, sim 0.0) per content_matcher.py:320-351."""
+    best = ranked.filter(F.col("rn") == 1).select(
+        *_PROBE, "t_doc", "t_page", "sim"
+    )
+    return (
+        vouchers.select(*_PROBE)
+        .join(best, _PROBE, "left")
+        .select(
+            *_PROBE,
+            "t_doc",
+            "t_page",
+            F.coalesce("sim", F.lit(0.0)).alias("sim"),
+            F.when(F.col("t_doc").isNull(), F.lit(C.STATUS_NOT_FOUND))
+            .otherwise(status_band(F.col("sim")))
+            .alias("status"),
+        )
+    )

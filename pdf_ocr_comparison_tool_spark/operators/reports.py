@@ -1,0 +1,123 @@
+"""Report aggregations (SURVEY §2.4 A4-A9, §2.5 W5) + event-sequence
+windows.
+
+Rebuilds the reference's five Excel summary sheets (main.py:466-707) as
+plain aggregate DataFrames, plus the ranked/sessionized event analytics
+the same shapes cover on the driver's ``events`` table. Everything is
+built-in aggregates/windows; monetary/double sums go through DECIMAL so
+results are partitioning-order-exact (the north-rule determinism
+requirement), then cast back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+QUALITY_BANDS = [(0.9, "优"), (0.8, "良"), (0.6, "中")]
+QUALITY_DEFAULT = "差"
+SESSION_GAP_SEC = 1800
+
+
+def page_conf(doc_id, page_num) -> "F.Column":
+    """Deterministic synthetic per-page confidence (the driver tables
+    carry no OCR confidence; reference semantics need one for A7)."""
+    return (((doc_id * 131 + page_num * 17 + 5) % 101) / F.lit(100.0)).cast("double")
+
+
+def quality_band(conf) -> "F.Column":
+    """A7 banding ladder (reference main.py:594-630)."""
+    expr = F.lit(QUALITY_DEFAULT)
+    for threshold, label in reversed(QUALITY_BANDS):
+        expr = F.when(conf >= threshold, F.lit(label)).otherwise(expr)
+    return expr
+
+
+def page_quality(pages: DataFrame) -> DataFrame:
+    conf = page_conf(F.col("doc_id"), F.col("page_num"))
+    return pages.select(
+        "doc_id",
+        "role",
+        "page_num",
+        conf.alias("conf"),
+        F.length("text").cast("long").alias("text_len"),
+        quality_band(conf).alias("quality"),
+    )
+
+
+def keyword_top(docs: DataFrame, n: int = 50) -> DataFrame:
+    """A8: global token frequency top-N with distinct-doc counts
+    (reference main.py:632-667; F7 short/digit token filter,
+    ocr_engine.py:407)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("token")
+    ).filter((F.length("token") >= 2) & ~F.col("token").rlike(r"^[0-9]+$"))
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(F.col("rank").cast("long").alias("rank"), "token", "n", "n_docs")
+    )
+
+
+def timeline(feat_pages: DataFrame) -> DataFrame:
+    """A9: per extracted date — pages, distinct docs, role split
+    (reference main.py:669-707)."""
+    ex = feat_pages.select("doc_id", "role", F.explode("dates").alias("date_s"))
+    return ex.groupBy("date_s").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.when(F.col("role") == "voucher", 1)).alias("n_voucher"),
+        F.count(F.when(F.col("role") == "reference", 1)).alias("n_reference"),
+    )
+
+
+def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
+    """A6-shaped rollup with grand-total rows (reference main.py:550-592
+    appends a manual 合计 row; Spark rollup() is the idiomatic form)."""
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def events_sessions(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Sessionization: gaps-and-islands on per-user event times (the W3
+    lag+cumsum shape applied to the events table)."""
+    e = events.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch"),
+        F.col("value").cast("decimal(28,6)").alias("value_dec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    brk = F.when(
+        (F.col("epoch") - F.lag("epoch").over(w)) <= gap_sec, F.lit(0)
+    ).otherwise(F.lit(1))
+    sess = e.withColumn("brk", brk).withColumn(
+        "session", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session").agg(
+        F.count("*").alias("n_events"),
+        F.min("epoch").alias("t_start"),
+        F.max("epoch").alias("t_end"),
+        F.sum("value_dec").cast("double").alias("sum_value"),
+    ).withColumn("session", F.col("session").cast("long"))
+
+
+def events_topk(events: DataFrame, k: int = 3) -> DataFrame:
+    """W5: top-k events per user by value, deterministic tiebreak."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("user_id", F.col("rn").cast("long").alias("rn"), "event_id", "value")
+    )

@@ -1,0 +1,255 @@
+"""Dialect-parametric SQL for the pages pipeline.
+
+Each builder renders the SAME logical spec to Spark SQL or DuckDB SQL.
+The DuckDB rendering is the driver's oracle; the Spark rendering is used
+by tests to triangle-check the DataFrame-API operators against the SQL
+spec inside Spark itself.
+"""
+
+from __future__ import annotations
+
+from . import config as C
+from . import pagesgen as P
+from . import sqlgen as G
+from .sqlgen import DUCK, SPARK
+
+
+def explode(arr: str, alias: str, d: str) -> str:
+    return (
+        f"explode({arr}) AS {alias}" if d == SPARK else f"unnest({arr}) AS {alias}"
+    )
+
+
+def nullsafe_eq(a: str, b: str, d: str) -> str:
+    return f"{a} <=> {b}" if d == SPARK else f"{a} IS NOT DISTINCT FROM {b}"
+
+
+def _dates_arr(col: str, d: str) -> str:
+    parts = [G.extract_all(col, p, d) for p in G.DATE_RES]
+    return P._arr_sort(P._arr_distinct(P._arr_concat(parts, d), d), d)
+
+
+def _amounts_norm_arr(col: str, d: str) -> str:
+    parts = [G.extract_all(col, p, d) for p in G.AMOUNT_RES]
+    arr = P._arr_concat(parts, d)
+    pat = r"[,，\s]"  # T5: strip comma/fullwidth-comma/whitespace
+    lam = f"x -> {G.replace_all('x', pat, '', d)}"
+    return P._arr_sort(P._arr_distinct(G.ltransform(arr, lam, d), d), d)
+
+
+def _numbers_arr(col: str, d: str) -> str:
+    parts = [G.extract_all(col, p, d) for p in G.NUMBER_RES]
+    return P._arr_sort(P._arr_distinct(P._arr_concat(parts, d), d), d)
+
+
+def feat_cte(d: str, docs: str = "documents") -> str:
+    ws = G.replace_all("text", r"\s+", "", d)
+    return f"""{P.pages_cte(d, docs)},
+feat AS (
+  SELECT doc_id, role, page_num, text,
+         md5(lower({ws})) AS text_hash,
+         {_dates_arr('text', d)} AS dates,
+         {_amounts_norm_arr('text', d)} AS amounts_n,
+         {_numbers_arr('text', d)} AS numbers
+  FROM pages
+)"""
+
+
+def pages_sql(d: str, docs: str = "documents") -> str:
+    return P.pages_sql(d, docs)
+
+
+def page_features_sql(d: str, docs: str = "documents") -> str:
+    j = lambda arr: G.array_join(arr, "'|'", d)  # noqa: E731
+    return f"""WITH {feat_cte(d, docs)}
+SELECT doc_id, role, page_num, text_hash,
+       {j('dates')} AS dates_s,
+       {j('amounts_n')} AS amounts_s,
+       {j('numbers')} AS numbers_s
+FROM feat"""
+
+
+def classify_sql(d: str, docs: str = "documents") -> str:
+    dim = C.doc_type_values_sql()
+    occ = P.idiv(
+        "(length(p.text) - length(replace(p.text, k.keyword, '')))",
+        "length(k.keyword)",
+        d,
+    )
+    return f"""WITH {P.pages_cte(d, docs)},
+clf_hits AS (
+  SELECT p.doc_id, p.role, p.page_num, k.doc_type, k.priority,
+         CAST({occ} AS BIGINT) AS occ
+  FROM pages p JOIN {dim} ON instr(p.text, k.keyword) > 0
+),
+clf_scores AS (
+  SELECT doc_id, role, page_num, doc_type, priority, sum(occ) AS matches
+  FROM clf_hits GROUP BY doc_id, role, page_num, doc_type, priority
+),
+clf_sc AS (
+  SELECT doc_id, role, page_num, doc_type, priority, matches,
+         matches * (100 - priority) AS score
+  FROM clf_scores
+),
+clf_ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id, role, page_num
+                            ORDER BY score DESC, priority ASC, doc_type ASC) AS rn,
+         sum(score) OVER (PARTITION BY doc_id, role, page_num) AS total_score
+  FROM clf_sc
+),
+clf_best AS (SELECT * FROM clf_ranked WHERE rn = 1)
+SELECT p.doc_id, p.role, p.page_num,
+       coalesce(b.doc_type, '{C.DEFAULT_DOC_TYPE}') AS doc_type,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+       coalesce(CAST(b.score AS DOUBLE) / b.total_score, {C.DEFAULT_CONFIDENCE}) AS confidence,
+       CAST(coalesce(b.matches, 0) AS BIGINT) AS n_matched
+FROM pages p LEFT JOIN clf_best b
+  ON p.doc_id = b.doc_id AND p.role = b.role AND p.page_num = b.page_num"""
+
+
+def majority_type_sql(d: str, docs: str = "documents") -> str:
+    return f"""WITH clf AS ({classify_sql(d, docs)}),
+mt_counts AS (
+  SELECT doc_id, role, doc_type, count(*) AS n_pages
+  FROM clf GROUP BY doc_id, role, doc_type
+),
+mt_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, role
+                               ORDER BY n_pages DESC, doc_type ASC) AS rn
+  FROM mt_counts
+)
+SELECT doc_id, role, doc_type, CAST(n_pages AS BIGINT) AS n_pages
+FROM mt_ranked WHERE rn = 1"""
+
+
+def _sim_sql(t1: str, t2: str, d: str = DUCK) -> str:
+    n = C.LEVENSHTEIN_MAX_CHARS
+    t1, t2 = G.fold_cjk(t1, d), G.fold_cjk(t2, d)
+    a, b = f"substr({t1}, 1, {n})", f"substr({t2}, 1, {n})"
+    return f"""CASE
+  WHEN length({a}) = 0 AND length({b}) = 0 THEN CAST(1.0 AS DOUBLE)
+  WHEN length({a}) = 0 OR length({b}) = 0 THEN CAST(0.0 AS DOUBLE)
+  ELSE 1.0 - CAST(levenshtein({a}, {b}) AS DOUBLE)
+             / CAST(greatest(length({a}), length({b})) AS DOUBLE)
+END"""
+
+
+def ranked_matches_cte(d: str, docs: str = "documents") -> str:
+    """CTE chain ending in ranked(doc_id, page_num, t_doc, t_page, sim, rn)."""
+    return f"""{feat_cte(d, docs)},
+mv AS (SELECT * FROM feat WHERE role = 'voucher'),
+mr AS (SELECT doc_id AS t_doc, page_num AS t_page, text AS t_text,
+              text_hash AS t_hash, dates AS t_dates, amounts_n AS t_amounts
+       FROM feat WHERE role = 'reference'),
+m_exact AS (
+  SELECT mv.doc_id, mv.page_num, mr.t_doc, mr.t_page, CAST(1.0 AS DOUBLE) AS sim
+  FROM mv JOIN mr ON mv.text_hash = mr.t_hash
+),
+m_rest AS (
+  SELECT * FROM mv t WHERE NOT EXISTS (
+    SELECT 1 FROM m_exact e WHERE e.doc_id = t.doc_id AND e.page_num = t.page_num)
+),
+m_vk AS (
+  SELECT doc_id, page_num, {explode('dates', 'bk', d)} FROM m_rest
+  UNION ALL
+  SELECT doc_id, page_num, {explode('amounts_n', 'bk', d)} FROM m_rest
+),
+m_rk AS (
+  SELECT t_doc, t_page, {explode('t_dates', 'bk', d)} FROM mr
+  UNION ALL
+  SELECT t_doc, t_page, {explode('t_amounts', 'bk', d)} FROM mr
+),
+m_cand AS (
+  SELECT DISTINCT v.doc_id, v.page_num, rk.t_doc, rk.t_page
+  FROM m_vk v JOIN m_rk rk ON v.bk = rk.bk
+),
+m_nocand AS (
+  SELECT doc_id, page_num FROM m_rest t WHERE NOT EXISTS (
+    SELECT 1 FROM m_cand c WHERE c.doc_id = t.doc_id AND c.page_num = t.page_num)
+),
+m_fb_refs AS (
+  SELECT t_doc, t_page FROM mr ORDER BY t_doc, t_page LIMIT {C.FALLBACK_CAP}
+),
+m_pairs AS (
+  SELECT doc_id, page_num, t_doc, t_page FROM m_cand
+  UNION
+  SELECT n.doc_id, n.page_num, f.t_doc, f.t_page FROM m_nocand n CROSS JOIN m_fb_refs f
+),
+m_scored AS (
+  SELECT p.doc_id, p.page_num, p.t_doc, p.t_page,
+         {_sim_sql('t.text', 'r2.t_text', d)} AS sim
+  FROM m_pairs p
+  JOIN m_rest t ON p.doc_id = t.doc_id AND p.page_num = t.page_num
+  JOIN mr r2 ON p.t_doc = r2.t_doc AND p.t_page = r2.t_page
+),
+m_kept AS (
+  SELECT * FROM m_scored WHERE sim >= {C.PARTIAL_THRESHOLD}
+  UNION ALL
+  SELECT * FROM m_exact
+),
+m_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, page_num
+                               ORDER BY sim DESC, t_doc, t_page) AS rn
+  FROM m_kept
+)"""
+
+
+def match_best_sql(d: str, docs: str = "documents") -> str:
+    return f"""WITH {ranked_matches_cte(d, docs)},
+m_best AS (SELECT * FROM m_ranked WHERE rn = 1)
+SELECT v.doc_id, v.page_num, b.t_doc, b.t_page,
+       coalesce(b.sim, 0.0) AS sim,
+       CASE WHEN b.t_doc IS NULL THEN '{C.STATUS_NOT_FOUND}'
+            WHEN b.sim >= {C.EXACT_THRESHOLD} THEN '{C.STATUS_EXACT}'
+            WHEN b.sim >= {C.SIMILARITY_THRESHOLD} THEN '{C.STATUS_PARTIAL}'
+            ELSE '{C.STATUS_LOW}' END AS status
+FROM mv v LEFT JOIN m_best b ON v.doc_id = b.doc_id AND v.page_num = b.page_num"""
+
+
+def match_merged_sql(d: str, docs: str = "documents") -> str:
+    nse = nullsafe_eq
+    w = "OVER (PARTITION BY doc_id ORDER BY page_num)"
+    return f"""WITH mm_best AS ({match_best_sql(d, docs)}),
+mm_lag AS (
+  SELECT *,
+         lag(t_doc) {w} AS pv_doc,
+         lag(t_page) {w} AS pv_page,
+         lag(status) {w} AS pv_status,
+         row_number() {w} AS seq
+  FROM mm_best
+),
+mm_brk AS (
+  SELECT *, CASE WHEN {nse('t_doc', 'pv_doc', d)}
+                  AND {nse('status', 'pv_status', d)}
+                  AND (t_page = pv_page + 1
+                       OR (t_page IS NULL AND pv_page IS NULL AND seq > 1))
+            THEN 0 ELSE 1 END AS brk
+  FROM mm_lag
+),
+mm_isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY page_num
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM mm_brk
+)
+SELECT doc_id, island,
+       CASE WHEN min(page_num) = max(page_num)
+            THEN 'P' || {G.cast_str('min(page_num)', d)}
+            ELSE 'P' || {G.cast_str('min(page_num)', d)} || '-P' || {G.cast_str('max(page_num)', d)} END AS page_range,
+       min(t_doc) AS t_doc,
+       CASE WHEN min(t_doc) IS NULL THEN {G.cast_str('NULL', d)}
+            WHEN min(t_page) = max(t_page)
+            THEN 'P' || {G.cast_str('min(t_page)', d)}
+            ELSE 'P' || {G.cast_str('min(t_page)', d)} || '-P' || {G.cast_str('max(t_page)', d)} END AS t_range,
+       min(status) AS status,
+       CAST(avg(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) AS avg_sim,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM mm_isl
+GROUP BY doc_id, island"""
+
+
+def match_summary_sql(d: str, docs: str = "documents") -> str:
+    return f"""WITH ms_best AS ({match_best_sql(d, docs)})
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM ms_best) AS frac
+FROM ms_best GROUP BY status"""

@@ -17,9 +17,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import config as C
+from . import oracles as O
 from . import sqlgen as G
 from . import synth
-from .operators import extraction
+from .operators import classify, extraction, features, matching, merge
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -117,4 +119,98 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("kind") == "text", 1)).alias("n_text"),
         F.sum(F.length("text")).alias("total_chars"),
         F.max("ord").cast("long").alias("max_ord"),
+    )
+
+
+# ------------------------------------------------------- pages pipeline
+@register("pages_synth", oracle=O.pages_sql(G.DUCK))
+def q_pages_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic pages IR itself (sanity gate for everything the
+    matching/classification stages consume)."""
+    return synth.pages_df(spark, sf_dir)
+
+
+@register("page_features", oracle=O.page_features_sql(G.DUCK))
+def q_page_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T5 feature extraction (dates/amounts/numbers/content-hash)."""
+    pages = synth.pages_df(spark, sf_dir)
+    f = features.add_features(pages)
+    norm_amounts = F.array_sort(
+        F.array_distinct(
+            F.transform("amounts", lambda a: features.normalize_amount(a))
+        )
+    )
+    return f.select(
+        "doc_id",
+        "role",
+        "page_num",
+        "text_hash",
+        F.array_join("dates", "|").alias("dates_s"),
+        F.array_join(norm_amounts, "|").alias("amounts_s"),
+        F.array_join("numbers", "|").alias("numbers_s"),
+    )
+
+
+@register("classify_pages", oracle=O.classify_sql(G.DUCK))
+def q_classify_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 keyword-rule classification with argmax + confidence."""
+    pages = synth.pages_df(spark, sf_dir)
+    return classify.classify_pages(pages, C.doc_type_dim(spark))
+
+
+@register("doc_majority_type", oracle=O.majority_type_sql(G.DUCK))
+def q_doc_majority_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 per-document majority page type."""
+    pages = synth.pages_df(spark, sf_dir)
+    clf = classify.classify_pages(pages, C.doc_type_dim(spark))
+    return classify.majority_doc_type(clf)
+
+
+def _featured_roles(spark: SparkSession, sf_dir: str):
+    pages = synth.pages_df(spark, sf_dir)
+    f = features.add_features(pages).withColumn(
+        "amounts",
+        F.array_sort(
+            F.array_distinct(
+                F.transform("amounts", lambda a: features.normalize_amount(a))
+            )
+        ),
+    )
+    # CJK→ASCII fold (sqlgen.CJK_FOLD_*) so the levenshtein stage is
+    # byte/char agnostic across engines; applied after hashing/features.
+    f = f.withColumn(
+        "text", F.translate("text", G.CJK_FOLD_SRC, G.CJK_FOLD_DST)
+    )
+    v = f.filter(F.col("role") == "voucher").drop("role")
+    r = f.filter(F.col("role") == "reference").drop("role")
+    return v, r
+
+
+@register("match_best", oracle=O.match_best_sql(G.DUCK))
+def q_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J7 staged similarity join, best match per voucher page."""
+    v, r = _featured_roles(spark, sf_dir)
+    ranked = matching.match_pages(v, r)
+    return matching.best_matches(v, ranked)
+
+
+@register("match_merged", oracle=O.match_merged_sql(G.DUCK))
+def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A14 gaps-and-islands merge of consecutive page matches."""
+    v, r = _featured_roles(spark, sf_dir)
+    best = matching.best_matches(v, matching.match_pages(v, r))
+    return merge.merge_page_matches(best).withColumn(
+        "island", F.col("island").cast("long")
+    )
+
+
+@register("match_summary", oracle=O.match_summary_sql(G.DUCK))
+def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 match status rollup with match rate."""
+    v, r = _featured_roles(spark, sf_dir)
+    best = matching.best_matches(v, matching.match_pages(v, r))
+    total = best.count()
+    return best.groupBy("status").agg(
+        F.count("*").alias("n"),
+        (F.count("*").cast("double") / F.lit(float(total))).alias("frac"),
     )

@@ -69,6 +69,18 @@ NUMBER_RES = [
 ]
 
 
+# CJK→ASCII fold for cross-engine levenshtein parity: DuckDB's
+# levenshtein is byte-based on UTF-8 (CJK edit = 3) while Spark's is
+# character-based (CJK edit = 1). The synthetic pages' non-ASCII
+# alphabet is closed (the constants above), so an injective 1:1
+# translate to ASCII makes both engines compute the same char-level
+# distance. Engine operators keep true char-level semantics; the fold is
+# applied symmetrically in oracle-facing queries only.
+CJK_FOLD_SRC = "日期金额元记账凭证收款摘要发票税号价合计同甲方乙首（）"
+CJK_FOLD_DST = "ABCDEGIJKLMNOQRSUVWYZ@#$%&*"
+assert len(CJK_FOLD_SRC) == len(CJK_FOLD_DST)
+
+
 # ---------------------------------------------------------------- dialect
 def rx(pat: str, d: str) -> str:
     """Render a regex as a SQL string literal for dialect *d*.
@@ -98,8 +110,11 @@ def hexint(expr: str, d: str) -> str:
 
 
 def array_join(arr: str, sep: str, d: str) -> str:
-    fn = "array_join" if d == SPARK else "array_to_string"
-    return f"{fn}({arr}, {sep})"
+    if d == SPARK:
+        return f"array_join({arr}, {sep})"
+    # DuckDB's array_to_string returns NULL for an empty list; Spark's
+    # array_join returns '' — align on ''.
+    return f"coalesce(array_to_string({arr}, {sep}), '')"
 
 
 def ltransform(arr: str, lam: str, d: str) -> str:
@@ -124,6 +139,10 @@ def extract_all(expr: str, pat: str, d: str) -> str:
     if d == SPARK:
         return f"regexp_extract_all({expr}, {rx(pat, d)}, 0)"
     return f"regexp_extract_all({expr}, {rx(pat, d)})"
+
+
+def fold_cjk(expr: str, d: str) -> str:
+    return f"translate({expr}, {lit(CJK_FOLD_SRC, d)}, {lit(CJK_FOLD_DST, d)})"
 
 
 def explode_range(n_expr: str, alias: str, d: str) -> str:

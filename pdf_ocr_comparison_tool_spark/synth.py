@@ -93,6 +93,17 @@ def spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic pages IR (voucher + reference roles), rendered from
+    the shared spec in :mod:`pagesgen` — same SQL text the DuckDB oracle
+    runs, modulo dialect."""
+    from . import pagesgen as P
+    from . import sqlgen as G
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(P.pages_sql(G.SPARK))
+
+
 # --------------------------------------------------------------- fixtures
 _CJK_VOCAB = [
     "记账凭证", "银行回单", "合同书", "会议纪要", "发票", "审批单",
