@@ -253,3 +253,102 @@ def match_summary_sql(d: str, docs: str = "documents") -> str:
 SELECT status, CAST(count(*) AS BIGINT) AS n,
        CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM ms_best) AS frac
 FROM ms_best GROUP BY status"""
+
+
+# --------------------------------------------------------------- reports
+def split_rx(expr: str, pat: str, d: str) -> str:
+    if d == SPARK:
+        return f"split({expr}, {G.rx(pat, d)})"
+    return f"regexp_split_to_array({expr}, {G.rx(pat, d)})"
+
+
+def page_quality_sql(d: str, docs: str = "documents") -> str:
+    conf = "CAST((doc_id * 131 + page_num * 17 + 5) % 101 AS DOUBLE) / CAST(100.0 AS DOUBLE)"
+    return f"""WITH {P.pages_cte(d, docs)}
+SELECT doc_id, role, page_num,
+       {conf} AS conf,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CASE WHEN {conf} >= 0.9 THEN '优'
+            WHEN {conf} >= 0.8 THEN '良'
+            WHEN {conf} >= 0.6 THEN '中'
+            ELSE '差' END AS quality
+FROM pages"""
+
+
+def keyword_top_sql(d: str, docs: str = "documents", n: int = 50) -> str:
+    tok = split_rx("lower(text)", "[^a-z0-9]+", d)
+    return f"""WITH kt_tok AS (
+  SELECT doc_id, {explode(tok, 'token', d)} FROM {docs}
+),
+kt_f AS (
+  SELECT * FROM kt_tok
+  WHERE length(token) >= 2 AND NOT {G.rlike('token', '^[0-9]+$', d)}
+),
+kt_counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM kt_f GROUP BY token
+),
+kt_ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n DESC, token ASC) AS rank FROM kt_counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, token, n, n_docs
+FROM kt_ranked WHERE rank <= {n}"""
+
+
+def timeline_sql(d: str, docs: str = "documents") -> str:
+    return f"""WITH {feat_cte(d, docs)},
+tl AS (SELECT doc_id, role, {explode('dates', 'date_s', d)} FROM feat)
+SELECT date_s,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE role = 'voucher') AS BIGINT) AS n_voucher,
+       CAST(count(*) FILTER (WHERE role = 'reference') AS BIGINT) AS n_reference
+FROM tl GROUP BY date_s"""
+
+
+def lineitem_rollup_sql(d: str) -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def events_sessions_sql(d: str, gap_sec: int = 1800) -> str:
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    return f"""WITH es_e AS (
+  SELECT user_id, event_id, {epoch} AS epoch,
+         CAST(value AS DECIMAL(28,6)) AS value_dec
+  FROM events
+),
+es_lag AS (
+  SELECT *, lag(epoch) OVER (PARTITION BY user_id ORDER BY epoch, event_id) AS pv
+  FROM es_e
+),
+es_brk AS (
+  SELECT *, CASE WHEN epoch - pv <= {gap_sec} THEN 0 ELSE 1 END AS brk FROM es_lag
+),
+es_isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+  FROM es_brk
+)
+SELECT user_id, CAST(session AS BIGINT) AS session,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(epoch) AS t_start, max(epoch) AS t_end,
+       CAST(sum(value_dec) AS DOUBLE) AS sum_value
+FROM es_isl GROUP BY user_id, session"""
+
+
+def events_topk_sql(d: str, k: int = 3) -> str:
+    return f"""WITH et_r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, value
+FROM et_r WHERE rn <= {k}"""

@@ -21,7 +21,7 @@ from . import config as C
 from . import oracles as O
 from . import sqlgen as G
 from . import synth
-from .operators import classify, extraction, features, matching, merge
+from .operators import classify, extraction, features, matching, merge, reports
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -214,3 +214,41 @@ def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.count("*").cast("double") / F.lit(float(total))).alias("frac"),
     )
+
+
+# --------------------------------------------------------------- reports
+@register("page_quality", oracle=O.page_quality_sql(G.DUCK))
+def q_page_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 quality banding over per-page confidence."""
+    return reports.page_quality(synth.pages_df(spark, sf_dir))
+
+
+@register("keyword_top", oracle=O.keyword_top_sql(G.DUCK))
+def q_keyword_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 global top-50 tokens with distinct-doc counts."""
+    return reports.keyword_top(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("timeline", oracle=O.timeline_sql(G.DUCK))
+def q_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 per-date rollup over extracted date features."""
+    pages = synth.pages_df(spark, sf_dir)
+    return reports.timeline(features.add_features(pages))
+
+
+@register("lineitem_rollup", oracle=O.lineitem_rollup_sql(G.DUCK))
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-shaped rollup with grand totals (decimal-exact sums)."""
+    return reports.lineitem_rollup(synth.load_table(spark, sf_dir, "lineitem"))
+
+
+@register("events_sessions", oracle=O.events_sessions_sql(G.DUCK))
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (gaps-and-islands on event time)."""
+    return reports.events_sessions(synth.load_table(spark, sf_dir, "events"))
+
+
+@register("events_topk", oracle=O.events_topk_sql(G.DUCK))
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 ranked top-k per group."""
+    return reports.events_topk(synth.load_table(spark, sf_dir, "events"))
