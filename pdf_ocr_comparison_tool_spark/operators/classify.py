@@ -64,6 +64,30 @@ def classify_pages(
     )
 
 
+def type_islands(classified: DataFrame) -> DataFrame:
+    """W4: consecutive same-type page runs per (doc, role) — the
+    split-by-type grouping (reference pdf_processor.py:334-349), same
+    gaps-and-islands shape as the match merge."""
+    w = Window.partitionBy("doc_id", "role").orderBy("page_num")
+    brk = F.when(
+        F.col("doc_type").eqNullSafe(F.lag("doc_type").over(w)), F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = classified.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "role", "island")
+        .agg(
+            F.min("doc_type").alias("doc_type"),  # constant within island
+            F.min("page_num").alias("p_lo"),
+            F.max("page_num").alias("p_hi"),
+            F.count("*").alias("n_pages"),
+        )
+        .withColumn("island", F.col("island").cast("long"))
+        .withColumn("n_pages", F.col("n_pages").cast("long"))
+    )
+
+
 def majority_doc_type(classified: DataFrame) -> DataFrame:
     """Per-document majority page type (A10, reference main.py:303-306 —
     python max(set, key=count); our tiebreak: count desc, type asc)."""

@@ -1,0 +1,155 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Beyond the reference's exact-hash dedup (its J1 short-circuit), this
+module adds the standard web-scale near-dup family:
+
+* exact duplicate groups (hash-groupBy) — the 100 TB-safe baseline;
+* MinHash signatures + banded LSH candidate pairs + exact verification
+  (shingle → minhash → band → bucket join), the classic
+  Broder/Leskovec-et-al construction;
+* SimHash fingerprints (Charikar) with banded buckets;
+* n-gram Jaccard verification on candidate pairs.
+
+Scale design: signatures are computed with **narrow array expressions**
+(``transform`` over a seed sequence + ``array_min``) — no explode, no
+shuffle until the band-bucket join, whose fan-out is bounded by bucket
+size. The only shuffles are the band groupBys and the final pair
+distinct. MinHash values are md5 hex strings compared lexicographically
+— engine-portable and uniform enough for LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16
+BAND_SIZE = 4  # 4 bands x 4 rows
+SHINGLE_K = 3
+TOKEN_RE = r"[^a-z0-9]+"
+SIMHASH_BITS = 16
+
+
+def tokens_col(text) -> "F.Column":
+    return F.filter(
+        F.split(F.lower(text), TOKEN_RE), lambda t: F.length(t) >= 2
+    )
+
+
+def shingles_col(toks) -> "F.Column":
+    """Distinct word k-shingles; docs shorter than k words get their
+    whole token join as one shingle (so they still participate)."""
+    k = SHINGLE_K
+    short = F.array(F.array_join(toks, " "))
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return F.array_distinct(F.when(F.size(toks) < k, short).otherwise(sh))
+
+
+def minhash_sig(sh) -> "F.Column":
+    """array<string> of NUM_HASHES lexicographic-min md5 values."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    return docs.withColumn("shingles", shingles_col(toks)).withColumn(
+        "minhash", minhash_sig(F.col("shingles"))
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content (T1 hash)."""
+    h = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", "")))
+    return (
+        docs.select(F.col("doc_id"), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(NUM_HASHES // BAND_SIZE - 1)),
+                lambda b: F.md5(
+                    F.concat_ws("|", F.slice("minhash", b * BAND_SIZE + 1, BAND_SIZE))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    docs_with_shingles: DataFrame, pairs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidates."""
+    sa = docs_with_shingles.select(
+        F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a")
+    )
+    sb = docs_with_shingles.select(
+        F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b")
+    )
+    j = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, sum ±1 weighted by
+    the token-hash bit, sign → bit. Token hash = first 8 md5 hex chars
+    as int (engine-portable)."""
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    def _contrib(bb: int):
+        # closure factory: a default-arg lambda would be seen as a
+        # two-arg lambda and receive the element index instead
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when((F.shiftright(x, bb) % 2) == 1, 1).otherwise(-1),
+        )
+
+    bit_cols = []
+    for bbit in range(SIMHASH_BITS):
+        contrib = _contrib(bbit)
+        bit_cols.append(F.when(contrib >= 0, F.lit(2**bbit)).otherwise(F.lit(0)))
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return docs.select("doc_id", fp.cast("long").alias("simhash"))

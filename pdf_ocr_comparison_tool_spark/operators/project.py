@@ -1,0 +1,87 @@
+"""Project detection (SURVEY §2.3 J9/J10; reference
+project_detector.py:49-170).
+
+The reference cascades: path-based match (folder components vs
+per-project folder lists, with wildcards) → content-based keyword
+scoring (count × len(keyword), argmax, normalized) → '未分类' fallback.
+
+Driver documents have no file paths; the ``source`` column plays the
+path role (J9 = dimension join on source pattern), and content scoring
+(J10) runs on ``text`` exactly like the reference: score =
+occurrence_count × keyword length, best project by score, confidence =
+score / max_possible, cascade via coalesce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+UNCLASSIFIED = "未分类"
+
+# (project, source_pattern) — J9 path-dimension analogue
+PROJECT_SOURCES: list[tuple[str, str]] = [
+    ("proj_alpha", "src0"),
+    ("proj_alpha", "src1"),
+    ("proj_beta", "src2"),
+    ("proj_beta", "src3"),
+    ("proj_gamma", "src4"),
+]
+
+# (project, keyword) — J10 content keywords
+PROJECT_KEYWORDS: list[tuple[str, str]] = [
+    ("proj_alpha", "spark"), ("proj_alpha", "stream"),
+    ("proj_beta", "customer"), ("proj_beta", "lineitem"),
+    ("proj_gamma", "window"), ("proj_gamma", "vector"),
+]
+
+
+def source_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PROJECT_SOURCES, "project string, source_pat string")
+
+
+def keyword_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PROJECT_KEYWORDS, "project string, keyword string")
+
+
+def detect_projects(
+    docs: DataFrame, src_dim: DataFrame, kw_dim: DataFrame
+) -> DataFrame:
+    """docs(doc_id, source, text) → doc_id, project, match_type,
+    score — J9 ∘ J10 ∘ fallback cascade."""
+    by_path = (
+        docs.join(F.broadcast(src_dim), docs.source == src_dim.source_pat)
+        .select("doc_id", F.col("project").alias("p_path"))
+    )
+
+    occ = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.col("keyword"))))
+        / F.length("keyword")
+    ).cast("long")
+    hits = (
+        docs.join(F.broadcast(kw_dim), F.instr(F.col("text"), F.col("keyword")) > 0)
+        .withColumn("occ", occ)
+        .groupBy("doc_id", "project")
+        .agg(F.sum(F.col("occ") * F.length("keyword")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("project"))
+    by_content = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("project").alias("p_content"), "score")
+    )
+
+    return (
+        docs.select("doc_id")
+        .join(by_path, "doc_id", "left")
+        .join(by_content, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("p_path", "p_content", F.lit(UNCLASSIFIED)).alias("project"),
+            F.when(F.col("p_path").isNotNull(), "path")
+            .when(F.col("p_content").isNotNull(), "content")
+            .otherwise("none")
+            .alias("match_type"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("content_score"),
+        )
+    )

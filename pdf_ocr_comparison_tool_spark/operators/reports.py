@@ -65,6 +65,30 @@ def keyword_top(docs: DataFrame, n: int = 50) -> DataFrame:
     )
 
 
+def page_top_keywords(pages: DataFrame, k: int = 3) -> DataFrame:
+    """A3: top-k tokens per page (reference ocr_engine.py:392-412
+    most_common(10); k=3 here to keep fixtures small), deterministic
+    tiebreak (count desc, token asc)."""
+    toks = pages.select(
+        "doc_id", "role", "page_num",
+        F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("token"),
+    ).filter((F.length("token") >= 2) & ~F.col("token").rlike(r"^[0-9]+$"))
+    counts = toks.groupBy("doc_id", "role", "page_num", "token").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("doc_id", "role", "page_num").orderBy(
+        F.desc("n"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "role", "page_num",
+            F.col("rank").cast("long").alias("rank"), "token", "n",
+        )
+    )
+
+
 def timeline(feat_pages: DataFrame) -> DataFrame:
     """A9: per extracted date — pages, distinct docs, role split
     (reference main.py:669-707)."""

@@ -1,0 +1,128 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+* :func:`ann_brute_topk` — brute-force cosine top-k (the correctness
+  baseline). Dot products accumulate per-element double products cast to
+  DECIMAL(38,12) so results are bit-identical regardless of engine,
+  partitioning or summation order (the cross-engine/ determinism
+  requirement); ranking emits integer (query, rank, neighbor) rows.
+
+* :func:`lsh_bucket` — random-hyperplane (SimHash-for-vectors) bucket
+  signatures, the scale path: at 10^12 rows the brute-force cross join
+  is infeasible; bucketing on the signature turns ANN into an equi-join
+  on bucket + a small in-bucket rerank. Hyperplane weights are a
+  deterministic integer lattice so both engines agree exactly, including
+  at the sign boundary (decimal-exact sums).
+
+Scale notes: the query side is broadcast (queries ≪ candidates); the
+candidate scan is narrow; top-k is one window shuffle on query id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+LSH_BITS = 16
+
+
+def _dot_dec(a, b) -> "F.Column":
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(38,12)")
+    )
+    # merge must return the zero's exact type (decimal addition widens)
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
+    )
+
+
+def ann_brute_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """(vec_id, embedding) → (q_id, rank, c_id) for the first n_queries
+    vectors against the whole table."""
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot_dec("embedding", "embedding").alias("nsq")
+    )
+    q = norms.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    sim = _dot_dec("qv", "cv").cast("double") / (
+        F.sqrt(F.col("q_nsq").cast("double")) * F.sqrt(F.col("c_nsq").cast("double"))
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "c_id")
+    )
+
+
+def _hyperplane_weight(i: int, j: int) -> int:
+    """Deterministic integer lattice weight in [-3, 3]."""
+    return ((i * 31 + j * 17) % 7) - 3
+
+
+def lsh_bucket(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, bucket) with a 16-bit
+    random-hyperplane signature."""
+    def _bit_sum(jj: int):
+        # closure factory (not a default-arg lambda: transform would
+        # bind the element index to the extra parameter)
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+                lambda i: (
+                    F.element_at("embedding", i + 1).cast("double")
+                    * ((i * 31 + F.lit(jj * 17)) % 7 - 3).cast("double")
+                ).cast("decimal(38,12)"),
+            ),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, x: (acc + x).cast("decimal(38,12)"),
+        )
+
+    bucket = F.lit(0).cast("long")
+    for j in range(LSH_BITS):
+        s = _bit_sum(j)
+        bucket = bucket + F.when(s >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.95, n_limit: int = 200
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs among the first n_limit
+    vectors (bounded verification set; the LSH bucket path is the scale
+    route to candidates)."""
+    norms = embeddings.filter(F.col("vec_id") < n_limit).select(
+        "vec_id", "embedding", _dot_dec("embedding", "embedding").alias("nsq")
+    )
+    a = norms.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("av"), F.col("nsq").alias("a_nsq")
+    )
+    b = norms.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("bv"), F.col("nsq").alias("b_nsq")
+    )
+    sim = _dot_dec("av", "bv").cast("double") / (
+        F.sqrt(F.col("a_nsq").cast("double")) * F.sqrt(F.col("b_nsq").cast("double"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,98 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+All built-in column expressions (regex/length arithmetic + broadcast
+stopword dim + window argmax) — no Python in the hot path, trivially
+parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import TOKEN_RE, tokens_col
+
+# (lang, stopword) heuristic dim — deliberately tiny; argmax with 'und'
+# fallback mirrors the classifier shape (A11) applied to language ID.
+LANG_STOPWORDS: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "and"), ("en", "of"), ("en", "is"),
+    ("de", "der"), ("de", "und"), ("de", "die"), ("de", "ist"),
+    ("es", "el"), ("es", "la"), ("es", "de"), ("es", "es"),
+    ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "est"),
+]
+UND = "und"
+
+QUALITY_STOPWORDS = ["the", "and", "of", "a", "is"]
+
+
+def lang_dim(spark) -> DataFrame:
+    return spark.createDataFrame(LANG_STOPWORDS, "lang string, stopword string")
+
+
+def lang_id(docs: DataFrame, dim: DataFrame) -> DataFrame:
+    """N-gram-free stopword-vote language ID: explode tokens, join the
+    stopword dim, argmax hits per doc (tiebreak lang asc), und fallback."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    hits = (
+        toks.join(F.broadcast(dim), toks.token == dim.stopword)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred"), "n_hits")
+    )
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred", F.lit(UND)).alias("pred_lang"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/digit/stopword quality heuristics with a CASE
+    band — the standard pre-training quality-filter features."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_alnum_sp = F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", ""))
+    punct_ratio = (
+        (n_chars - n_alnum_sp).cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    n_digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    digit_ratio = n_digits.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*QUALITY_STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    band = (
+        F.when((n_tokens >= 20) & (punct_ratio < 0.1) & (stop_ratio >= 0.05), "high")
+        .when(n_tokens >= 5, "medium")
+        .otherwise("low")
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        band.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (chars/4,
+    the common heuristic) as exact integer arithmetic."""
+    n_chars = F.length("text")
+    n_ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").alias("n_bpe_est"),
+    )

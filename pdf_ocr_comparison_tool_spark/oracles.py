@@ -352,3 +352,259 @@ def events_topk_sql(d: str, k: int = 3) -> str:
 )
 SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, value
 FROM et_r WHERE rn <= {k}"""
+
+
+# ----------------------------------------------------------------- dedup
+def _lfilter(arr: str, lam: str, d: str) -> str:
+    return f"filter({arr}, {lam})" if d == SPARK else f"list_filter({arr}, {lam})"
+
+
+def _arr_min(e: str, d: str) -> str:
+    return f"array_min({e})" if d == SPARK else f"list_min({e})"
+
+
+def _arr_slice(arr: str, start1: int, length: int, d: str) -> str:
+    if d == SPARK:
+        return f"slice({arr}, {start1}, {length})"
+    return f"list_slice({arr}, {start1}, {start1 + length - 1})"
+
+
+def _seq_range(n: int, d: str) -> str:
+    """Array [0, n)."""
+    return f"sequence(0, {n - 1})" if d == SPARK else f"range({n})"
+
+
+def _elem(arr: str, idx0: str, d: str) -> str:
+    """0-based element access."""
+    if d == SPARK:
+        return f"element_at({arr}, ({idx0}) + 1)"
+    return f"{arr}[({idx0}) + 1]"
+
+
+def _arr_size(e: str, d: str) -> str:
+    return f"size({e})" if d == SPARK else f"len({e})"
+
+
+def _list_sum_dec(arr: str, d: str) -> str:
+    if d == SPARK:
+        return f"aggregate({arr}, CAST(0 AS DECIMAL(38,12)), (acc, x) -> acc + x)"
+    return f"list_sum({arr})"
+
+
+def _tok_cte(d: str, docs: str = "documents") -> str:
+    toks = _lfilter(split_rx("lower(text)", "[^a-z0-9]+", d), "t -> length(t) >= 2", d)
+    return f"""dd_tok AS (
+  SELECT doc_id, {toks} AS toks FROM {docs}
+)"""
+
+
+def _shingles_expr(d: str) -> str:
+    n = _arr_size("toks", d)
+    rng = f"sequence(0, {n} - 3)" if d == SPARK else f"range(({n}) - 2)"
+    e0, e1, e2 = (
+        _elem("toks", "i", d),
+        _elem("toks", "i + 1", d),
+        _elem("toks", "i + 2", d),
+    )
+    tri = G.ltransform(rng, f"i -> {e0} || ' ' || {e1} || ' ' || {e2}", d)
+    joined = G.array_join("toks", "' '", d)
+    short = f"array({joined})" if d == SPARK else f"[{joined}]"
+    return P._arr_distinct(f"CASE WHEN {n} < 3 THEN {short} ELSE {tri} END", d)
+
+
+def _minhash_expr(sh: str, d: str, num: int = 16) -> str:
+    inner = G.ltransform(
+        sh, f"s -> md5({G.cast_str('i', d)} || ':' || s)", d
+    )
+    return G.ltransform(_seq_range(num, d), f"i -> {_arr_min(inner, d)}", d)
+
+
+def dedup_cte(d: str, docs: str = "documents") -> str:
+    return f"""{_tok_cte(d, docs)},
+dd_sh AS (
+  SELECT doc_id, {_shingles_expr(d)} AS sh FROM dd_tok
+),
+dd_sig AS (
+  SELECT doc_id, sh, {_minhash_expr('sh', d)} AS sig FROM dd_sh
+)"""
+
+
+def exact_dups_sql(d: str, docs: str = "documents") -> str:
+    ws = G.replace_all("text", r"\s+", "", d)
+    return f"""WITH h AS (
+  SELECT doc_id, md5(lower({ws})) AS text_hash FROM {docs}
+)
+SELECT text_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
+FROM h GROUP BY text_hash HAVING count(*) > 1"""
+
+
+def near_dup_pairs_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" md5({G.array_join(_arr_slice('sig', b * 4 + 1, 4, d), chr(39) + '|' + chr(39), d)}) AS bucket"
+        f" FROM dd_sig"
+        for b in range(4)
+    )
+    inter = (
+        "size(array_intersect(sa.sh, sb.sh))"
+        if d == SPARK
+        else "len(list_intersect(sa.sh, sb.sh))"
+    )
+    uni = (
+        "size(array_union(sa.sh, sb.sh))"
+        if d == SPARK
+        else "len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    )
+    return f"""WITH {dedup_cte(d, docs)},
+dd_bands AS (
+{bands}
+),
+dd_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM dd_bands x JOIN dd_bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT p.a, p.b,
+       CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE) AS jaccard
+FROM dd_pairs p
+JOIN dd_sh sa ON sa.doc_id = p.a
+JOIN dd_sh sb ON sb.doc_id = p.b
+WHERE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE) >= {threshold}"""
+
+
+def _shr_bit(x: str, b: int, d: str) -> str:
+    if d == SPARK:
+        return f"(shiftright({x}, {b}) % 2)"
+    return f"(({x} >> {b}) % 2)"
+
+
+def simhash_sql(d: str, docs: str = "documents", bits: int = 16) -> str:
+    h = G.hexint("t", d)
+    hs = G.ltransform(P._arr_distinct("toks", d), f"t -> {h}", d)
+    terms = []
+    for b in range(bits):
+        contrib = G.ltransform(
+            "hs", f"x -> CASE WHEN {_shr_bit('x', b, d)} = 1 THEN 1 ELSE -1 END", d
+        )
+        s = f"coalesce({_list_sum_dec_int(contrib, d)}, 0)"
+        terms.append(f"CASE WHEN {s} >= 0 THEN {2**b} ELSE 0 END")
+    fp = " + ".join(terms)
+    return f"""WITH {_tok_cte(d, docs)},
+sh_h AS (SELECT doc_id, {hs} AS hs FROM dd_tok)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sh_h"""
+
+
+def _list_sum_dec_int(arr: str, d: str) -> str:
+    if d == SPARK:
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    return f"list_sum({arr})"
+
+
+# ------------------------------------------------------------------- ANN
+def _dot_dec_sql(a: str, b: str, d: str, dim: int = 64) -> str:
+    prod = (
+        f"CAST(CAST({_elem(a, 'i', d)} AS DOUBLE) * CAST({_elem(b, 'i', d)} AS DOUBLE) AS DECIMAL(38,12))"
+    )
+    arr = G.ltransform(_seq_range(dim, d), f"i -> {prod}", d)
+    return _list_sum_dec(arr, d)
+
+
+def ann_topk_sql(d: str, n_queries: int = 8, k: int = 10) -> str:
+    return f"""WITH an_n AS (
+  SELECT vec_id, embedding, {_dot_dec_sql('embedding', 'embedding', d)} AS nsq
+  FROM embeddings
+),
+an_q AS (SELECT vec_id AS q_id, embedding AS qv, nsq AS q_nsq FROM an_n WHERE vec_id < {n_queries}),
+an_c AS (SELECT vec_id AS c_id, embedding AS cv, nsq AS c_nsq FROM an_n),
+an_s AS (
+  SELECT q_id, c_id,
+         CAST({_dot_dec_sql('qv', 'cv', d)} AS DOUBLE)
+           / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS sim
+  FROM an_c CROSS JOIN an_q WHERE c_id <> q_id
+),
+an_r AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+  FROM an_s
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id FROM an_r WHERE rank <= {k}"""
+
+
+def lsh_bucket_sql(d: str, bits: int = 16, dim: int = 64) -> str:
+    terms = []
+    for j in range(bits):
+        w = f"((i * 31 + {j * 17}) % 7 - 3)"
+        prod = f"CAST(CAST({_elem('embedding', 'i', d)} AS DOUBLE) * CAST({w} AS DOUBLE) AS DECIMAL(38,12))"
+        arr = G.ltransform(_seq_range(dim, d), f"i -> {prod}", d)
+        s = _list_sum_dec(arr, d)
+        terms.append(f"CASE WHEN {s} >= 0 THEN {2**j} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM embeddings"""
+
+
+# ------------------------------------------------------------- textstats
+def _lang_dim_values(alias: str = "ld") -> str:
+    from .operators.textstats import LANG_STOPWORDS
+
+    rows = ", ".join(f"('{lang}', '{sw}')" for lang, sw in LANG_STOPWORDS)
+    return f"(VALUES {rows}) AS {alias}(lang, stopword)"
+
+
+def lang_id_sql(d: str, docs: str = "documents") -> str:
+    return f"""WITH {_tok_cte(d, docs)},
+li_tok AS (SELECT doc_id, {explode('toks', 'token', d)} FROM dd_tok),
+li_hits AS (
+  SELECT t.doc_id, ld.lang, count(*) AS n_hits
+  FROM li_tok t JOIN {_lang_dim_values()} ON t.token = ld.stopword
+  GROUP BY t.doc_id, ld.lang
+),
+li_best AS (
+  SELECT doc_id, lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang ASC) AS rn
+  FROM li_hits
+)
+SELECT dd.doc_id,
+       coalesce(b.lang, 'und') AS pred_lang,
+       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+FROM {docs} dd LEFT JOIN (SELECT * FROM li_best WHERE rn = 1) b
+  ON dd.doc_id = b.doc_id"""
+
+
+def text_quality_sql(d: str, docs: str = "documents") -> str:
+    from .operators.textstats import QUALITY_STOPWORDS
+
+    toks = _lfilter(split_rx("lower(text)", "[^a-z0-9]+", d), "t -> length(t) >= 2", d)
+    stop_in = " OR ".join(f"t = '{s}'" for s in QUALITY_STOPWORDS)
+    n_alnum = f"length({G.replace_all('lower(text)', '[^a-z0-9 ]', '', d)})"
+    n_digits = f"length({G.replace_all('text', '[^0-9]', '', d)})"
+    return f"""WITH tq AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         {_arr_size(toks, d)} AS n_tokens,
+         {_arr_size(_lfilter(toks, f't -> {stop_in}', d), d)} AS n_stop,
+         {n_alnum} AS n_alnum, {n_digits} AS n_digits
+  FROM {docs}
+),
+tq2 AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(n_chars - n_alnum AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+         CAST(n_digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+         CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio
+  FROM tq
+)
+SELECT *,
+       CASE WHEN n_tokens >= 20 AND punct_ratio < 0.1 AND stop_ratio >= 0.05 THEN 'high'
+            WHEN n_tokens >= 5 THEN 'medium'
+            ELSE 'low' END AS quality
+FROM tq2"""
+
+
+def token_counts_sql(d: str, docs: str = "documents") -> str:
+    ws = _lfilter(split_rx("text", r"\s+", d), "t -> t <> ''", d)
+    bpe = P.idiv("(length(text) + 3)", "4", d)
+    return f"""SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST({_arr_size(ws, d)} AS BIGINT) AS n_ws_tokens,
+       CAST({bpe} AS BIGINT) AS n_bpe_est
+FROM {docs}"""

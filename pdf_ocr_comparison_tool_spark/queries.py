@@ -21,7 +21,17 @@ from . import config as C
 from . import oracles as O
 from . import sqlgen as G
 from . import synth
-from .operators import classify, extraction, features, matching, merge, reports
+from .operators import (
+    classify,
+    dedup,
+    extraction,
+    features,
+    matching,
+    merge,
+    reports,
+    similarity_search,
+    textstats,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -252,3 +262,63 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 ranked top-k per group."""
     return reports.events_topk(synth.load_table(spark, sf_dir, "events"))
+
+
+# ----------------------------------------------------------------- dedup
+@register("dedup_exact", oracle=O.exact_dups_sql(G.DUCK))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by normalized-content hash."""
+    return dedup.exact_dup_groups(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", oracle=O.near_dup_pairs_sql(G.DUCK))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidates, verified by exact shingle
+    Jaccard ≥ 0.5."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    withsig = dedup.with_minhash(docs)
+    pairs = dedup.lsh_candidate_pairs(withsig)
+    return dedup.verified_near_dups(withsig, pairs)
+
+
+@register("dedup_simhash", oracle=O.simhash_sql(G.DUCK))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash document fingerprints."""
+    return dedup.simhash(synth.load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------- ANN
+@register("ann_brute_topk", oracle=O.ann_topk_sql(G.DUCK))
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (decimal-exact dot products)."""
+    return similarity_search.ann_brute_topk(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("ann_lsh_bucket", oracle=O.lsh_bucket_sql(G.DUCK))
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket signatures (the ANN scale path)."""
+    return similarity_search.lsh_bucket(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+# ------------------------------------------------------------- textstats
+@register("lang_id", oracle=O.lang_id_sql(G.DUCK))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with und fallback."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return textstats.lang_id(docs, textstats.lang_dim(spark))
+
+
+@register("text_quality", oracle=O.text_quality_sql(G.DUCK))
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality features + banding."""
+    return textstats.text_quality(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("token_counts", oracle=O.token_counts_sql(G.DUCK))
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-estimate token counting."""
+    return textstats.token_counts(synth.load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,122 @@
+"""Checkpoint, lineage and exactly-once resume (SURVEY §2.1 S8-S10,
+§2.3 J12/J13, §4 O5/O6).
+
+The reference implements incremental recompute with a JSON OCR cache
+keyed on file identity (ocr_cache.py:50-143) and a processed-file
+manifest with a set-difference resume (batch_processor.py:103-153 — a
+Python anti-join). The Spark-native equivalent:
+
+* output is written in **deterministic content-keyed partitions**
+  (``part = md5(doc_id) % n``) — partition membership is a pure function
+  of the data, never of cluster topology, so a re-run assigns every doc
+  to the same part;
+* each completed part commits its data file together with a **lineage
+  row** (part, doc/span counts, wall ms, run id) — the lineage table is
+  the checkpoint manifest;
+* resume = ``left_anti`` join of the input's parts against committed
+  lineage parts, then process only the remainder. Parts are atomic:
+  a killed run leaves either (data+lineage) or nothing for each part,
+  so re-running yields exactly-once output.
+
+On Iceberg this maps 1:1 to snapshot commits; the parquet-directory
+implementation below keeps the same contract for the sandbox.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "part int, n_docs long, n_spans long, wall_ms long, run_id string"
+)
+
+
+def part_col(doc_id_col, n_parts: int) -> "F.Column":
+    """Deterministic content-keyed partition id (stable across runs,
+    engines and cluster sizes — unlike Spark's task partition ids)."""
+    return (
+        F.conv(F.substring(F.md5(doc_id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_parts
+    ).cast("int")
+
+
+def committed_parts(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = os.path.join(out_dir, "_lineage")
+    if not os.path.isdir(path) or not os.listdir(path):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.parquet(path)
+
+
+def remaining_parts(
+    all_parts: DataFrame, lineage: DataFrame
+) -> DataFrame:
+    """J12: anti-join the committed manifest out of the input parts."""
+    return all_parts.join(lineage.select("part"), "part", "left_anti")
+
+
+def write_partition(
+    spark: SparkSession,
+    part_df: DataFrame,
+    part: int,
+    out_dir: str,
+    run_id: str,
+) -> None:
+    """Commit one part: data file + lineage row. The lineage row is
+    written only after the data write succeeds (commit point)."""
+    t0 = time.perf_counter()
+    data_path = os.path.join(out_dir, "data", f"part={part}")
+    part_df.write.mode("overwrite").parquet(data_path)
+    stats = part_df.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+    ).collect()[0]
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+    lineage_row = spark.createDataFrame(
+        [(part, stats["n_docs"], stats["n_spans"], wall_ms, run_id)],
+        LINEAGE_SCHEMA,
+    )
+    lineage_row.write.mode("append").parquet(os.path.join(out_dir, "_lineage"))
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_parts: int = 8,
+    fail_after_parts: int | None = None,
+) -> int:
+    """Resumable extraction job: per-part commit + anti-join resume.
+
+    ``fail_after_parts`` simulates a mid-job kill for the resume test.
+    Returns the number of parts processed in this run.
+    """
+    from ..operators.extraction import extract_ordered_spans
+
+    with_part = docs.withColumn("part", part_col(F.col("doc_id"), n_parts))
+    todo = [
+        r["part"]
+        for r in remaining_parts(
+            with_part.select("part").distinct(), committed_parts(spark, out_dir)
+        )
+        .orderBy("part")
+        .collect()
+    ]
+    done = 0
+    for p in todo:
+        if fail_after_parts is not None and done >= fail_after_parts:
+            raise RuntimeError(f"simulated failure after {done} parts")
+        out = extract_ordered_spans(with_part.filter(F.col("part") == p)).drop(
+            "part"
+        )
+        write_partition(spark, out, p, out_dir, run_id)
+        done += 1
+    return done
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))

@@ -1,0 +1,62 @@
+"""Exactly-once resume semantics (SURVEY §5: kill mid-job, rerun,
+assert exactly-once output)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_comparison_tool_spark import synth
+from pdf_ocr_comparison_tool_spark.operators import extraction
+from pdf_ocr_comparison_tool_spark.sources import checkpoint as cp
+from tests.conftest import SF_DIR
+
+
+def test_kill_and_resume_exactly_once(spark):
+    docs = synth.spans_df(spark, SF_DIR)
+    expected = extraction.extract_ordered_spans(docs)
+    exp_n = expected.count()
+    exp_spans = expected.agg(F.sum(F.size("spans"))).collect()[0][0]
+
+    with tempfile.TemporaryDirectory() as out:
+        # first run dies after 3 of 8 parts
+        with pytest.raises(RuntimeError, match="simulated failure"):
+            cp.run_extraction_job(
+                spark, docs, out, run_id="r1", n_parts=8, fail_after_parts=3
+            )
+        lin1 = cp.committed_parts(spark, out)
+        assert lin1.count() == 3
+
+        # resume processes exactly the remaining 5 parts
+        done = cp.run_extraction_job(spark, docs, out, run_id="r2", n_parts=8)
+        assert done == 5
+
+        # output is exactly-once: same doc set, no duplicates
+        got = cp.read_output(spark, out)
+        assert got.count() == exp_n
+        assert got.select("doc_id").distinct().count() == exp_n
+        got_spans = got.agg(F.sum(F.size("spans"))).collect()[0][0]
+        assert got_spans == exp_spans
+
+        # lineage totals equal data totals (metrics committed with data)
+        lin = cp.committed_parts(spark, out)
+        assert lin.count() == 8
+        assert lin.agg(F.sum("n_docs")).collect()[0][0] == exp_n
+        assert lin.agg(F.sum("n_spans")).collect()[0][0] == exp_spans
+        assert set(r["run_id"] for r in lin.collect()) == {"r1", "r2"}
+
+        # idempotence: a third run has nothing to do
+        assert cp.run_extraction_job(spark, docs, out, run_id="r3") == 0
+
+
+def test_part_assignment_stable(spark):
+    docs = synth.spans_df(spark, SF_DIR)
+    a = docs.select("doc_id", cp.part_col(F.col("doc_id"), 8).alias("p"))
+    b = docs.repartition(13).select(
+        "doc_id", cp.part_col(F.col("doc_id"), 8).alias("p")
+    )
+    assert {(r["doc_id"], r["p"]) for r in a.collect()} == {
+        (r["doc_id"], r["p"]) for r in b.collect()
+    }

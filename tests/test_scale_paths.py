@@ -1,0 +1,82 @@
+"""Skew salting, multimodal plumbing, streaming windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_comparison_tool_spark import synth
+from pdf_ocr_comparison_tool_spark.operators import extraction, multimodal
+from pdf_ocr_comparison_tool_spark.plans import skew
+from tests.conftest import SF_DIR
+
+
+def test_salted_repartition_preserves_and_spreads(spark):
+    pdf = synth.fixture_docs_pandas(n_docs=120, seed=5)  # has skew docs
+    docs = spark.createDataFrame(pdf, schema=synth.FIXTURE_SCHEMA)
+    salted = skew.salted_repartition(docs, 8, heavy_threshold=50)
+    # row-preserving, column-preserving
+    assert salted.count() == docs.count()
+    assert salted.columns == docs.columns
+    # extraction output identical with/without salting
+    a = {r["doc_id"] for r in extraction.extract_ordered_spans(docs).collect()}
+    b = {r["doc_id"] for r in extraction.extract_ordered_spans(salted).collect()}
+    assert a == b
+
+
+def test_media_manifest_and_decode_stub(spark):
+    docs = synth.spans_df(spark, SF_DIR)
+    extracted = extraction.extract_ordered_spans(docs)
+    man = multimodal.media_manifest(extracted)
+    n_media = man.count()
+    assert n_media > 0
+    assert man.filter(F.col("media_ref") == "").count() == 0
+    # full plumbing: manifest -> fetch (Arrow UDF) -> decode (mapInPandas)
+    feats = multimodal.decode_features(multimodal.fetch_bytes(man))
+    rows = feats.collect()
+    assert len(rows) == n_media
+    for r in rows[:20]:
+        assert r["n_bytes"] == 64
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert 1 <= r["channels"] <= 4
+    # determinism: same media_ref -> same features
+    again = {
+        (r["doc_id"], r["media_ref"]): (r["width"], r["height"])
+        for r in multimodal.decode_features(
+            multimodal.fetch_bytes(man)
+        ).collect()
+    }
+    for r in rows:
+        assert again[(r["doc_id"], r["media_ref"])] == (r["width"], r["height"])
+
+
+def test_streaming_windowed_rollup_matches_batch(spark):
+    from pdf_ocr_comparison_tool_spark.streaming import windows as SW
+
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tdir:
+        # streaming file source needs a directory
+        shutil.copy(f"{SF_DIR}/events.parquet", f"{tdir}/events.parquet")
+        stream = SW.read_events_stream(spark, tdir)
+        out = SW.run_bounded(SW.windowed_rollup(stream), "stream_rollup")
+        out = out.localCheckpoint()  # materialize before tmpdir vanishes
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = (
+        batch.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    got = {(r["w_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in out.collect()}
+    exp = {(r["w_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in expected.collect()}
+    assert got == exp
