@@ -542,6 +542,116 @@ def lsh_bucket_sql(d: str, bits: int = 16, dim: int = 64) -> str:
     return f"""SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM embeddings"""
 
 
+# ----------------------------------------------------- cascade / project
+_CONF_A = "CAST((doc_id * 131 + page_num * 17 + 5) % 101 AS DOUBLE) / CAST(100.0 AS DOUBLE)"
+_CONF_B = "(70 + (doc_id * 37 + page_num * 11 + 3) % 31) / CAST(100.0 AS DOUBLE)"
+
+
+def cascade_sql(d: str, docs: str = "documents", threshold: float = 0.85) -> str:
+    return f"""WITH {P.pages_cte(d, docs)}
+SELECT doc_id, role, page_num,
+       CASE WHEN {_CONF_A} >= {threshold} THEN 'engine_a' ELSE 'engine_b' END AS engine_used,
+       CASE WHEN {_CONF_A} >= {threshold} THEN {_CONF_A} ELSE {_CONF_B} END AS conf
+FROM pages"""
+
+
+def cascade_stats_sql(d: str, docs: str = "documents") -> str:
+    return f"""WITH casc AS ({cascade_sql(d, docs)})
+SELECT engine_used, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(avg(CAST(conf AS DECIMAL(28,12))) AS DOUBLE) AS avg_conf
+FROM casc GROUP BY engine_used"""
+
+
+def type_islands_sql(d: str, docs: str = "documents") -> str:
+    w = "OVER (PARTITION BY doc_id, role ORDER BY page_num)"
+    return f"""WITH clf AS ({classify_sql(d, docs)}),
+ti_lag AS (
+  SELECT doc_id, role, page_num, doc_type,
+         lag(doc_type) {w} AS pv_type
+  FROM clf
+),
+ti_brk AS (
+  SELECT *, CASE WHEN {nullsafe_eq('doc_type', 'pv_type', d)} THEN 0 ELSE 1 END AS brk
+  FROM ti_lag
+),
+ti_isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id, role ORDER BY page_num
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ti_brk
+)
+SELECT doc_id, role, CAST(island AS BIGINT) AS island,
+       min(doc_type) AS doc_type,
+       min(page_num) AS p_lo, max(page_num) AS p_hi,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM ti_isl GROUP BY doc_id, role, island"""
+
+
+def page_top_keywords_sql(d: str, docs: str = "documents", k: int = 3) -> str:
+    tok = split_rx("lower(text)", "[^a-z0-9]+", d)
+    return f"""WITH {P.pages_cte(d, docs)},
+pk_tok AS (
+  SELECT doc_id, role, page_num, {explode(tok, 'token', d)} FROM pages
+),
+pk_f AS (
+  SELECT * FROM pk_tok
+  WHERE length(token) >= 2 AND NOT {G.rlike('token', '^[0-9]+$', d)}
+),
+pk_counts AS (
+  SELECT doc_id, role, page_num, token, CAST(count(*) AS BIGINT) AS n
+  FROM pk_f GROUP BY doc_id, role, page_num, token
+),
+pk_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, role, page_num
+                               ORDER BY n DESC, token ASC) AS rank
+  FROM pk_counts
+)
+SELECT doc_id, role, page_num, CAST(rank AS BIGINT) AS rank, token, n
+FROM pk_ranked WHERE rank <= {k}"""
+
+
+def _project_dims_sql() -> tuple[str, str]:
+    from .operators.project import PROJECT_KEYWORDS, PROJECT_SOURCES
+
+    src = ", ".join(f"('{p}', '{s}')" for p, s in PROJECT_SOURCES)
+    kw = ", ".join(f"('{p}', '{k}')" for p, k in PROJECT_KEYWORDS)
+    return (
+        f"(VALUES {src}) AS sd(project, source_pat)",
+        f"(VALUES {kw}) AS kd(project, keyword)",
+    )
+
+
+def project_detect_sql(d: str, docs: str = "documents") -> str:
+    src_dim, kw_dim = _project_dims_sql()
+    occ = P.idiv(
+        "(length(t.text) - length(replace(t.text, kd.keyword, '')))",
+        "length(kd.keyword)",
+        d,
+    )
+    return f"""WITH pd_path AS (
+  SELECT dd.doc_id, sd.project AS p_path
+  FROM {docs} dd JOIN {src_dim} ON dd.source = sd.source_pat
+),
+pd_hits AS (
+  SELECT t.doc_id, kd.project, sum(({occ}) * length(kd.keyword)) AS score
+  FROM {docs} t JOIN {kw_dim} ON instr(t.text, kd.keyword) > 0
+  GROUP BY t.doc_id, kd.project
+),
+pd_best AS (
+  SELECT doc_id, project AS p_content, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, project ASC) AS rn
+  FROM pd_hits
+)
+SELECT dd.doc_id,
+       coalesce(pp.p_path, pb.p_content, '未分类') AS project,
+       CASE WHEN pp.p_path IS NOT NULL THEN 'path'
+            WHEN pb.p_content IS NOT NULL THEN 'content'
+            ELSE 'none' END AS match_type,
+       CAST(coalesce(pb.score, 0) AS BIGINT) AS content_score
+FROM {docs} dd
+LEFT JOIN pd_path pp ON dd.doc_id = pp.doc_id
+LEFT JOIN (SELECT * FROM pd_best WHERE rn = 1) pb ON dd.doc_id = pb.doc_id"""
+
+
 # ------------------------------------------------------------- textstats
 def _lang_dim_values(alias: str = "ld") -> str:
     from .operators.textstats import LANG_STOPWORDS

@@ -22,12 +22,14 @@ from . import oracles as O
 from . import sqlgen as G
 from . import synth
 from .operators import (
+    cascade,
     classify,
     dedup,
     extraction,
     features,
     matching,
     merge,
+    project,
     reports,
     similarity_search,
     textstats,
@@ -262,6 +264,69 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 ranked top-k per group."""
     return reports.events_topk(synth.load_table(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------- cascade / W4 / A3
+@register("engine_cascade", oracle=O.cascade_sql(G.DUCK))
+def q_engine_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/F6 confidence-gated engine cascade (split/recompute/union)."""
+    return cascade.cascade(synth.pages_df(spark, sf_dir))
+
+
+@register("engine_cascade_stats", oracle=O.cascade_stats_sql(G.DUCK))
+def q_engine_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 engine-call counters."""
+    return cascade.cascade_stats(cascade.cascade(synth.pages_df(spark, sf_dir)))
+
+
+@register("type_islands", oracle=O.type_islands_sql(G.DUCK))
+def q_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 consecutive same-type page runs (split-by-type grouping)."""
+    pages = synth.pages_df(spark, sf_dir)
+    clf = classify.classify_pages(pages, C.doc_type_dim(spark))
+    return classify.type_islands(clf)
+
+
+@register("page_top_keywords", oracle=O.page_top_keywords_sql(G.DUCK))
+def q_page_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-page top-k keyword extraction."""
+    return reports.page_top_keywords(synth.pages_df(spark, sf_dir))
+
+
+@register("project_detect", oracle=O.project_detect_sql(G.DUCK))
+def q_project_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/J10 project detection cascade (path dim → content scoring →
+    fallback)."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return project.detect_projects(
+        docs, project.source_dim(spark), project.keyword_dim(spark)
+    )
+
+
+@register("match_cosine_pairs")  # no SQL oracle: T9 is the UDF path
+def q_match_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 cosine similarity (vectorized pandas UDF over Arrow batches)
+    on the blocked candidate pairs — rows-only driver check; the pytest
+    suite pins values against a pure-python oracle."""
+    from .functions import similarity as S
+
+    v, r = _featured_roles(spark, sf_dir)
+    ranked = matching.match_pages(v, r)
+    pairs = ranked.filter(F.col("rn") <= 2).select("doc_id", "page_num", "t_doc", "t_page")
+    vt = v.select("doc_id", "page_num", F.col("text").alias("v_text"))
+    rt = r.select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("page_num").alias("t_page"),
+        F.col("text").alias("r_text"),
+    )
+    return (
+        pairs.join(vt, ["doc_id", "page_num"])
+        .join(rt, ["t_doc", "t_page"])
+        .select(
+            "doc_id", "page_num", "t_doc", "t_page",
+            F.round(S.cosine_udf("v_text", "r_text"), 6).alias("cosine"),
+        )
+    )
 
 
 # ----------------------------------------------------------------- dedup
