@@ -28,6 +28,13 @@ HEADLINE = [
     "extract_spans",
     "extract_fulltext",
     "span_stats",
+    "match_best",
+    "match_merged",
+    "classify_pages",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "events_sessions",
+    "lineitem_rollup",
 ]
 
 

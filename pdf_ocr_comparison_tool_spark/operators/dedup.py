@@ -54,12 +54,34 @@ def shingles_col(toks) -> "F.Column":
     return F.array_distinct(F.when(F.size(toks) < k, short).otherwise(sh))
 
 
+MH_P = 2_147_483_647  # 2^31 - 1; A*x stays under 2^63
+MH_A_MULT = 2654435761
+MH_A_ADD = 40503
+MH_B_MULT = 97
+MH_B_ADD = 13
+
+
 def minhash_sig(sh) -> "F.Column":
-    """array<string> of NUM_HASHES lexicographic-min md5 values."""
+    """array<bigint> of NUM_HASHES minima under universal hashing
+    h_i(x) = (A_i·x + B_i) mod P over x = int(md5(shingle)[:8], 16).
+
+    One md5 per shingle + cheap integer mixing per seed — 16× less
+    hashing than per-seed md5, the classic a·x+b minhash construction.
+    """
+    xs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            F.transform(
+                xs,
+                lambda x: (
+                    ((i * MH_A_MULT + MH_A_ADD) % MH_P) * x
+                    + (i * MH_B_MULT + MH_B_ADD)
+                )
+                % MH_P,
+            )
         ),
     )
 
@@ -90,7 +112,13 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), F.lit(NUM_HASHES // BAND_SIZE - 1)),
                 lambda b: F.md5(
-                    F.concat_ws("|", F.slice("minhash", b * BAND_SIZE + 1, BAND_SIZE))
+                    F.array_join(
+                        F.transform(
+                            F.slice("minhash", b * BAND_SIZE + 1, BAND_SIZE),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    )
                 ),
             )
         ).alias("band", "bucket"),

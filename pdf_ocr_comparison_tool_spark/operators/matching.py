@@ -54,12 +54,16 @@ def _sim_expr(t1, t2) -> "F.Column":
     )
 
 
+REF_PER_KEY_CAP = 50
+
+
 def match_pages(
     vouchers: DataFrame,
     refs: DataFrame,
     top_k: int = C.TOP_K,
     partial_threshold: float = C.PARTIAL_THRESHOLD,
     fallback_cap: int = C.FALLBACK_CAP,
+    ref_per_key_cap: int = REF_PER_KEY_CAP,
 ) -> DataFrame:
     """vouchers/refs: (doc_id, page_num, text, text_hash, dates, amounts).
 
@@ -84,22 +88,44 @@ def match_pages(
         .select(*_PROBE, "t_doc", "t_page", F.lit(1.0).alias("sim"))
     )
     exact_probes = exact.select(*_PROBE).distinct()
-    rest = v.join(exact_probes, _PROBE, "left_anti")
+    # rest/cand feed multiple downstream branches (blocking, anti-join,
+    # scoring); cache them so the branches don't recompute the upstream
+    # DAG — the dataflow analogue of the reference's materialized
+    # candidate lists (content_matcher.py:291-306)
+    rest = v.join(exact_probes, _PROBE, "left_anti").cache()
 
-    # J2/J3 — blocking joins on exploded date / normalized-amount keys
+    # J2/J3 — blocking joins on exploded date / normalized-amount keys.
+    # Hot-key bound: at web scale a single popular date (epoch defaults,
+    # form boilerplate) would blow the candidate set up to |probes|×|its
+    # bucket|; cap each blocking key's reference bucket at
+    # ref_per_key_cap in deterministic (t_doc, t_page) order — the same
+    # bounded-scan idea as the reference's 100-page fallback cap
+    # (content_matcher.py:306), applied per key.
+    kw = Window.partitionBy("bk").orderBy("t_doc", "t_page")
+
+    def _cap(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("krn", F.row_number().over(kw))
+            .filter(F.col("krn") <= ref_per_key_cap)
+            .drop("krn")
+        )
+
     v_dates = rest.select(*_PROBE, F.explode("dates").alias("bk"))
-    r_dates = r.select("t_doc", "t_page", F.explode("t_dates").alias("bk"))
+    r_dates = _cap(r.select("t_doc", "t_page", F.explode("t_dates").alias("bk")))
     v_amts = rest.select(
         *_PROBE, F.explode("amounts").alias("a")
     ).select(*_PROBE, normalize_amount(F.col("a")).alias("bk"))
-    r_amts = r.select(
-        "t_doc", "t_page", F.explode("t_amounts").alias("a")
-    ).select("t_doc", "t_page", normalize_amount(F.col("a")).alias("bk"))
+    r_amts = _cap(
+        r.select(
+            "t_doc", "t_page", F.explode("t_amounts").alias("a")
+        ).select("t_doc", "t_page", normalize_amount(F.col("a")).alias("bk"))
+    )
     cand = (
         v_dates.join(r_dates, "bk")
         .select(*_PROBE, "t_doc", "t_page")
         .unionByName(v_amts.join(r_amts, "bk").select(*_PROBE, "t_doc", "t_page"))
         .distinct()
+        .cache()
     )
 
     # J4 — bounded fallback for probes with zero candidates
@@ -113,12 +139,31 @@ def match_pages(
     )
     fallback = no_cand.crossJoin(F.broadcast(fb_refs))
 
-    # J5 — fuzzy similarity on candidate ∪ fallback pairs
+    # J5 — fuzzy similarity on candidate ∪ fallback pairs. Exact length
+    # prefilter: lev(a,b) ≥ |len(a)−len(b)|, so sim can only reach the
+    # threshold when the length gap is within (1−θ)·maxlen — drop the
+    # rest before the O(n·m) DP. Semantically a no-op (those pairs fail
+    # the θ filter anyway), so the oracle needs no change.
     pairs = cand.unionByName(fallback).distinct()
+    # lengths of the *truncated* inputs the DP actually sees
+    la = F.least(F.length("text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+    lb = F.least(F.length("t_text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+    len_ok = (
+        (la - lb).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb)
+    ) & ((lb - la).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb))
+    # The repartition between the sim projection and the θ filter is a
+    # deliberate barrier: without it Catalyst collapses filter+project
+    # and pushes the levenshtein CASE into the hash-join condition,
+    # where it evaluates interpreted per matched row (measured ~5×
+    # slower). The exchange is on the probe key, which is exactly the
+    # distribution the top-k window below needs — so it replaces that
+    # window's exchange instead of adding one.
     scored = (
         pairs.join(rest.select(*_PROBE, "text"), _PROBE)
         .join(r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"])
+        .filter(len_ok)
         .select(*_PROBE, "t_doc", "t_page", _sim_expr(F.col("text"), F.col("t_text")).alias("sim"))
+        .repartition(*_PROBE)
         .filter(F.col("sim") >= partial_threshold)
     )
 

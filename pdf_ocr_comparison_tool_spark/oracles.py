@@ -11,6 +11,7 @@ from __future__ import annotations
 from . import config as C
 from . import pagesgen as P
 from . import sqlgen as G
+from .operators.matching import REF_PER_KEY_CAP
 from .sqlgen import DUCK, SPARK
 
 
@@ -155,10 +156,22 @@ m_vk AS (
   UNION ALL
   SELECT doc_id, page_num, {explode('amounts_n', 'bk', d)} FROM m_rest
 ),
+m_rk_d AS (
+  SELECT t_doc, t_page, bk FROM (
+    SELECT t_doc, t_page, bk,
+           row_number() OVER (PARTITION BY bk ORDER BY t_doc, t_page) AS krn
+    FROM (SELECT t_doc, t_page, {explode('t_dates', 'bk', d)} FROM mr) rd
+  ) rdc WHERE krn <= {REF_PER_KEY_CAP}
+),
+m_rk_a AS (
+  SELECT t_doc, t_page, bk FROM (
+    SELECT t_doc, t_page, bk,
+           row_number() OVER (PARTITION BY bk ORDER BY t_doc, t_page) AS krn
+    FROM (SELECT t_doc, t_page, {explode('t_amounts', 'bk', d)} FROM mr) ra
+  ) rac WHERE krn <= {REF_PER_KEY_CAP}
+),
 m_rk AS (
-  SELECT t_doc, t_page, {explode('t_dates', 'bk', d)} FROM mr
-  UNION ALL
-  SELECT t_doc, t_page, {explode('t_amounts', 'bk', d)} FROM mr
+  SELECT * FROM m_rk_d UNION ALL SELECT * FROM m_rk_a
 ),
 m_cand AS (
   SELECT DISTINCT v.doc_id, v.page_num, rk.t_doc, rk.t_page
@@ -413,9 +426,14 @@ def _shingles_expr(d: str) -> str:
 
 
 def _minhash_expr(sh: str, d: str, num: int = 16) -> str:
-    inner = G.ltransform(
-        sh, f"s -> md5({G.cast_str('i', d)} || ':' || s)", d
+    from .operators.dedup import MH_A_ADD, MH_A_MULT, MH_B_ADD, MH_B_MULT, MH_P
+
+    xs = G.ltransform(sh, f"s -> {G.hexint('s', d)}", d)
+    h = (
+        f"(((i * {MH_A_MULT} + {MH_A_ADD}) % {MH_P}) * x"
+        f" + (i * {MH_B_MULT} + {MH_B_ADD})) % {MH_P}"
     )
+    inner = G.ltransform(xs, f"x -> {h}", d)
     return G.ltransform(_seq_range(num, d), f"i -> {_arr_min(inner, d)}", d)
 
 
@@ -439,9 +457,12 @@ FROM h GROUP BY text_hash HAVING count(*) > 1"""
 
 
 def near_dup_pairs_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
+    cast_slice = lambda b: G.ltransform(  # noqa: E731
+        _arr_slice("sig", b * 4 + 1, 4, d), f"x -> {G.cast_str('x', d)}", d
+    )
     bands = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band,"
-        f" md5({G.array_join(_arr_slice('sig', b * 4 + 1, 4, d), chr(39) + '|' + chr(39), d)}) AS bucket"
+        f" md5({G.array_join(cast_slice(b), chr(39) + '|' + chr(39), d)}) AS bucket"
         f" FROM dd_sig"
         for b in range(4)
     )

@@ -193,8 +193,11 @@ def _featured_roles(spark: SparkSession, sf_dir: str):
     f = f.withColumn(
         "text", F.translate("text", G.CJK_FOLD_SRC, G.CJK_FOLD_DST)
     )
-    v = f.filter(F.col("role") == "voucher").drop("role")
-    r = f.filter(F.col("role") == "reference").drop("role")
+    # cache: the staged match DAG branches over both sides many times
+    # (exact / anti / blocking / fallback / scoring); caching the
+    # featured pages mirrors the reference's build-once index (O5)
+    v = f.filter(F.col("role") == "voucher").drop("role").cache()
+    r = f.filter(F.col("role") == "reference").drop("role").cache()
     return v, r
 
 
