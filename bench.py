@@ -6,10 +6,13 @@ JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 
 Modes:
   python bench.py                 # headline run → one JSON line
-  python bench.py --scaling       # same job at local[8] and local[32],
-                                  # report throughput + scaling efficiency
-                                  # (north-rule two-cluster-size evidence)
-  python bench.py --child N       # internal: one timed run at local[N]
+  python bench.py --scaling       # extraction job on a replicated input
+                                  # on local-cluster with N vs 4N
+                                  # executor JVMs; throughput + scaling
+                                  # efficiency (north-rule two-cluster-
+                                  # size evidence)
+  python bench.py --child N       # internal: one timed headline run
+  python bench.py --scale-child N # internal: one timed scaling run
 """
 
 from __future__ import annotations
@@ -74,7 +77,74 @@ def _run_headline(cores: str) -> dict:
     }
 
 
+SCALE_REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "512"))
+
+
+def _run_scaling_child(n_executors: str) -> dict:
+    """One timed extraction run on sf0.1 replicated ×SCALE_REPLICATION,
+    on a ``local-cluster[n,2,3072]`` — n separate executor JVMs with 2
+    cores each, the closest sandbox analogue of an n-executor cluster
+    (per-executor GC/JIT isolation, real shuffle between processes).
+
+    The two-cluster-size criterion (north rule) is evidenced by N vs 4N
+    executors (1 vs 4, staying under the 32-core box's memory-bandwidth
+    saturation point so the measurement reflects the plan's scalability,
+    not host contention). sf0.1 alone is overhead-dominated, so the
+    input is replicated with shifted doc_ids — identical per-doc work,
+    enough volume that the parallel fraction dominates. The measured
+    action is a ``noop``-sink write: full computation, no driver
+    collection bottleneck.
+    """
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators.extraction import (
+        extract_ordered_spans,
+    )
+    from pdf_ocr_comparison_tool_spark.session import get_spark
+
+    n_exec = int(n_executors)
+    total_cores = n_exec * 2
+    spark = get_spark(
+        app_name="bench-scaling",
+        shuffle_partitions=total_cores * 4,
+        master=f"local-cluster[{n_exec},2,3072]",
+    )
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n_base = base.count()
+    # repartition BEFORE the explode: the base table is one parquet file
+    # (one read task); exploding there would serialize the replication
+    # and Amdahl-cap the scaling measurement
+    rep = (
+        base.repartition(total_cores * 4)
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(SCALE_REPLICATION))))
+        .withColumn("doc_id", F.col("doc_id") * SCALE_REPLICATION + F.col("rep"))
+        .drop("rep")
+    )
+    out = extract_ordered_spans(synth.spans_from_docs(rep))
+    out.write.format("noop").mode("overwrite").save()  # warm: codegen + JIT
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    n_docs = n_base * SCALE_REPLICATION
+    spark.stop()
+    return {
+        "executors": n_exec,
+        "cores_per_executor": 2,
+        "n_docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
 def main() -> None:
+    if "--scale-child" in sys.argv:
+        cores = sys.argv[sys.argv.index("--scale-child") + 1]
+        os.environ["SPARK_GRAFT_CPUS"] = cores
+        print("CHILD_JSON:" + json.dumps(_run_scaling_child(cores)))
+        return
+
     if "--child" in sys.argv:
         cores = sys.argv[sys.argv.index("--child") + 1]
         os.environ["SPARK_GRAFT_CPUS"] = cores
@@ -83,26 +153,27 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         results = {}
-        for cores in ("8", "32"):
+        for n_exec in ("1", "4"):  # N vs 4N executors
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", cores],
+                [sys.executable, os.path.abspath(__file__), "--scale-child", n_exec],
                 capture_output=True, text=True, timeout=3600,
-                env={**os.environ, "SPARK_GRAFT_CPUS": cores},
+                env=dict(os.environ),
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_JSON:")]
             if not line:
                 sys.stderr.write(out.stdout + "\n" + out.stderr + "\n")
-                raise SystemExit(f"child local[{cores}] failed")
-            results[cores] = json.loads(line[0][len("CHILD_JSON:"):])
-        thr8 = results["8"]["n_docs"] / results["8"]["total_sec"]
-        thr32 = results["32"]["n_docs"] / results["32"]["total_sec"]
-        eff = (thr32 / thr8) / 4.0
+                raise SystemExit(f"scale child {n_exec} executors failed")
+            results[n_exec] = json.loads(line[0][len("CHILD_JSON:"):])
+        thr_n = results["1"]["docs_per_sec"]
+        thr_4n = results["4"]["docs_per_sec"]
+        eff = (thr_4n / thr_n) / 4.0
         print(json.dumps({
-            "metric": "scaling efficiency local[8]→local[32] (N vs 4N)",
+            "metric": "extraction scaling efficiency, 1 vs 4 executors x2 cores (N vs 4N, local-cluster)",
             "value": round(eff, 3),
             "unit": "efficiency",
             "sf": SF_DIR,
-            "throughput_docs_per_sec": {"local8": round(thr8, 1), "local32": round(thr32, 1)},
+            "replication": SCALE_REPLICATION,
+            "throughput_docs_per_sec": {"n_executors": thr_n, "4n_executors": thr_4n},
             "detail": results,
         }))
         return

@@ -344,7 +344,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, verified by exact shingle
     Jaccard ≥ 0.5."""
     docs = synth.load_table(spark, sf_dir, "documents")
-    withsig = dedup.with_minhash(docs)
+    # cache: the signature table feeds both sides of the bucket
+    # self-join and both sides of the verification join
+    withsig = dedup.with_minhash(docs).cache()
     pairs = dedup.lsh_candidate_pairs(withsig)
     return dedup.verified_near_dups(withsig, pairs)
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "part int, n_docs long, n_spans long, wall_ms long, run_id string"
+    "part int, n_parts int, n_docs long, n_spans long, wall_ms long, run_id string"
 )
 
 
@@ -64,6 +64,7 @@ def write_partition(
     part: int,
     out_dir: str,
     run_id: str,
+    n_parts: int,
 ) -> None:
     """Commit one part: data file + lineage row. The lineage row is
     written only after the data write succeeds (commit point)."""
@@ -76,7 +77,7 @@ def write_partition(
     ).collect()[0]
     wall_ms = int((time.perf_counter() - t0) * 1000)
     lineage_row = spark.createDataFrame(
-        [(part, stats["n_docs"], stats["n_spans"], wall_ms, run_id)],
+        [(part, n_parts, stats["n_docs"], stats["n_spans"], wall_ms, run_id)],
         LINEAGE_SCHEMA,
     )
     lineage_row.write.mode("append").parquet(os.path.join(out_dir, "_lineage"))
@@ -97,6 +98,14 @@ def run_extraction_job(
     """
     from ..operators.extraction import extract_ordered_spans
 
+    # resume safety: partition count is part of the checkpoint identity —
+    # a different n_parts would re-key every doc and double-write. Adopt
+    # the committed run's n_parts if one exists.
+    existing = committed_parts(spark, out_dir)
+    first = existing.select("n_parts").limit(1).collect()
+    if first:
+        n_parts = first[0]["n_parts"]
+
     with_part = docs.withColumn("part", part_col(F.col("doc_id"), n_parts))
     todo = [
         r["part"]
@@ -113,7 +122,7 @@ def run_extraction_job(
         out = extract_ordered_spans(with_part.filter(F.col("part") == p)).drop(
             "part"
         )
-        write_partition(spark, out, p, out_dir, run_id)
+        write_partition(spark, out, p, out_dir, run_id, n_parts)
         done += 1
     return done
 

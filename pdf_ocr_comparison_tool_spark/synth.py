@@ -46,13 +46,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents(doc_id, text, ...) → (doc_id, spans) per sqlgen spec.
+    """documents parquet → (doc_id, spans) per sqlgen spec."""
+    return spans_from_docs(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def spans_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, spans) per sqlgen spec.
 
     Narrow-only plan (scan → project); span arrays are built in stored
     (shuffled) order ``k = 0..n-1`` with pseudo-random offsets, so the
     extraction sort is genuinely exercised.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def mk_span(k):
         h = (
