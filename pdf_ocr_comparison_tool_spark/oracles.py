@@ -673,6 +673,65 @@ LEFT JOIN pd_path pp ON dd.doc_id = pp.doc_id
 LEFT JOIN (SELECT * FROM pd_best WHERE rn = 1) pb ON dd.doc_id = pb.doc_id"""
 
 
+def emb_near_dups_sql(d: str, threshold: float = 0.35, n_limit: int = 500) -> str:
+    return f"""WITH en_n AS (
+  SELECT vec_id, embedding, {_dot_dec_sql('embedding', 'embedding', d)} AS nsq
+  FROM embeddings WHERE vec_id < {n_limit}
+),
+en_a AS (SELECT vec_id AS a, embedding AS av, nsq AS a_nsq FROM en_n),
+en_b AS (SELECT vec_id AS b, embedding AS bv, nsq AS b_nsq FROM en_n),
+en_s AS (
+  SELECT a, b,
+         CAST({_dot_dec_sql('av', 'bv', d)} AS DOUBLE)
+           / (sqrt(CAST(a_nsq AS DOUBLE)) * sqrt(CAST(b_nsq AS DOUBLE))) AS sim
+  FROM en_a CROSS JOIN en_b WHERE a < b
+)
+SELECT a, b, sim FROM en_s WHERE sim >= {threshold}"""
+
+
+def events_window_sql(d: str, width_sec: int = 300) -> str:
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    win = P.idiv(f"({epoch})", str(width_sec), d)
+    return f"""SELECT {win} * {width_sec} AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2"""
+
+
+def source_rollup_sql(d: str, docs: str = "documents") -> str:
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)}),
+sr_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         count(*) FILTER (WHERE kind = 'media') AS n_media
+  FROM ext GROUP BY doc_id
+)
+SELECT dd.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(sd.n_spans), 0) AS BIGINT) AS total_spans,
+       CAST(coalesce(sum(sd.n_media), 0) AS BIGINT) AS total_media,
+       CAST(sum(CAST(dd.n_chars AS DECIMAL(28,6))) AS DOUBLE) AS total_chars
+FROM {docs} dd LEFT JOIN sr_doc sd ON dd.doc_id = sd.doc_id
+GROUP BY dd.source"""
+
+
+def name_conflict_sql(d: str, docs: str = "documents") -> str:
+    """W7: per-name collision counter → suffixed unique names."""
+    base = "lower(substr(text, 1, 12))"
+    return f"""WITH nc AS (
+  SELECT doc_id, {base} AS base_name,
+         row_number() OVER (PARTITION BY {base} ORDER BY doc_id) AS seq
+  FROM {docs}
+)
+SELECT doc_id, base_name,
+       CASE WHEN seq = 1 THEN base_name
+            ELSE base_name || '_' || {G.cast_str('seq - 1', d)} END AS unique_name,
+       CAST(seq AS BIGINT) AS seq
+FROM nc"""
+
+
 # ------------------------------------------------------------- textstats
 def _lang_dim_values(alias: str = "ld") -> str:
     from .operators.textstats import LANG_STOPWORDS

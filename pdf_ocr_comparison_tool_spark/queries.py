@@ -374,6 +374,74 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_near_dups", oracle=O.emb_near_dups_sql(G.DUCK))
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (decimal-exact sims)."""
+    emb = synth.load_table(spark, sf_dir, "embeddings")
+    return similarity_search.embedding_near_dups(emb, threshold=0.35, n_limit=500)
+
+
+@register("events_window", oracle=O.events_window_sql(G.DUCK))
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window rollup (the bounded twin of the streaming
+    windowed aggregation)."""
+    e = synth.load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("w_start", F.expr("unix_timestamp(ts) DIV 300") * 300)
+        .groupBy("w_start", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register("source_rollup", oracle=O.source_rollup_sql(G.DUCK))
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-shaped per-source rollup joining extraction stats back to the
+    document dimension."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    ex = extraction.exploded_spans(synth.spans_df(spark, sf_dir))
+    per_doc = ex.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.count(F.when(F.col("kind") == "media", 1)).alias("n_media"),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_spans"), F.lit(0)).cast("long").alias("total_spans"),
+            F.coalesce(F.sum("n_media"), F.lit(0)).cast("long").alias("total_media"),
+            F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double").alias("total_chars"),
+        )
+    )
+
+
+@register("name_conflict_seq", oracle=O.name_conflict_sql(G.DUCK))
+def q_name_conflict_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 filename-conflict counter (reference pdf_processor.py:454-460):
+    row_number per colliding name appended as suffix."""
+    from pyspark.sql import Window
+
+    docs = synth.load_table(spark, sf_dir, "documents")
+    base = F.lower(F.substring("text", 1, 12))
+    w = Window.partitionBy(base).orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        base.alias("base_name"),
+        F.row_number().over(w).alias("seq"),
+    ).select(
+        "doc_id",
+        "base_name",
+        F.when(F.col("seq") == 1, F.col("base_name"))
+        .otherwise(F.concat("base_name", F.lit("_"), (F.col("seq") - 1).cast("string")))
+        .alias("unique_name"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
 # ------------------------------------------------------------- textstats
 @register("lang_id", oracle=O.lang_id_sql(G.DUCK))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
