@@ -49,6 +49,45 @@ def test_media_manifest_and_decode_stub(spark):
         assert again[(r["doc_id"], r["media_ref"])] == (r["width"], r["height"])
 
 
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState running totals equal the batch aggregate
+    after all micro-batches are processed."""
+    import shutil
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark.streaming import stateful, windows as SW
+
+    with tempfile.TemporaryDirectory() as tdir:
+        shutil.copy(f"{SF_DIR}/events.parquet", f"{tdir}/events.parquet")
+        stream = SW.read_events_stream(spark, tdir)
+        out = stateful.running_user_totals(stream)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("running_totals")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # last update per user = final totals
+        got = {}
+        for r in spark.sql("SELECT * FROM running_totals").collect():
+            prev = got.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                got[r["user_id"]] = (r["n_events"], round(r["sum_value"], 6))
+        batch = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        )
+        exp = {
+            r["user_id"]: (r["n"], round(r["s"], 6)) for r in batch.collect()
+        }
+        assert got == exp
+
+
 def test_streaming_windowed_rollup_matches_batch(spark):
     from pdf_ocr_comparison_tool_spark.streaming import windows as SW
 
