@@ -57,6 +57,28 @@ def _sim_expr(t1, t2) -> "F.Column":
 REF_PER_KEY_CAP = 50
 
 
+def jaccard_sim_expr(t1, t2) -> "F.Column":
+    """T10 token-set jaccard, natively (tokens = lowercase alnum runs of
+    the CJK-folded text; deterministic both engines)."""
+    from .. import sqlgen as G
+
+    def toks(t):
+        folded = F.lower(F.translate(t, G.CJK_FOLD_SRC, G.CJK_FOLD_DST))
+        return F.array_distinct(
+            F.filter(F.split(folded, r"[^a-z0-9@#$%&*]+"), lambda x: x != "")
+        )
+
+    a, b = toks(t1), toks(t2)
+    return (
+        F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0))
+        .when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0))
+        .otherwise(
+            F.size(F.array_intersect(a, b)).cast("double")
+            / F.size(F.array_union(a, b)).cast("double")
+        )
+    )
+
+
 def match_pages(
     vouchers: DataFrame,
     refs: DataFrame,
@@ -64,6 +86,7 @@ def match_pages(
     partial_threshold: float = C.PARTIAL_THRESHOLD,
     fallback_cap: int = C.FALLBACK_CAP,
     ref_per_key_cap: int = REF_PER_KEY_CAP,
+    sim_fn=None,
 ) -> DataFrame:
     """vouchers/refs: (doc_id, page_num, text, text_hash, dates, amounts).
 
@@ -145,24 +168,31 @@ def match_pages(
     # rest before the O(n·m) DP. Semantically a no-op (those pairs fail
     # the θ filter anyway), so the oracle needs no change.
     pairs = cand.unionByName(fallback).distinct()
-    # lengths of the *truncated* inputs the DP actually sees
-    la = F.least(F.length("text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
-    lb = F.least(F.length("t_text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
-    len_ok = (
-        (la - lb).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb)
-    ) & ((lb - la).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb))
+    joined = pairs.join(rest.select(*_PROBE, "text"), _PROBE).join(
+        r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"]
+    )
+    if sim_fn is None:
+        # exact length prefilter — the bound only holds for edit
+        # distance, computed on the truncated inputs the DP sees
+        la = F.least(F.length("text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+        lb = F.least(F.length("t_text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+        len_ok = (
+            (la - lb).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb)
+        ) & ((lb - la).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb))
+        joined = joined.filter(len_ok)
+        sim_fn = _sim_expr
     # The repartition between the sim projection and the θ filter is a
     # deliberate barrier: without it Catalyst collapses filter+project
-    # and pushes the levenshtein CASE into the hash-join condition,
+    # and pushes the similarity CASE into the hash-join condition,
     # where it evaluates interpreted per matched row (measured ~5×
     # slower). The exchange is on the probe key, which is exactly the
     # distribution the top-k window below needs — so it replaces that
     # window's exchange instead of adding one.
     scored = (
-        pairs.join(rest.select(*_PROBE, "text"), _PROBE)
-        .join(r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"])
-        .filter(len_ok)
-        .select(*_PROBE, "t_doc", "t_page", _sim_expr(F.col("text"), F.col("t_text")).alias("sim"))
+        joined.select(
+            *_PROBE, "t_doc", "t_page",
+            sim_fn(F.col("text"), F.col("t_text")).alias("sim"),
+        )
         .repartition(*_PROBE)
         .filter(F.col("sim") >= partial_threshold)
     )

@@ -102,6 +102,50 @@ def lsh_bucket(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the first ``n_centroids`` vectors (deterministic
+    stand-in for a k-means fit — at 10^12 rows the fit runs offline and
+    its output is just another small broadcast table, which is exactly
+    what this models). Distances use the decimal-exact dot construction
+    so assignments are engine/partitioning invariant, including ties
+    (broken by centroid id).
+
+    The inverted lists this produces turn ANN into: probe the
+    ``IVF_NPROBE`` nearest centroids, equi-join on centroid_id, rerank
+    within — a bucket equi-join instead of a cross join, same shape as
+    :func:`lsh_bucket` but data-adaptive.
+    """
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        _dot_dec("embedding", "embedding").alias("c_nsq"),
+    )
+    vecs = embeddings.select(
+        "vec_id", "embedding", _dot_dec("embedding", "embedding").alias("v_nsq")
+    )
+    # squared L2 distance = |v|^2 - 2<v,c> + |c|^2, all decimal-exact
+    dist = (
+        F.col("v_nsq").cast("double")
+        - 2.0 * _dot_dec("embedding", "cv").cast("double")
+        + F.col("c_nsq").cast("double")
+    )
+    pairs = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "dist")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.95, n_limit: int = 200
 ) -> DataFrame:

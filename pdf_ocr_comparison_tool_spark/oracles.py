@@ -136,7 +136,31 @@ def _sim_sql(t1: str, t2: str, d: str = DUCK) -> str:
 END"""
 
 
-def ranked_matches_cte(d: str, docs: str = "documents") -> str:
+def _jaccard_sim_sql(t1: str, t2: str, d: str) -> str:
+    def toks(t):
+        folded = f"lower({G.fold_cjk(t, d)})"
+        arr = split_rx(folded, "[^a-z0-9@#$%&*]+", d)
+        return P._arr_distinct(_lfilter(arr, "x -> x <> ''", d), d)
+
+    a, b = toks(t1), toks(t2)
+    na, nb = _arr_size(a, d), _arr_size(b, d)
+    if d == SPARK:
+        inter = f"size(array_intersect({a}, {b}))"
+        uni = f"size(array_union({a}, {b}))"
+    else:
+        inter = f"len(list_intersect({a}, {b}))"
+        uni = f"len(list_distinct(list_concat({a}, {b})))"
+    return f"""CASE
+  WHEN {na} = 0 AND {nb} = 0 THEN CAST(1.0 AS DOUBLE)
+  WHEN {na} = 0 OR {nb} = 0 THEN CAST(0.0 AS DOUBLE)
+  ELSE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE)
+END"""
+
+
+def ranked_matches_cte(
+    d: str, docs: str = "documents", algorithm: str = "levenshtein",
+    partial_threshold: float | None = None,
+) -> str:
     """CTE chain ending in ranked(doc_id, page_num, t_doc, t_page, sim, rn)."""
     return f"""{feat_cte(d, docs)},
 mv AS (SELECT * FROM feat WHERE role = 'voucher'),
@@ -191,13 +215,14 @@ m_pairs AS (
 ),
 m_scored AS (
   SELECT p.doc_id, p.page_num, p.t_doc, p.t_page,
-         {_sim_sql('t.text', 'r2.t_text', d)} AS sim
+         {_sim_sql('t.text', 'r2.t_text', d) if algorithm == 'levenshtein'
+          else _jaccard_sim_sql('t.text', 'r2.t_text', d)} AS sim
   FROM m_pairs p
   JOIN m_rest t ON p.doc_id = t.doc_id AND p.page_num = t.page_num
   JOIN mr r2 ON p.t_doc = r2.t_doc AND p.t_page = r2.t_page
 ),
 m_kept AS (
-  SELECT * FROM m_scored WHERE sim >= {C.PARTIAL_THRESHOLD}
+  SELECT * FROM m_scored WHERE sim >= {partial_threshold if partial_threshold is not None else C.PARTIAL_THRESHOLD}
   UNION ALL
   SELECT * FROM m_exact
 ),
@@ -208,8 +233,11 @@ m_ranked AS (
 )"""
 
 
-def match_best_sql(d: str, docs: str = "documents") -> str:
-    return f"""WITH {ranked_matches_cte(d, docs)},
+def match_best_sql(
+    d: str, docs: str = "documents", algorithm: str = "levenshtein",
+    partial_threshold: float | None = None,
+) -> str:
+    return f"""WITH {ranked_matches_cte(d, docs, algorithm, partial_threshold)},
 m_best AS (SELECT * FROM m_ranked WHERE rn = 1)
 SELECT v.doc_id, v.page_num, b.t_doc, b.t_page,
        coalesce(b.sim, 0.0) AS sim,
@@ -671,6 +699,30 @@ SELECT dd.doc_id,
 FROM {docs} dd
 LEFT JOIN pd_path pp ON dd.doc_id = pp.doc_id
 LEFT JOIN (SELECT * FROM pd_best WHERE rn = 1) pb ON dd.doc_id = pb.doc_id"""
+
+
+def ivf_assign_sql(d: str, n_centroids: int = 16) -> str:
+    return f"""WITH iv_c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv,
+         {_dot_dec_sql('embedding', 'embedding', d)} AS c_nsq
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+iv_v AS (
+  SELECT vec_id, embedding, {_dot_dec_sql('embedding', 'embedding', d)} AS v_nsq
+  FROM embeddings
+),
+iv_p AS (
+  SELECT vec_id, centroid_id,
+         CAST(v_nsq AS DOUBLE) - 2.0 * CAST({_dot_dec_sql('embedding', 'cv', d)} AS DOUBLE)
+           + CAST(c_nsq AS DOUBLE) AS dist
+  FROM iv_v CROSS JOIN iv_c
+),
+iv_r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, centroid_id ASC) AS rn
+  FROM iv_p
+)
+SELECT vec_id, centroid_id, dist FROM iv_r WHERE rn = 1"""
 
 
 def emb_near_dups_sql(d: str, threshold: float = 0.35, n_limit: int = 500) -> str:

@@ -209,6 +209,20 @@ def q_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matching.best_matches(v, ranked)
 
 
+@register(
+    "match_best_jaccard",
+    oracle=O.match_best_sql(G.DUCK, algorithm="jaccard", partial_threshold=0.3),
+)
+def q_match_best_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10/T12: the same staged match with the jaccard similarity
+    algorithm (token-set ∩/∪) — the engine-comparison surface."""
+    v, r = _featured_roles(spark, sf_dir)
+    ranked = matching.match_pages(
+        v, r, sim_fn=matching.jaccard_sim_expr, partial_threshold=0.3
+    )
+    return matching.best_matches(v, ranked)
+
+
 @register("match_merged", oracle=O.match_merged_sql(G.DUCK))
 def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/A14 gaps-and-islands merge of consecutive page matches."""
@@ -370,6 +384,14 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket signatures (the ANN scale path)."""
     return similarity_search.lsh_bucket(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("ann_ivf_assign", oracle=O.ivf_assign_sql(G.DUCK))
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment (inverted-list ANN scale path)."""
+    return similarity_search.ivf_assign(
         synth.load_table(spark, sf_dir, "embeddings")
     )
 

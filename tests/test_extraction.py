@@ -88,6 +88,50 @@ def test_normalize_strips_noise(spark):
     assert spans[0]["text"] == "hello world\nok line"
 
 
+def test_null_and_edge_spans(spark):
+    """Null text/media_ref, whitespace-only text, zero/duplicate offsets
+    — the normalizer must coalesce and the sort stay total."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("text", T.StringType(), True),
+                            T.StructField("media_ref", T.StringType(), True),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (
+            "edge",
+            [
+                ("text", None, None, 0),          # null text -> dropped
+                ("text", "   \n  ", "", 0),       # whitespace-only -> dropped
+                ("media", None, None, 0),          # null media_ref -> ''
+                ("text", "keep me", "", 0),       # same offset as media
+                ("text", "keep me", "", 0),       # exact duplicate span
+            ],
+        )
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = extraction.extract_ordered_spans(df).collect()[0]["spans"]
+    assert [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in got] == [
+        ("media", "", "", 0),
+        ("text", "keep me", "", 1),
+        ("text", "keep me", "", 2),
+    ]
+
+
 def test_full_text_hash(spark):
     pdf = synth.fixture_docs_pandas(n_docs=30, seed=3)
     docs = spark.createDataFrame(pdf, schema=synth.FIXTURE_SCHEMA)
