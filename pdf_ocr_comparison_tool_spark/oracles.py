@@ -784,6 +784,21 @@ SELECT doc_id, base_name,
 FROM nc"""
 
 
+EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+def events_pivot_sql(d: str) -> str:
+    """Pivot event_type → columns, rendered as portable CASE aggregates
+    (identical semantics to Spark's pivot())."""
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id"""
+
+
 # ------------------------------------------------------------- textstats
 def _lang_dim_values(alias: str = "ld") -> str:
     from .operators.textstats import LANG_STOPWORDS

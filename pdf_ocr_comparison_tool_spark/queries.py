@@ -396,6 +396,24 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_pivot", oracle=O.events_pivot_sql(G.DUCK))
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (Spark pivot())."""
+    e = synth.load_table(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", O.EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in O.EVENT_TYPES
+        ],
+    )
+
+
 @register("emb_near_dups", oracle=O.emb_near_dups_sql(G.DUCK))
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (decimal-exact sims)."""
