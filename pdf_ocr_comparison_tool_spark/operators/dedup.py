@@ -104,8 +104,17 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair."""
+MAX_BUCKET = 64
+
+
+def lsh_candidate_pairs(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Hot-bucket guard: a bucket of b docs yields b(b−1)/2 pairs — at
+    10^12 docs a boilerplate bucket would explode the self-join.
+    Buckets larger than ``max_bucket`` are dropped here; their members
+    are near-exact clusters that the exact-hash dedup path already
+    collapses far more cheaply."""
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -123,8 +132,13 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    a = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
+    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    small = bands.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = small.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = small.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))

@@ -118,8 +118,13 @@ def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
 def events_sessions(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     """Sessionization: gaps-and-islands on per-user event times (the W3
     lag+cumsum shape applied to the events table)."""
+    # tz-independent epoch: timestampdiff on NTZ is pure calendar
+    # arithmetic (unix_timestamp would shift with the session timezone)
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
     e = events.select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch"),
+        "user_id", "event_id", epoch.alias("epoch"),
         F.col("value").cast("decimal(28,6)").alias("value_dec"),
     )
     w = Window.partitionBy("user_id").orderBy("epoch", "event_id")

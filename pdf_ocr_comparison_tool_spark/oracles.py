@@ -508,9 +508,17 @@ def near_dup_pairs_sql(d: str, docs: str = "documents", threshold: float = 0.5) 
 dd_bands AS (
 {bands}
 ),
+dd_small AS (
+  SELECT band, bucket FROM dd_bands
+  GROUP BY band, bucket HAVING count(*) <= 64
+),
+dd_bands_s AS (
+  SELECT b.* FROM dd_bands b JOIN dd_small s
+    ON b.band = s.band AND b.bucket = s.bucket
+),
 dd_pairs AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM dd_bands x JOIN dd_bands y
+  FROM dd_bands_s x JOIN dd_bands_s y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 )
 SELECT p.a, p.b,

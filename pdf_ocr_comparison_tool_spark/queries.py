@@ -426,8 +426,9 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch tumbling-window rollup (the bounded twin of the streaming
     windowed aggregation)."""
     e = synth.load_table(spark, sf_dir, "events")
+    epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     return (
-        e.withColumn("w_start", F.expr("unix_timestamp(ts) DIV 300") * 300)
+        e.withColumn("w_start", F.expr(f"({epoch}) DIV 300") * 300)
         .groupBy("w_start", "event_type")
         .agg(
             F.count("*").alias("n"),
