@@ -56,5 +56,10 @@ def cascade_stats(cascaded: DataFrame) -> DataFrame:
     """A12 engine-call counters (hybrid_ocr_engine.py:225-233)."""
     return cascaded.groupBy("engine_used").agg(
         F.count("*").alias("n_pages"),
-        F.avg(F.col("conf").cast("decimal(28,12)")).cast("double").alias("avg_conf"),
+        # decimal sum + one IEEE division (not decimal avg): bit-exact
+        # cross-engine — see merge.merge_page_matches avg_sim
+        (
+            F.sum(F.col("conf").cast("decimal(28,12)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_conf"),
     )

@@ -52,9 +52,16 @@ def merge_page_matches(best: DataFrame) -> DataFrame:
             F.min("t_page").alias("t_lo"),
             F.max("t_page").alias("t_hi"),
             F.min("status").alias("status"),  # constant within an island
-            # decimal avg: order-exact under any partitioning (north rule
-            # determinism), cast back to double for the API
-            F.avg(F.col("sim").cast("decimal(28,12)")).cast("double").alias("avg_sim"),
+            # decimal SUM (order-exact under any partitioning), then ONE
+            # IEEE double division by the count — both engines perform
+            # the identical double op on identical operands, so the
+            # result is bit-exact cross-engine. (Decimal AVG is not:
+            # Spark divides in decimal then casts, DuckDB accumulates in
+            # double — last-ulp mismatches.)
+            (
+                F.sum(F.col("sim").cast("decimal(28,12)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_sim"),
             F.count("*").alias("n_pages"),
         )
         .select(

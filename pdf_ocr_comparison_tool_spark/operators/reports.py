@@ -20,6 +20,20 @@ QUALITY_DEFAULT = "差"
 SESSION_GAP_SEC = 1800
 
 
+def ntz_epoch(col: str) -> "F.Column":
+    """tz-independent epoch seconds: timestampdiff on TIMESTAMP_NTZ is
+    pure calendar arithmetic (unix_timestamp would shift with the
+    session timezone). The parquet ``ts`` columns read as NTZ under
+    Spark 4's inferTimestampNTZ default; the explicit cast makes the
+    expression NTZ even in a driver-owned session that disables the
+    inference (an LTZ column would otherwise coerce the literal and
+    reintroduce session-tz dependence)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" CAST({col} AS TIMESTAMP_NTZ))"
+    )
+
+
 def page_conf(doc_id, page_num) -> "F.Column":
     """Deterministic synthetic per-page confidence (the driver tables
     carry no OCR confidence; reference semantics need one for A7)."""
@@ -57,11 +71,15 @@ def keyword_top(docs: DataFrame, n: int = 50) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+    # top-N via orderBy+limit → TakeOrderedAndProject: each partition
+    # computes a partial top-N in parallel and the driver merges N·P
+    # rows. A row_number() window over an UNPARTITIONED orderBy would
+    # instead funnel the entire web-scale vocabulary through one
+    # reducer. rank is derived after the (tiny) limit.
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(n)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
-        .select(F.col("rank").cast("long").alias("rank"), "token", "n", "n_docs")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "token", "n", "n_docs"
     )
 
 
@@ -118,11 +136,7 @@ def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
 def events_sessions(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     """Sessionization: gaps-and-islands on per-user event times (the W3
     lag+cumsum shape applied to the events table)."""
-    # tz-independent epoch: timestampdiff on NTZ is pure calendar
-    # arithmetic (unix_timestamp would shift with the session timezone)
-    epoch = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
+    epoch = ntz_epoch("ts")
     e = events.select(
         "user_id", "event_id", epoch.alias("epoch"),
         F.col("value").cast("decimal(28,6)").alias("value_dec"),

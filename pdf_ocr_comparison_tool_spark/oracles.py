@@ -283,7 +283,7 @@ SELECT doc_id, island,
             THEN 'P' || {G.cast_str('min(t_page)', d)}
             ELSE 'P' || {G.cast_str('min(t_page)', d)} || '-P' || {G.cast_str('max(t_page)', d)} END AS t_range,
        min(status) AS status,
-       CAST(avg(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) AS avg_sim,
+       CAST(sum(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_sim,
        CAST(count(*) AS BIGINT) AS n_pages
 FROM mm_isl
 GROUP BY doc_id, island"""
@@ -426,10 +426,6 @@ def _arr_size(e: str, d: str) -> str:
     return f"size({e})" if d == SPARK else f"len({e})"
 
 
-def _list_sum_dec(arr: str, d: str) -> str:
-    if d == SPARK:
-        return f"aggregate({arr}, CAST(0 AS DECIMAL(38,12)), (acc, x) -> acc + x)"
-    return f"list_sum({arr})"
 
 
 def _tok_cte(d: str, docs: str = "documents") -> str:
@@ -558,24 +554,34 @@ def _list_sum_dec_int(arr: str, d: str) -> str:
 
 
 # ------------------------------------------------------------------- ANN
-def _dot_dec_sql(a: str, b: str, d: str, dim: int = 64) -> str:
-    prod = (
-        f"CAST(CAST({_elem(a, 'i', d)} AS DOUBLE) * CAST({_elem(b, 'i', d)} AS DOUBLE) AS DECIMAL(38,12))"
-    )
+def _fold_double(arr: str, d: str) -> str:
+    """Left-to-right double sum with a 0.0 seed — the exact fold Spark's
+    ``aggregate(arr, 0.0d, (acc,x) -> acc+x)`` performs, so every
+    intermediate rounding matches bit-for-bit (DuckDB's ``list_reduce``
+    has no init parameter; prepending 0.0 reproduces it)."""
+    if d == SPARK:
+        return f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), (acc, x) -> acc + x)"
+
+
+def _dot_sql(a: str, b: str, d: str, dim: int = 64) -> str:
+    """Double dot product mirroring operators.similarity_search._dot:
+    float32 elements → exact double products, order-fixed left fold."""
+    prod = f"CAST({_elem(a, 'i', d)} AS DOUBLE) * CAST({_elem(b, 'i', d)} AS DOUBLE)"
     arr = G.ltransform(_seq_range(dim, d), f"i -> {prod}", d)
-    return _list_sum_dec(arr, d)
+    return _fold_double(arr, d)
 
 
 def ann_topk_sql(d: str, n_queries: int = 8, k: int = 10) -> str:
     return f"""WITH an_n AS (
-  SELECT vec_id, embedding, {_dot_dec_sql('embedding', 'embedding', d)} AS nsq
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq
   FROM embeddings
 ),
 an_q AS (SELECT vec_id AS q_id, embedding AS qv, nsq AS q_nsq FROM an_n WHERE vec_id < {n_queries}),
 an_c AS (SELECT vec_id AS c_id, embedding AS cv, nsq AS c_nsq FROM an_n),
 an_s AS (
   SELECT q_id, c_id,
-         CAST({_dot_dec_sql('qv', 'cv', d)} AS DOUBLE)
+         CAST({_dot_sql('qv', 'cv', d)} AS DOUBLE)
            / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS sim
   FROM an_c CROSS JOIN an_q WHERE c_id <> q_id
 ),
@@ -591,9 +597,9 @@ def lsh_bucket_sql(d: str, bits: int = 16, dim: int = 64) -> str:
     terms = []
     for j in range(bits):
         w = f"((i * 31 + {j * 17}) % 7 - 3)"
-        prod = f"CAST(CAST({_elem('embedding', 'i', d)} AS DOUBLE) * CAST({w} AS DOUBLE) AS DECIMAL(38,12))"
+        prod = f"CAST({_elem('embedding', 'i', d)} AS DOUBLE) * CAST({w} AS DOUBLE)"
         arr = G.ltransform(_seq_range(dim, d), f"i -> {prod}", d)
-        s = _list_sum_dec(arr, d)
+        s = _fold_double(arr, d)
         terms.append(f"CASE WHEN {s} >= 0 THEN {2**j} ELSE 0 END")
     bucket = " + ".join(terms)
     return f"""SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM embeddings"""
@@ -615,7 +621,7 @@ FROM pages"""
 def cascade_stats_sql(d: str, docs: str = "documents") -> str:
     return f"""WITH casc AS ({cascade_sql(d, docs)})
 SELECT engine_used, CAST(count(*) AS BIGINT) AS n_pages,
-       CAST(avg(CAST(conf AS DECIMAL(28,12))) AS DOUBLE) AS avg_conf
+       CAST(sum(CAST(conf AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_conf
 FROM casc GROUP BY engine_used"""
 
 
@@ -712,16 +718,16 @@ LEFT JOIN (SELECT * FROM pd_best WHERE rn = 1) pb ON dd.doc_id = pb.doc_id"""
 def ivf_assign_sql(d: str, n_centroids: int = 16) -> str:
     return f"""WITH iv_c AS (
   SELECT vec_id AS centroid_id, embedding AS cv,
-         {_dot_dec_sql('embedding', 'embedding', d)} AS c_nsq
+         {_dot_sql('embedding', 'embedding', d)} AS c_nsq
   FROM embeddings WHERE vec_id < {n_centroids}
 ),
 iv_v AS (
-  SELECT vec_id, embedding, {_dot_dec_sql('embedding', 'embedding', d)} AS v_nsq
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS v_nsq
   FROM embeddings
 ),
 iv_p AS (
   SELECT vec_id, centroid_id,
-         CAST(v_nsq AS DOUBLE) - 2.0 * CAST({_dot_dec_sql('embedding', 'cv', d)} AS DOUBLE)
+         CAST(v_nsq AS DOUBLE) - 2.0 * CAST({_dot_sql('embedding', 'cv', d)} AS DOUBLE)
            + CAST(c_nsq AS DOUBLE) AS dist
   FROM iv_v CROSS JOIN iv_c
 ),
@@ -735,14 +741,14 @@ SELECT vec_id, centroid_id, dist FROM iv_r WHERE rn = 1"""
 
 def emb_near_dups_sql(d: str, threshold: float = 0.35, n_limit: int = 500) -> str:
     return f"""WITH en_n AS (
-  SELECT vec_id, embedding, {_dot_dec_sql('embedding', 'embedding', d)} AS nsq
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq
   FROM embeddings WHERE vec_id < {n_limit}
 ),
 en_a AS (SELECT vec_id AS a, embedding AS av, nsq AS a_nsq FROM en_n),
 en_b AS (SELECT vec_id AS b, embedding AS bv, nsq AS b_nsq FROM en_n),
 en_s AS (
   SELECT a, b,
-         CAST({_dot_dec_sql('av', 'bv', d)} AS DOUBLE)
+         CAST({_dot_sql('av', 'bv', d)} AS DOUBLE)
            / (sqrt(CAST(a_nsq AS DOUBLE)) * sqrt(CAST(b_nsq AS DOUBLE))) AS sim
   FROM en_a CROSS JOIN en_b WHERE a < b
 )

@@ -236,12 +236,22 @@ def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("match_summary", oracle=O.match_summary_sql(G.DUCK))
 def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 match status rollup with match rate."""
+    from pyspark.sql import Window
+
     v, r = _featured_roles(spark, sf_dir)
     best = matching.best_matches(v, matching.match_pages(v, r))
-    total = best.count()
-    return best.groupBy("status").agg(
-        F.count("*").alias("n"),
-        (F.count("*").cast("double") / F.lit(float(total))).alias("frac"),
+    # total via an unpartitioned window over the 4 grouped rows (NOT a
+    # driver-side .count(), which would execute the match DAG twice);
+    # sum(n) over () == count(*) of best, so the frac division sees the
+    # same integer operands as the oracle's scalar subquery
+    g = best.groupBy("status").agg(F.count("*").alias("n"))
+    return g.select(
+        "status",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("frac"),
     )
 
 
@@ -426,9 +436,9 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch tumbling-window rollup (the bounded twin of the streaming
     windowed aggregation)."""
     e = synth.load_table(spark, sf_dir, "events")
-    epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    epoch = reports.ntz_epoch("ts")
     return (
-        e.withColumn("w_start", F.expr(f"({epoch}) DIV 300") * 300)
+        e.withColumn("w_start", (epoch - (epoch % 300)).cast("long"))
         .groupBy("w_start", "event_type")
         .agg(
             F.count("*").alias("n"),

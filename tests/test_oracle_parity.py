@@ -35,10 +35,12 @@ def _norm_rows(cols, rows):
 
 
 def _cmp_cell(a, b):
+    # EXACT equality, floats included — the external driver hashes raw
+    # bytes, so any last-ulp divergence it would flag must fail here too
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return a is None and b is None
-        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
     return a == b
 
 
