@@ -32,6 +32,41 @@ def normalize_amount(col: Column) -> Column:
     return F.regexp_replace(col, r"[,，\s]", "")
 
 
+def page_keywords_expr(text_col: Column, top_n: int = 10) -> Column:
+    """Per-page top-N keywords by term frequency (reference
+    ocr_engine.py:392-412: tokens of length ≥ 2, non-digit,
+    Counter.most_common(top_n); jieba's segmentation replaced by the
+    deterministic alnum-run tokenizer, ties broken count desc → token
+    asc instead of insertion order).
+
+    Fully native: encode each distinct token as
+    ``lpad(10^7 − count) || token`` so one ascending array_sort yields
+    (count desc, token asc); computed once per page, no shuffle.
+    """
+    toks = F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"),
+        lambda t: (F.length(t) >= 2) & ~t.rlike(r"^[0-9]+$"),
+    )
+    u = F.array_distinct(toks)
+    enc = F.transform(
+        u,
+        lambda w: F.concat(
+            F.lpad(
+                (
+                    F.lit(10000000)
+                    - F.size(F.filter(toks, lambda x: x == w))
+                ).cast("string"),
+                8,
+                "0",
+            ),
+            w,
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(enc), 1, top_n), lambda s: F.substring(s, 9, 1000000)
+    )
+
+
 def add_features(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """pages(…, text) → + dates, amounts, numbers, text_hash columns."""
     c = F.col(text_col)

@@ -79,6 +79,94 @@ def jaccard_sim_expr(t1, t2) -> "F.Column":
     )
 
 
+def cosine_sim_expr(t1, t2) -> "F.Column":
+    """T9 TF-cosine natively — the reference's DEFAULT match algorithm
+    (config.yaml:154, content_matcher.py:54-93): term-frequency vectors
+    over tokens, 0.0 when either norm is zero (including both-empty —
+    unlike levenshtein's 1.0).
+
+    Tokens are lowercase alnum runs of the CJK-folded text with
+    duplicates KEPT (term frequency); the reference tokenizes with
+    jieba, whose dictionary segmentation is environment-dependent — the
+    deterministic tokenizer is the documented stand-in (SURVEY §7.1/M3).
+
+    Cross-engine exactness: dot product and squared norms are INTEGER
+    sums (order-free); the only float ops are two correctly-rounded
+    sqrts and one division on identical operands — bit-identical in any
+    engine, under any partitioning.
+    """
+    from .. import sqlgen as G
+
+    def toks(t):
+        folded = F.lower(F.translate(t, G.CJK_FOLD_SRC, G.CJK_FOLD_DST))
+        return F.filter(F.split(folded, r"[^a-z0-9@#$%&*]+"), lambda x: x != "")
+
+    a, b = toks(t1), toks(t2)
+    u = F.array_union(a, b)
+
+    def cnt(arr, w):
+        return F.size(F.filter(arr, lambda x: x == w)).cast("long")
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    dot = isum(F.transform(u, lambda w: cnt(a, w) * cnt(b, w)))
+    n1sq = isum(F.transform(u, lambda w: cnt(a, w) * cnt(a, w)))
+    n2sq = isum(F.transform(u, lambda w: cnt(b, w) * cnt(b, w)))
+    return F.when((n1sq == 0) | (n2sq == 0), F.lit(0.0)).otherwise(
+        dot.cast("double")
+        / (F.sqrt(n1sq.cast("double")) * F.sqrt(n2sq.cast("double")))
+    )
+
+
+def tf_map_expr(text_col) -> "F.Column":
+    """token → count map of the CJK-folded lowercase text. Built ONCE
+    per page (the build-once index shape), so the cosine scoring join
+    costs O(|tokens|) hash lookups per candidate pair instead of
+    re-tokenizing + rescanning arrays per pair (measured 120 s → ~2 s
+    at sf0.01)."""
+    from .. import sqlgen as G
+
+    folded = F.lower(F.translate(text_col, G.CJK_FOLD_SRC, G.CJK_FOLD_DST))
+    toks = F.filter(F.split(folded, r"[^a-z0-9@#$%&*]+"), lambda x: x != "")
+    u = F.array_distinct(toks)
+    return F.map_from_arrays(
+        u,
+        F.transform(
+            u, lambda w: F.size(F.filter(toks, lambda x: x == w)).cast("long")
+        ),
+    )
+
+
+def tf_nsq_expr(tf_map) -> "F.Column":
+    """Squared L2 norm of a TF map — integer, pair-independent, so it is
+    precomputed per page, not per pair."""
+    return F.aggregate(
+        F.transform(F.map_values(tf_map), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_map_sim_expr(s1, s2) -> "F.Column":
+    """TF-cosine over precomputed (tf, nsq) payload structs — identical
+    values to :func:`cosine_sim_expr` (same integer dot/norms, same
+    final float ops) at a fraction of the per-pair cost."""
+    dot = F.aggregate(
+        F.transform(
+            F.map_entries(s1["tf"]),
+            lambda e: e["value"]
+            * F.coalesce(F.try_element_at(s2["tf"], e["key"]), F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n1, n2 = s1["nsq"], s2["nsq"]
+    return F.when((n1 == 0) | (n2 == 0), F.lit(0.0)).otherwise(
+        dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    )
+
+
 def match_pages(
     vouchers: DataFrame,
     refs: DataFrame,
@@ -87,14 +175,22 @@ def match_pages(
     fallback_cap: int = C.FALLBACK_CAP,
     ref_per_key_cap: int = REF_PER_KEY_CAP,
     sim_fn=None,
+    sim_struct_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """vouchers/refs: (doc_id, page_num, text, text_hash, dates, amounts).
 
     Returns ranked candidate matches: probe keys + t_doc, t_page, sim,
     rn (1..top_k).
+
+    ``sim_fn`` scores (text, t_text) column pairs by default. When the
+    similarity needs precomputed per-page features instead (e.g. the
+    cosine TF maps), pass their column names as ``sim_struct_cols``:
+    they are carried through the blocking joins as one struct per side
+    and ``sim_fn`` receives the two structs.
     """
+    extra = list(sim_struct_cols or ())
     v = vouchers.select(
-        "doc_id", "page_num", "text", "text_hash", "dates", "amounts"
+        "doc_id", "page_num", "text", "text_hash", "dates", "amounts", *extra
     )
     r = refs.select(
         F.col("doc_id").alias("t_doc"),
@@ -103,6 +199,7 @@ def match_pages(
         F.col("text_hash").alias("t_hash"),
         F.col("dates").alias("t_dates"),
         F.col("amounts").alias("t_amounts"),
+        *[F.col(c).alias(f"t_{c}") for c in extra],
     )
 
     # J1 — exact hash short-circuit
@@ -168,19 +265,36 @@ def match_pages(
     # rest before the O(n·m) DP. Semantically a no-op (those pairs fail
     # the θ filter anyway), so the oracle needs no change.
     pairs = cand.unionByName(fallback).distinct()
-    joined = pairs.join(rest.select(*_PROBE, "text"), _PROBE).join(
-        r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"]
-    )
-    if sim_fn is None:
-        # exact length prefilter — the bound only holds for edit
-        # distance, computed on the truncated inputs the DP sees
-        la = F.least(F.length("text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
-        lb = F.least(F.length("t_text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
-        len_ok = (
-            (la - lb).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb)
-        ) & ((lb - la).cast("double") <= (1.0 - partial_threshold) * F.greatest(la, lb))
-        joined = joined.filter(len_ok)
-        sim_fn = _sim_expr
+    if sim_struct_cols:
+        # precomputed-feature path: carry one struct per side through
+        # the scoring join; sim_fn scores the struct pair
+        lsel = rest.select(*_PROBE, F.struct(*extra).alias("_simL"))
+        rsel = r.select(
+            "t_doc",
+            "t_page",
+            F.struct(*[F.col(f"t_{c}").alias(c) for c in extra]).alias("_simR"),
+        )
+        joined = pairs.join(lsel, _PROBE).join(rsel, ["t_doc", "t_page"])
+        sim = sim_fn(F.col("_simL"), F.col("_simR"))
+    else:
+        joined = pairs.join(rest.select(*_PROBE, "text"), _PROBE).join(
+            r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"]
+        )
+        if sim_fn is None:
+            # exact length prefilter — the bound only holds for edit
+            # distance, computed on the truncated inputs the DP sees
+            la = F.least(F.length("text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+            lb = F.least(F.length("t_text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+            len_ok = (
+                (la - lb).cast("double")
+                <= (1.0 - partial_threshold) * F.greatest(la, lb)
+            ) & (
+                (lb - la).cast("double")
+                <= (1.0 - partial_threshold) * F.greatest(la, lb)
+            )
+            joined = joined.filter(len_ok)
+            sim_fn = _sim_expr
+        sim = sim_fn(F.col("text"), F.col("t_text"))
     # The repartition between the sim projection and the θ filter is a
     # deliberate barrier: without it Catalyst collapses filter+project
     # and pushes the similarity CASE into the hash-join condition,
@@ -189,10 +303,7 @@ def match_pages(
     # distribution the top-k window below needs — so it replaces that
     # window's exchange instead of adding one.
     scored = (
-        joined.select(
-            *_PROBE, "t_doc", "t_page",
-            sim_fn(F.col("text"), F.col("t_text")).alias("sim"),
-        )
+        joined.select(*_PROBE, "t_doc", "t_page", sim.alias("sim"))
         .repartition(*_PROBE)
         .filter(F.col("sim") >= partial_threshold)
     )
@@ -214,6 +325,33 @@ def status_band(sim_col) -> "F.Column":
         F.when(sim_col >= C.EXACT_THRESHOLD, F.lit(C.STATUS_EXACT))
         .when(sim_col >= C.SIMILARITY_THRESHOLD, F.lit(C.STATUS_PARTIAL))
         .otherwise(F.lit(C.STATUS_LOW))
+    )
+
+
+def with_matched_keywords(
+    best: DataFrame, vouchers: DataFrame, refs: DataFrame
+) -> DataFrame:
+    """Emit the reference's ``matched_keywords`` output column
+    (content_matcher.py:353-356: intersection of the two pages' keyword
+    sets; empty for 未找到): joins the per-page ``kw`` arrays back onto
+    the best rows and intersects. Adds ``matched_kw_arr`` (sorted array,
+    consumed by the merge union) and ``matched_kw`` ('|'-joined string,
+    the report column)."""
+    vk = vouchers.select(*_PROBE, F.col("kw").alias("v_kw"))
+    rk = refs.select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("page_num").alias("t_page"),
+        F.col("kw").alias("r_kw"),
+    )
+    arr = F.when(
+        F.col("t_doc").isNull(), F.array().cast("array<string>")
+    ).otherwise(F.array_sort(F.array_intersect("v_kw", "r_kw")))
+    return (
+        best.join(vk, _PROBE, "left")
+        .join(rk, ["t_doc", "t_page"], "left")
+        .withColumn("matched_kw_arr", arr)
+        .withColumn("matched_kw", F.array_join("matched_kw_arr", "|"))
+        .drop("v_kw", "r_kw")
     )
 
 

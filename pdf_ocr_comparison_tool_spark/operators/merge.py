@@ -24,10 +24,15 @@ def _page_range(lo, hi) -> "F.Column":
     )
 
 
-def merge_page_matches(best: DataFrame) -> DataFrame:
+def merge_page_matches(best: DataFrame, keywords: bool = False) -> DataFrame:
     """best: (doc_id, page_num, t_doc, t_page, sim, status) →
     island rows (doc_id, island, page_range, t_doc, t_range, status,
-    avg_sim, n_pages)."""
+    avg_sim, n_pages).
+
+    With ``keywords=True``, ``best`` must carry ``matched_kw_arr`` and
+    the islands additionally emit ``matched_kw`` — the deduped union of
+    the member pages' matched keywords (content_matcher.py:493-497),
+    sorted + '|'-joined for determinism."""
     w = Window.partitionBy("doc_id").orderBy("page_num")
     same_doc = F.col("t_doc").eqNullSafe(F.lag("t_doc").over(w))
     same_status = F.col("status").eqNullSafe(F.lag("status").over(w))
@@ -43,9 +48,20 @@ def merge_page_matches(best: DataFrame) -> DataFrame:
     islands = best.withColumn("brk", brk).withColumn(
         "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+    kw_aggs = (
+        [
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("matched_kw_arr")))
+            ).alias("kw_u")
+        ]
+        if keywords
+        else []
+    )
+    kw_out = [F.array_join("kw_u", "|").alias("matched_kw")] if keywords else []
     return (
         islands.groupBy("doc_id", "island")
         .agg(
+            *kw_aggs,
             F.min("page_num").alias("p_lo"),
             F.max("page_num").alias("p_hi"),
             F.min("t_doc").alias("t_doc"),  # constant within an island
@@ -75,5 +91,6 @@ def merge_page_matches(best: DataFrame) -> DataFrame:
             "status",
             "avg_sim",
             F.col("n_pages").cast("long").alias("n_pages"),
+            *kw_out,
         )
     )

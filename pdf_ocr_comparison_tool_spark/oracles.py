@@ -157,16 +157,56 @@ def _jaccard_sim_sql(t1: str, t2: str, d: str) -> str:
 END"""
 
 
+def _tf_toks(t: str, d: str) -> str:
+    """Term-frequency token array (duplicates kept) of the CJK-folded
+    lowercase text — the cosine tokenizer."""
+    folded = f"lower({G.fold_cjk(t, d)})"
+    return _lfilter(split_rx(folded, "[^a-z0-9@#$%&*]+", d), "x -> x <> ''", d)
+
+
+def _cosine_sim_sql(a: str, b: str, d: str) -> str:
+    """TF-cosine over pre-tokenized arrays *a*, *b* — mirror of
+    operators.matching.cosine_sim_expr (integer dot/norms, one double
+    division, zero-norm → 0.0)."""
+    if d == SPARK:
+        u = f"array_union({a}, {b})"
+        cnt = lambda arr, w: f"CAST(size(filter({arr}, x -> x = {w})) AS BIGINT)"  # noqa: E731
+        isum = lambda arr: f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"  # noqa: E731
+    else:
+        u = f"list_distinct(list_concat({a}, {b}))"
+        cnt = lambda arr, w: f"CAST(len(list_filter({arr}, x -> x = {w})) AS BIGINT)"  # noqa: E731
+        isum = lambda arr: f"coalesce(list_sum({arr}), 0)"  # noqa: E731
+    dot = isum(G.ltransform(u, f"w -> {cnt(a, 'w')} * {cnt(b, 'w')}", d))
+    n1 = isum(G.ltransform(u, f"w -> {cnt(a, 'w')} * {cnt(a, 'w')}", d))
+    n2 = isum(G.ltransform(u, f"w -> {cnt(b, 'w')} * {cnt(b, 'w')}", d))
+    return f"""CASE
+  WHEN {n1} = 0 OR {n2} = 0 THEN CAST(0.0 AS DOUBLE)
+  ELSE CAST({dot} AS DOUBLE)
+       / (sqrt(CAST({n1} AS DOUBLE)) * sqrt(CAST({n2} AS DOUBLE)))
+END"""
+
+
 def ranked_matches_cte(
     d: str, docs: str = "documents", algorithm: str = "levenshtein",
     partial_threshold: float | None = None,
 ) -> str:
     """CTE chain ending in ranked(doc_id, page_num, t_doc, t_page, sim, rn)."""
+    # cosine scores over pre-tokenized TF arrays (computed once per
+    # page, not once per candidate pair — the build-once index shape)
+    tf_cols = f", {_tf_toks('text', d)} AS tf" if algorithm == "cosine" else ""
+    tf_ref = ", tf AS t_tf" if algorithm == "cosine" else ""
+    if algorithm == "levenshtein":
+        sim_expr = _sim_sql("t.text", "r2.t_text", d)
+    elif algorithm == "jaccard":
+        sim_expr = _jaccard_sim_sql("t.text", "r2.t_text", d)
+    else:
+        sim_expr = _cosine_sim_sql("t.tf", "r2.t_tf", d)
     return f"""{feat_cte(d, docs)},
-mv AS (SELECT * FROM feat WHERE role = 'voucher'),
+mfeat AS (SELECT *{tf_cols} FROM feat),
+mv AS (SELECT * FROM mfeat WHERE role = 'voucher'),
 mr AS (SELECT doc_id AS t_doc, page_num AS t_page, text AS t_text,
-              text_hash AS t_hash, dates AS t_dates, amounts_n AS t_amounts
-       FROM feat WHERE role = 'reference'),
+              text_hash AS t_hash, dates AS t_dates, amounts_n AS t_amounts{tf_ref}
+       FROM mfeat WHERE role = 'reference'),
 m_exact AS (
   SELECT mv.doc_id, mv.page_num, mr.t_doc, mr.t_page, CAST(1.0 AS DOUBLE) AS sim
   FROM mv JOIN mr ON mv.text_hash = mr.t_hash
@@ -215,8 +255,7 @@ m_pairs AS (
 ),
 m_scored AS (
   SELECT p.doc_id, p.page_num, p.t_doc, p.t_page,
-         {_sim_sql('t.text', 'r2.t_text', d) if algorithm == 'levenshtein'
-          else _jaccard_sim_sql('t.text', 'r2.t_text', d)} AS sim
+         {sim_expr} AS sim
   FROM m_pairs p
   JOIN m_rest t ON p.doc_id = t.doc_id AND p.page_num = t.page_num
   JOIN mr r2 ON p.t_doc = r2.t_doc AND p.t_page = r2.t_page
@@ -233,25 +272,78 @@ m_ranked AS (
 )"""
 
 
+def _page_kw_sql(t: str, d: str, top_n: int = 10) -> str:
+    """Per-page top-N TF keywords — mirror of
+    operators.features.page_keywords_expr (ocr_engine.py:392-412)."""
+    filt = f"t -> length(t) >= 2 AND NOT ({G.rlike('t', '^[0-9]+$', d)})"
+    toks = _lfilter(split_rx(f"lower({t})", "[^a-z0-9]+", d), filt, d)
+    u = P._arr_distinct(toks, d)
+    cntw = _arr_size(_lfilter(toks, "x -> x = w", d), d)
+    enc = G.ltransform(
+        u, f"w -> lpad({G.cast_str(f'10000000 - {cntw}', d)}, 8, '0') || w", d
+    )
+    return G.ltransform(
+        _arr_slice(P._arr_sort(enc, d), 1, top_n, d), "s -> substr(s, 9)", d
+    )
+
+
+def _kw_intersect_sql(a: str, b: str, d: str) -> str:
+    """Sorted '|'-joined intersection of two keyword arrays
+    (content_matcher.py:353-356)."""
+    inter = (
+        f"array_intersect({a}, {b})" if d == SPARK else f"list_intersect({a}, {b})"
+    )
+    return G.array_join(P._arr_sort(inter, d), "'|'", d)
+
+
 def match_best_sql(
     d: str, docs: str = "documents", algorithm: str = "levenshtein",
     partial_threshold: float | None = None,
 ) -> str:
     return f"""WITH {ranked_matches_cte(d, docs, algorithm, partial_threshold)},
-m_best AS (SELECT * FROM m_ranked WHERE rn = 1)
+m_best AS (SELECT * FROM m_ranked WHERE rn = 1),
+m_kw AS (SELECT doc_id, role, page_num, {_page_kw_sql('text', d)} AS kw FROM pages)
 SELECT v.doc_id, v.page_num, b.t_doc, b.t_page,
        coalesce(b.sim, 0.0) AS sim,
        CASE WHEN b.t_doc IS NULL THEN '{C.STATUS_NOT_FOUND}'
             WHEN b.sim >= {C.EXACT_THRESHOLD} THEN '{C.STATUS_EXACT}'
             WHEN b.sim >= {C.SIMILARITY_THRESHOLD} THEN '{C.STATUS_PARTIAL}'
-            ELSE '{C.STATUS_LOW}' END AS status
-FROM mv v LEFT JOIN m_best b ON v.doc_id = b.doc_id AND v.page_num = b.page_num"""
+            ELSE '{C.STATUS_LOW}' END AS status,
+       CASE WHEN b.t_doc IS NULL THEN ''
+            ELSE {_kw_intersect_sql('kv.kw', 'kr.kw', d)} END AS matched_kw
+FROM mv v LEFT JOIN m_best b ON v.doc_id = b.doc_id AND v.page_num = b.page_num
+LEFT JOIN m_kw kv ON kv.role = 'voucher'
+  AND kv.doc_id = v.doc_id AND kv.page_num = v.page_num
+LEFT JOIN m_kw kr ON kr.role = 'reference'
+  AND kr.doc_id = b.t_doc AND kr.page_num = b.t_page"""
+
+
+def match_topk_sql(d: str, docs: str = "documents") -> str:
+    """J6 as a first-class output: the reference returns the top-5
+    candidate list per probe (content_matcher.py:315-318), not only the
+    best row."""
+    return f"""WITH {ranked_matches_cte(d, docs)}
+SELECT doc_id, page_num, CAST(rn AS BIGINT) AS rn, t_doc, t_page, sim
+FROM m_ranked WHERE rn <= {C.TOP_K}"""
 
 
 def match_merged_sql(d: str, docs: str = "documents") -> str:
     nse = nullsafe_eq
     w = "OVER (PARTITION BY doc_id ORDER BY page_num)"
-    return f"""WITH mm_best AS ({match_best_sql(d, docs)}),
+    if d == SPARK:
+        kw_arr = (
+            "CASE WHEN matched_kw = '' THEN CAST(array() AS ARRAY<STRING>)"
+            f" ELSE split(matched_kw, {G.rx(chr(92) + '|', d)}) END"
+        )
+        kw_union = "array_sort(array_distinct(flatten(collect_list(kw_arr))))"
+    else:
+        kw_arr = (
+            "CASE WHEN matched_kw = '' THEN CAST([] AS VARCHAR[])"
+            " ELSE string_split(matched_kw, '|') END"
+        )
+        kw_union = "list_sort(list_distinct(flatten(list(kw_arr))))"
+    return f"""WITH mm_b0 AS ({match_best_sql(d, docs)}),
+mm_best AS (SELECT *, {kw_arr} AS kw_arr FROM mm_b0),
 mm_lag AS (
   SELECT *,
          lag(t_doc) {w} AS pv_doc,
@@ -284,7 +376,8 @@ SELECT doc_id, island,
             ELSE 'P' || {G.cast_str('min(t_page)', d)} || '-P' || {G.cast_str('max(t_page)', d)} END AS t_range,
        min(status) AS status,
        CAST(sum(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_sim,
-       CAST(count(*) AS BIGINT) AS n_pages
+       CAST(count(*) AS BIGINT) AS n_pages,
+       {G.array_join(kw_union, "'|'", d)} AS matched_kw
 FROM mm_isl
 GROUP BY doc_id, island"""
 

@@ -188,6 +188,9 @@ def _featured_roles(spark: SparkSession, sf_dir: str):
             )
         ),
     )
+    # per-page keywords from the RAW text (the fold below would merge
+    # CJK runs into alnum tokens and change the tokenization)
+    f = f.withColumn("kw", features.page_keywords_expr(F.col("text")))
     # CJK→ASCII fold (sqlgen.CJK_FOLD_*) so the levenshtein stage is
     # byte/char agnostic across engines; applied after hashing/features.
     f = f.withColumn(
@@ -203,10 +206,12 @@ def _featured_roles(spark: SparkSession, sf_dir: str):
 
 @register("match_best", oracle=O.match_best_sql(G.DUCK))
 def q_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-J7 staged similarity join, best match per voucher page."""
+    """J1-J7 staged similarity join, best match per voucher page, with
+    the matched-keywords intersection column (content_matcher.py:353-356)."""
     v, r = _featured_roles(spark, sf_dir)
     ranked = matching.match_pages(v, r)
-    return matching.best_matches(v, ranked)
+    best = matching.best_matches(v, ranked)
+    return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
 
 
 @register(
@@ -220,15 +225,59 @@ def q_match_best_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = matching.match_pages(
         v, r, sim_fn=matching.jaccard_sim_expr, partial_threshold=0.3
     )
-    return matching.best_matches(v, ranked)
+    best = matching.best_matches(v, ranked)
+    return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
+
+
+@register(
+    "match_best_cosine",
+    oracle=O.match_best_sql(G.DUCK, algorithm="cosine"),
+)
+def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/T12: the staged match with the reference's DEFAULT similarity
+    algorithm — TF cosine (config.yaml:154) — fully native and oracled
+    (the pandas-UDF variant remains as the documented UDF surface).
+
+    TF maps + squared norms are precomputed per page and carried
+    through the blocking joins as a struct; the per-pair cost is
+    |tokens| hash lookups (matching.tf_map_expr)."""
+    v, r = _featured_roles(spark, sf_dir)
+
+    def aug(df):
+        return df.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
+            "nsq", matching.tf_nsq_expr(F.col("tf"))
+        )
+
+    v2, r2 = aug(v), aug(r)
+    ranked = matching.match_pages(
+        v2, r2, sim_fn=matching.cosine_map_sim_expr, sim_struct_cols=("tf", "nsq")
+    )
+    best = matching.best_matches(v2, ranked)
+    return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
+
+
+@register("match_topk", oracle=O.match_topk_sql(G.DUCK))
+def q_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as an oracled output: the full top-5 candidate list per
+    voucher page (content_matcher.py:315-318)."""
+    v, r = _featured_roles(spark, sf_dir)
+    ranked = matching.match_pages(v, r)
+    return ranked.select(
+        "doc_id", "page_num",
+        F.col("rn").cast("long").alias("rn"),
+        "t_doc", "t_page", "sim",
+    )
 
 
 @register("match_merged", oracle=O.match_merged_sql(G.DUCK))
 def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3/A14 gaps-and-islands merge of consecutive page matches."""
+    """W3/A14 gaps-and-islands merge of consecutive page matches, with
+    the per-island matched-keyword union (content_matcher.py:493-497)."""
     v, r = _featured_roles(spark, sf_dir)
-    best = matching.best_matches(v, matching.match_pages(v, r))
-    return merge.merge_page_matches(best).withColumn(
+    best = matching.with_matched_keywords(
+        matching.best_matches(v, matching.match_pages(v, r)), v, r
+    )
+    return merge.merge_page_matches(best, keywords=True).withColumn(
         "island", F.col("island").cast("long")
     )
 
