@@ -83,6 +83,50 @@ def extract_ordered_spans(docs: DataFrame, spans_col: str = "spans") -> DataFram
     return docs.withColumn(spans_col, final)
 
 
+def parse_grounded(df: DataFrame, blob_col: str = "grounded") -> DataFrame:
+    """W2: parse a raw grounded-output blob into ordered (bbox, text)
+    spans (reference deepseek_ocr2_engine.py:270-283 regex parse; the
+    derived reading order — y-major, then x, then parse position — is
+    the operator the reference leaves implicit in findall order).
+
+    (doc_id, grounded) → (doc_id, ord, x1, y1, x2, y2, txt). Narrow
+    split/extract per document + one per-doc window for the reindex.
+    Pieces that don't match the header (e.g. the leading fragment) and
+    spans whose body trims to '' are dropped, as in the reference.
+    """
+    from pyspark.sql import Window
+
+    pieces = F.split(F.col(blob_col), G.GR_REF_SPLIT_RE)
+    exploded = df.select(
+        "doc_id", F.posexplode(pieces).alias("k", "piece")
+    )
+    grp = lambda g: F.regexp_extract("piece", G.GR_HDR_RE, g)  # noqa: E731
+    parsed = exploded.select(
+        "doc_id",
+        "k",
+        grp(1).alias("x1s"),
+        grp(2).alias("y1s"),
+        grp(3).alias("x2s"),
+        grp(4).alias("y2s"),
+        F.trim(F.regexp_extract("piece", G.GR_BODY_RE, 1)).alias("txt"),
+    ).filter((F.col("x1s") != "") & (F.col("txt") != ""))
+    kept = parsed.select(
+        "doc_id",
+        "k",
+        F.col("x1s").cast("int").alias("x1"),
+        F.col("y1s").cast("int").alias("y1"),
+        F.col("x2s").cast("int").alias("x2"),
+        F.col("y2s").cast("int").alias("y2"),
+        "txt",
+    )
+    w = Window.partitionBy("doc_id").orderBy("y1", "x1", "k")
+    return kept.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("ord"),
+        "x1", "y1", "x2", "y2", "txt",
+    )
+
+
 def exploded_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Extraction result in per-row form (doc_id, ord, kind, text,
     media_ref) — the shape the DuckDB oracle compares. posexplode keeps

@@ -19,14 +19,36 @@ from pyspark.sql import functions as F
 
 UNCLASSIFIED = "未分类"
 
-# (project, source_pattern) — J9 path-dimension analogue
+# (project, source_pattern) — J9 path-dimension analogue. Patterns may
+# contain '*' wildcards (reference project_detector.py:70-76 translates
+# them with folder.replace('*', '.*') and re.match, i.e. anchored at the
+# start, open at the end); rules are checked IN ORDER and the first
+# match wins (the reference iterates its project dict in order). src1
+# docs therefore go to proj_alpha (rule 1) even though src1* (rule 5)
+# also covers them; src10..src19 go to proj_delta.
 PROJECT_SOURCES: list[tuple[str, str]] = [
     ("proj_alpha", "src0"),
     ("proj_alpha", "src1"),
     ("proj_beta", "src2"),
     ("proj_beta", "src3"),
     ("proj_gamma", "src4"),
+    ("proj_delta", "src1*"),
 ]
+
+
+def _source_rules() -> list[tuple[int, str, str, bool, str]]:
+    """(rule_id, project, source_pat, is_wild, pat_re) rows; pat_re is
+    the reference's '*'→'.*' translation anchored at the start."""
+    return [
+        (
+            i,
+            p,
+            s,
+            "*" in s,
+            "^" + s.lower().replace("*", ".*") if "*" in s else "",
+        )
+        for i, (p, s) in enumerate(PROJECT_SOURCES)
+    ]
 
 # (project, keyword) — J10 content keywords
 PROJECT_KEYWORDS: list[tuple[str, str]] = [
@@ -37,7 +59,11 @@ PROJECT_KEYWORDS: list[tuple[str, str]] = [
 
 
 def source_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PROJECT_SOURCES, "project string, source_pat string")
+    return spark.createDataFrame(
+        _source_rules(),
+        "rule_id int, project string, source_pat string,"
+        " is_wild boolean, pat_re string",
+    )
 
 
 def keyword_dim(spark: SparkSession) -> DataFrame:
@@ -49,8 +75,18 @@ def detect_projects(
 ) -> DataFrame:
     """docs(doc_id, source, text) → doc_id, project, match_type,
     score — J9 ∘ J10 ∘ fallback cascade."""
+    # exact rules equi-match; wildcard rules theta-match via RLIKE with
+    # the rule's column pattern (tiny broadcast dim → a bounded
+    # BroadcastNestedLoopJoin, the right plan for an OR-of-predicates
+    # rule join); first matching rule wins (rule_id order)
+    cond = (~src_dim.is_wild & (docs.source == src_dim.source_pat)) | (
+        src_dim.is_wild & F.expr("source RLIKE pat_re")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("rule_id")
     by_path = (
-        docs.join(F.broadcast(src_dim), docs.source == src_dim.source_pat)
+        docs.join(F.broadcast(src_dim), cond)
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") == 1)
         .select("doc_id", F.col("project").alias("p_path"))
     )
 

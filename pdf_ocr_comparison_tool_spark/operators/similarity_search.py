@@ -76,8 +76,8 @@ def _hyperplane_weight(i: int, j: int) -> int:
     return ((i * 31 + j * 17) % 7) - 3
 
 
-def lsh_bucket(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, embedding) → (vec_id, bucket) with a 16-bit
+def lsh_bucket(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, bucket) with a ``bits``-bit
     random-hyperplane signature."""
     def _bit_sum(jj: int):
         # closure factory (not a default-arg lambda: transform would
@@ -95,10 +95,67 @@ def lsh_bucket(embeddings: DataFrame) -> DataFrame:
         )
 
     bucket = F.lit(0).cast("long")
-    for j in range(LSH_BITS):
+    for j in range(bits):
         s = _bit_sum(j)
         bucket = bucket + F.when(s >= 0, F.lit(2**j)).otherwise(F.lit(0))
     return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+LSH_SEARCH_BITS = 8  # search variant: coarser buckets → usable recall
+
+
+def lsh_search(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    bits: int = LSH_SEARCH_BITS,
+) -> DataFrame:
+    """End-to-end LSH ANN search: probe bucket → bucket equi-join →
+    exact-cosine rerank → top-k. THE scale path: candidate generation
+    is an equi-join on the bucket id (shuffle-hash/broadcast, never a
+    cross join), rerank touches only in-bucket candidates.
+
+    Emits (q_id, rank, c_id, sim); queries whose bucket holds fewer
+    than k neighbors emit fewer rows (approximate by design — recall
+    vs the brute-force baseline is pinned in tests)."""
+    b = lsh_bucket(embeddings, bits)
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
+    )
+    probes = (
+        b.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), "bucket")
+        .join(
+            norms.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("qv"),
+                F.col("nsq").alias("q_nsq"),
+            ),
+            "q_id",
+        )
+    )
+    cands = b.join(
+        norms.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("cv"),
+            F.col("nsq").alias("c_nsq"),
+        ),
+        b.vec_id == F.col("c_id"),
+    ).select("c_id", "bucket", "cv", "c_nsq")
+    sim = _dot("qv", "cv") / (
+        F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq"))
+    )
+    pairs = (
+        cands.join(F.broadcast(probes), "bucket")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "c_id", "sim")
+    )
 
 
 IVF_N_CENTROIDS = 16
@@ -142,6 +199,68 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> Dat
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id", "dist")
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """End-to-end IVF ANN search: nprobe nearest centroids per query →
+    equi-join on centroid_id against the inverted lists → exact-cosine
+    rerank → top-k. Scans 1/(n_centroids/nprobe) of the corpus per
+    query instead of all of it; candidate generation is an equi-join.
+
+    Emits (q_id, rank, c_id, sim)."""
+    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv0"),
+        _dot("embedding", "embedding").alias("c0_nsq"),
+    )
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
+    )
+    q = norms.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    qdist = (
+        F.col("q_nsq")
+        - 2.0 * _dot("qv", "cv0")
+        + F.col("c0_nsq")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("qd"), F.asc("centroid_id"))
+    probe_lists = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qv", "q_nsq", "centroid_id", qdist.alias("qd"))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= nprobe)
+        .select("q_id", "qv", "q_nsq", "centroid_id")
+    )
+    cands = assign.join(
+        norms.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("cv"),
+            F.col("nsq").alias("c_nsq"),
+        ),
+        assign.vec_id == F.col("c_id"),
+    ).select("c_id", "centroid_id", "cv", "c_nsq")
+    sim = _dot("qv", "cv") / (F.sqrt(F.col("q_nsq")) * F.sqrt(F.col("c_nsq")))
+    pairs = (
+        cands.join(F.broadcast(probe_lists), "centroid_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "c_id", "sim")
     )
 
 

@@ -698,6 +698,99 @@ def lsh_bucket_sql(d: str, bits: int = 16, dim: int = 64) -> str:
     return f"""SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM embeddings"""
 
 
+def lsh_search_sql(d: str, n_queries: int = 8, k: int = 10, bits: int = 8) -> str:
+    """End-to-end LSH search: probe bucket → equi-join → rerank → top-k."""
+    sim = (
+        f"CAST({_dot_sql('qv', 'cv', d)} AS DOUBLE)"
+        f" / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE)))"
+    )
+    return f"""WITH ls_b AS ({lsh_bucket_sql(d, bits=bits)}),
+ls_n AS (
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq
+  FROM embeddings
+),
+ls_q AS (
+  SELECT b.vec_id AS q_id, b.bucket, n.embedding AS qv, n.nsq AS q_nsq
+  FROM ls_b b JOIN ls_n n ON b.vec_id = n.vec_id WHERE b.vec_id < {n_queries}
+),
+ls_c AS (
+  SELECT b.vec_id AS c_id, b.bucket, n.embedding AS cv, n.nsq AS c_nsq
+  FROM ls_b b JOIN ls_n n ON b.vec_id = n.vec_id
+),
+ls_s AS (
+  SELECT q_id, c_id, {sim} AS sim
+  FROM ls_c c JOIN ls_q q ON c.bucket = q.bucket AND c.c_id <> q.q_id
+),
+ls_r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+  FROM ls_s
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, sim FROM ls_r WHERE rank <= {k}"""
+
+
+def ivf_search_sql(
+    d: str, n_queries: int = 8, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+) -> str:
+    """End-to-end IVF search: nprobe nearest centroids → inverted-list
+    equi-join → rerank → top-k."""
+    probe_dist = (
+        f"CAST(q.q_nsq AS DOUBLE) - 2.0 * CAST({_dot_sql('q.qv', 'c.cv', d)} AS DOUBLE)"
+        f" + CAST(c.c_nsq AS DOUBLE)"
+    )
+    sim = (
+        f"CAST({_dot_sql('p.qv', 'c.cv2', d)} AS DOUBLE)"
+        f" / (sqrt(CAST(p.q_nsq AS DOUBLE)) * sqrt(CAST(c.c_nsq2 AS DOUBLE)))"
+    )
+    return f"""WITH iv_c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv,
+         {_dot_sql('embedding', 'embedding', d)} AS c_nsq
+  FROM embeddings WHERE vec_id < {n_centroids}
+),
+iv_v AS (
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS v_nsq
+  FROM embeddings
+),
+iv_p AS (
+  SELECT vec_id, centroid_id,
+         CAST(v_nsq AS DOUBLE) - 2.0 * CAST({_dot_sql('embedding', 'cv', d)} AS DOUBLE)
+           + CAST(c_nsq AS DOUBLE) AS dist
+  FROM iv_v CROSS JOIN iv_c
+),
+iv_a AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM iv_p
+  ) x WHERE rn = 1
+),
+is_q AS (
+  SELECT vec_id AS q_id, embedding AS qv, v_nsq AS q_nsq
+  FROM iv_v WHERE vec_id < {n_queries}
+),
+is_pl AS (
+  SELECT q_id, qv, q_nsq, centroid_id FROM (
+    SELECT q.q_id, q.qv, q.q_nsq, c.centroid_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {probe_dist} ASC, c.centroid_id ASC) AS prn
+    FROM is_q q CROSS JOIN iv_c c
+  ) y WHERE prn <= {nprobe}
+),
+is_c AS (
+  SELECT a.vec_id AS c_id, a.centroid_id, v.embedding AS cv2, v.v_nsq AS c_nsq2
+  FROM iv_a a JOIN iv_v v ON a.vec_id = v.vec_id
+),
+is_s AS (
+  SELECT p.q_id, c.c_id, {sim} AS sim
+  FROM is_c c JOIN is_pl p ON c.centroid_id = p.centroid_id AND c.c_id <> p.q_id
+),
+is_r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+  FROM is_s
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, sim FROM is_r WHERE rank <= {k}"""
+
+
 # ----------------------------------------------------- cascade / project
 _CONF_A = "CAST((doc_id * 131 + page_num * 17 + 5) % 101 AS DOUBLE) / CAST(100.0 AS DOUBLE)"
 _CONF_B = "(70 + (doc_id * 37 + page_num * 11 + 3) % 31) / CAST(100.0 AS DOUBLE)"
@@ -766,12 +859,15 @@ FROM pk_ranked WHERE rank <= {k}"""
 
 
 def _project_dims_sql() -> tuple[str, str]:
-    from .operators.project import PROJECT_KEYWORDS, PROJECT_SOURCES
+    from .operators.project import PROJECT_KEYWORDS, _source_rules
 
-    src = ", ".join(f"('{p}', '{s}')" for p, s in PROJECT_SOURCES)
+    src = ", ".join(
+        f"({i}, '{p}', '{s}', {'TRUE' if w else 'FALSE'}, '{re}')"
+        for i, p, s, w, re in _source_rules()
+    )
     kw = ", ".join(f"('{p}', '{k}')" for p, k in PROJECT_KEYWORDS)
     return (
-        f"(VALUES {src}) AS sd(project, source_pat)",
+        f"(VALUES {src}) AS sd(rule_id, project, source_pat, is_wild, pat_re)",
         f"(VALUES {kw}) AS kd(project, keyword)",
     )
 
@@ -783,9 +879,20 @@ def project_detect_sql(d: str, docs: str = "documents") -> str:
         "length(kd.keyword)",
         d,
     )
-    return f"""WITH pd_path AS (
-  SELECT dd.doc_id, sd.project AS p_path
-  FROM {docs} dd JOIN {src_dim} ON dd.source = sd.source_pat
+    wild_match = (
+        "dd.source RLIKE sd.pat_re"
+        if d == SPARK
+        else "regexp_matches(dd.source, sd.pat_re)"
+    )
+    return f"""WITH pd_pathm AS (
+  SELECT dd.doc_id, sd.project,
+         row_number() OVER (PARTITION BY dd.doc_id ORDER BY sd.rule_id) AS prn
+  FROM {docs} dd JOIN {src_dim}
+    ON (NOT sd.is_wild AND dd.source = sd.source_pat)
+    OR (sd.is_wild AND {wild_match})
+),
+pd_path AS (
+  SELECT doc_id, project AS p_path FROM pd_pathm WHERE prn = 1
 ),
 pd_hits AS (
   SELECT t.doc_id, kd.project, sum(({occ}) * length(kd.keyword)) AS score

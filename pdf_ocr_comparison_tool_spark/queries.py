@@ -134,6 +134,14 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("extract_grounded", oracle=G.grounded_parse_sql(G.DUCK))
+def q_extract_grounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: synthesize raw grounded-output blobs, parse them back into
+    (bbox, text) spans, linearize reading order y-then-x
+    (deepseek_ocr2_engine.py:270-283)."""
+    return extraction.parse_grounded(synth.grounded_df(spark, sf_dir))
+
+
 # ------------------------------------------------------- pages pipeline
 @register("pages_synth", oracle=O.pages_sql(G.DUCK))
 def q_pages_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,6 +459,24 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer assignment (inverted-list ANN scale path)."""
     return similarity_search.ivf_assign(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("ann_lsh_search", oracle=O.lsh_search_sql(G.DUCK))
+def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LSH ANN search: probe bucket → bucket equi-join →
+    exact-cosine rerank → top-k (the 10^12-row search shape)."""
+    return similarity_search.lsh_search(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("ann_ivf_search", oracle=O.ivf_search_sql(G.DUCK))
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN search: nprobe nearest centroids →
+    inverted-list equi-join → exact-cosine rerank → top-k."""
+    return similarity_search.ivf_search(
         synth.load_table(spark, sf_dir, "embeddings")
     )
 

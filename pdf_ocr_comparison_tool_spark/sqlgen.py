@@ -47,6 +47,26 @@ ENRICH_TEXT = (
 NOISE_LINE_0 = "torch.Size([1, 3, 224, 224])"
 NOISE_LINE_1 = "Setting pad_token_id to eos_token_id"
 
+# ---- grounded-output spec (reference deepseek_ocr2_engine.py:270-283) --
+# The engine's raw grounded output format is
+#   <|ref|>text<|/ref|><|det|>[[x1, y1, x2, y2]]<|/det|>\n<body>
+# repeated per span. The synthetic blob derives spans + bboxes from
+# doc_id/k with pure arithmetic; the parse operator splits the blob
+# back into (bbox, text) spans and linearizes reading order y-then-x.
+GR_NSPAN_MOD = 5       # n_spans = 1 + doc_id % 5
+GR_KMULT = 7919
+GR_ADD = 31
+GR_MOD = 100003
+GR_STRIDE = 23
+GR_LEN = 40
+GR_HDR = "<|ref|>text<|/ref|><|det|>[["
+GR_REF_SPLIT_RE = r"<\|ref\|>"
+GR_HDR_RE = (
+    r"^text<\|/ref\|><\|det\|>\[\[(\d+),\s*(\d+),\s*(\d+),\s*(\d+)\]\]<\|/det\|>"
+)
+GR_BODY_RE = r"(?s)<\|/det\|>\s*\n?(.*)$"
+
+
 # ---- normalization spec (reference deepseek_ocr2_engine.py:300-341) ----
 MARKER_RE = r"<\|[^|]*\|>"
 BBOX_RE = r"\[\[[0-9, ]*\]\]"
@@ -150,6 +170,85 @@ def explode_range(n_expr: str, alias: str, d: str) -> str:
     if d == SPARK:
         return f"explode(sequence(0, CAST({n_expr} AS INT) - 1)) AS {alias}"
     return f"unnest(range(CAST({n_expr} AS BIGINT))) AS {alias}"
+
+
+# --------------------------------------------------- grounded derivation
+def gr_coords(h: str) -> tuple[str, str, str, str]:
+    """Bbox coordinate expressions from the span hash (shared spec)."""
+    return (
+        f"({h}) % 900",
+        f"(({h}) * 7) % 1200",
+        f"({h}) % 900 + 40 + ({h}) % 100",
+        f"(({h}) * 7) % 1200 + 20 + ({h}) % 50",
+    )
+
+
+def grounded_cte(d: str, docs: str = "documents") -> str:
+    """CTE chain deriving one grounded raw-output blob per document."""
+    nl = "chr(10)"
+    x1, y1, x2, y2 = gr_coords("h")
+    seg = (
+        f"{lit(GR_HDR, d)} || {cast_str(x1, d)} || ', ' || {cast_str(y1, d)}"
+        f" || ', ' || {cast_str(x2, d)} || ', ' || {cast_str(y2, d)}"
+        f" || ']]<|/det|>' || {nl}"
+        f" || substr(text, 1 + k * {GR_STRIDE}, {GR_LEN})"
+    )
+    return f"""
+gr_base AS (
+  SELECT doc_id, text, 1 + doc_id % {GR_NSPAN_MOD} AS n_spans FROM {docs}
+),
+gr_ks AS (
+  SELECT doc_id, text, {explode_range('n_spans', 'k', d)} FROM gr_base
+),
+gr_h AS (
+  SELECT doc_id, k, text,
+         (doc_id * {H_MULT} + k * {GR_KMULT} + {GR_ADD}) % {GR_MOD} AS h
+  FROM gr_ks
+),
+gr_blob AS (
+  SELECT doc_id, string_agg({seg}, {nl} ORDER BY k) AS grounded
+  FROM gr_h GROUP BY doc_id
+)"""
+
+
+def grounded_parse_sql(d: str, docs: str = "documents") -> str:
+    """Synthesize the grounded blob, then parse it back: split on the
+    ref marker, extract bbox + body per piece, drop non-matching /
+    empty pieces, reading order = (y1, x1) linearization (W2; reference
+    deepseek_ocr2_engine.py:270-283 parses, this adds the ordering)."""
+    if d == SPARK:
+        pieces = f"split(grounded, {rx(GR_REF_SPLIT_RE, d)})"
+    else:
+        pieces = f"regexp_split_to_array(grounded, {rx(GR_REF_SPLIT_RE, d)})"
+    grp = lambda g: f"regexp_extract(piece, {rx(GR_HDR_RE, d)}, {g})"  # noqa: E731
+    body = f"trim(regexp_extract(piece, {rx(GR_BODY_RE, d)}, 1))"
+    if d == SPARK:
+        k_piece = f"posexplode({pieces}) AS (k, piece)"
+        unn = f"SELECT doc_id, {k_piece} FROM gr_blob"
+    else:
+        unn = (
+            f"SELECT doc_id, k, ps[k + 1] AS piece FROM ("
+            f"SELECT doc_id, ps, unnest(range(len(ps))) AS k FROM "
+            f"(SELECT doc_id, {pieces} AS ps FROM gr_blob) q1) q2"
+        )
+    return f"""WITH {grounded_cte(d, docs)},
+gp_pieces AS ({unn}),
+gp_x AS (
+  SELECT doc_id, k,
+         {grp(1)} AS x1s, {grp(2)} AS y1s, {grp(3)} AS x2s, {grp(4)} AS y2s,
+         {body} AS txt
+  FROM gp_pieces
+),
+gp_kept AS (
+  SELECT doc_id, k,
+         CAST(x1s AS INT) AS x1, CAST(y1s AS INT) AS y1,
+         CAST(x2s AS INT) AS x2, CAST(y2s AS INT) AS y2, txt
+  FROM gp_x WHERE x1s <> '' AND txt <> ''
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY y1, x1, k) - 1 AS BIGINT) AS ord,
+       x1, y1, x2, y2, txt
+FROM gp_kept"""
 
 
 # ------------------------------------------------------- spans derivation

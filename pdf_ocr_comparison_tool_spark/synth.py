@@ -97,6 +97,43 @@ def spans_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def grounded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents parquet → (doc_id, grounded) raw grounded-output blobs
+    per the sqlgen GR_* spec (deepseek_ocr2_engine.py:270-283 format).
+    Narrow-only: one transform over a sequence + array_join per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mk_seg(k):
+        h = (
+            F.col("doc_id") * F.lit(G.H_MULT)
+            + k * F.lit(G.GR_KMULT)
+            + F.lit(G.GR_ADD)
+        ) % F.lit(G.GR_MOD)
+        x1 = h % 900
+        y1 = (h * 7) % 1200
+        x2 = h % 900 + 40 + h % 100
+        y2 = (h * 7) % 1200 + 20 + h % 50
+        return F.concat(
+            F.lit(G.GR_HDR),
+            x1.cast("string"), F.lit(", "),
+            y1.cast("string"), F.lit(", "),
+            x2.cast("string"), F.lit(", "),
+            y2.cast("string"),
+            F.lit("]]<|/det|>\n"),
+            F.substring(
+                F.col("text"), F.lit(1) + (k * G.GR_STRIDE).cast("int"), G.GR_LEN
+            ),
+        )
+
+    n = (F.lit(1) + F.col("doc_id") % G.GR_NSPAN_MOD).cast("int")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n - 1), mk_seg), "\n"
+        ).alias("grounded"),
+    )
+
+
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic pages IR (voucher + reference roles), rendered from
     the shared spec in :mod:`pagesgen` — same SQL text the DuckDB oracle

@@ -59,3 +59,34 @@ def test_identical_text_cosine_one(spark):
     )
     r = df.select(S.cosine_udf("t1", "t2").alias("sim")).collect()[0]
     assert math.isclose(r["sim"], 1.0, rel_tol=1e-12)
+
+
+def test_ann_search_recall_vs_brute(spark):
+    """The LSH / IVF end-to-end searches must agree with the brute-force
+    baseline on a reasonable fraction of true top-k neighbors (they are
+    approximate by design; the floor pins against silent degradation)."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+    from tests.conftest import SF_DIR_001
+
+    emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+    k = 10
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], set()).add(r["c_id"])
+        return out
+
+    brute = topk_sets(SS.ann_brute_topk(emb, n_queries=8, k=k))
+
+    def recall(df):
+        approx = topk_sets(df)
+        hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+        return hits / sum(len(brute[q]) for q in brute)
+
+    r_ivf = recall(SS.ivf_search(emb, n_queries=8, k=k))
+    r_lsh = recall(SS.lsh_search(emb, n_queries=8, k=k))
+    # nprobe=4/16 centroids scans ~25% of the corpus; random-ish
+    # embeddings make these floors loose but non-trivial
+    assert r_ivf >= 0.2, f"IVF recall@{k} collapsed: {r_ivf}"
+    assert r_lsh >= 0.05, f"LSH recall@{k} collapsed: {r_lsh}"
