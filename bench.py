@@ -62,9 +62,15 @@ def _run_headline(cores: str) -> dict:
         if name not in qs:
             continue
         _noop(qs[name](spark, SF_DIR))  # warm: codegen + JIT, amortized at scale
+        # drop plan caches between warm and timed run: Spark's cache
+        # manager matches canonicalized plans, so the timed run would
+        # otherwise reuse the warm run's cached subtrees and understate
+        # the work; also prevents cache bloat across the query list
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _noop(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     spark.stop()
     total = round(sum(timings.values()), 3)

@@ -52,6 +52,20 @@ STATUS_LOW = "低相似度"
 STATUS_NOT_FOUND = "未找到"
 
 
+def doc_type_patterns() -> list[tuple[str, int, str]]:
+    """(doc_type, priority, alternation_regex) — ONE findall regex per
+    type, keywords in config order (document_classifier.py:52-60 builds
+    '|'.join(keywords) and counts non-overlapping findall matches, so
+    nested keywords like 合同/合同金额 do NOT double-count: leftmost-
+    first alternation consumes 合同 and moves on). Keyword literals are
+    CJK with no regex metacharacters (asserted)."""
+    grouped: dict[str, tuple[int, list[str]]] = {}
+    for t, k, p in DOC_TYPE_KEYWORDS:
+        assert not set(k) & set(r"\.[]{}()*+?^$|"), k
+        grouped.setdefault(t, (p, []))[1].append(k)
+    return [(t, p, "|".join(ks)) for t, (p, ks) in grouped.items()]
+
+
 def doc_type_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         DOC_TYPE_KEYWORDS, schema="doc_type string, keyword string, priority int"

@@ -1,14 +1,17 @@
 """Keyword-rule document classification (SURVEY §2.4 A10/A11, §2.3 J9/J10).
 
-Rebuilds the reference classifier (document_classifier.py:62-110): per
-document type, score = (total keyword occurrence count) × (100 −
-priority); best type by score (ties → lower priority, then type name);
-confidence = best/total; no match → ("其他", 0.5).
+Rebuilds the reference classifier (document_classifier.py:52-103): per
+document type ONE alternation regex over its keywords, matches =
+len(findall) (non-overlapping, leftmost-first — nested keywords such as
+合同/合同金额 count once, exactly like Python's re); score = matches ×
+(100 − priority); best type by score (ties → lower priority = the
+reference's dict order); confidence = best/total; no match → ("其他",
+0.5).
 
-Spark shape: theta-join pages × broadcast keyword dim on substring
-containment, occurrence counting via length arithmetic (exact equivalent
-of non-overlapping regex findall for non-overlapping keywords), then a
-window argmax. All built-in expressions.
+Spark shape: ONE narrow scan — per page an array of 9 per-type structs
+(findall count via sentinel-replace length arithmetic; Java regex and
+RE2 share Python's leftmost-first alternation semantics), exploded and
+filtered, then a window argmax. No join, no UDF.
 """
 
 from __future__ import annotations
@@ -18,23 +21,36 @@ from pyspark.sql import functions as F
 
 from .. import config as C
 
+_SENTINEL = "\x01"  # never appears in document text
+
+
+def findall_count(text_col, pattern: str) -> "F.Column":
+    """len(re.findall(pattern, text)): replace every non-overlapping
+    match with one sentinel char and count sentinels."""
+    r = F.regexp_replace(text_col, F.lit(pattern), F.lit(_SENTINEL))
+    return (
+        F.length(r) - F.length(F.replace(r, F.lit(_SENTINEL), F.lit("")))
+    ).cast("long")
+
 
 def classify_pages(
     pages: DataFrame,
-    dim: DataFrame,
     keys: list[str] = ("doc_id", "role", "page_num"),
 ) -> DataFrame:
     """pages(keys…, text) → keys + doc_type, score, confidence, n_matched."""
     keys = list(keys)
-    occ = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.col("keyword"))))
-        / F.length("keyword")
-    ).cast("long")
+    entries = [
+        F.struct(
+            F.lit(t).alias("doc_type"),
+            F.lit(p).alias("priority"),
+            findall_count(F.col("text"), pat).alias("matches"),
+        )
+        for t, p, pat in C.doc_type_patterns()
+    ]
     hits = (
-        pages.join(F.broadcast(dim), F.instr(F.col("text"), F.col("keyword")) > 0)
-        .withColumn("occ", occ)
-        .groupBy(*keys, "doc_type", "priority")
-        .agg(F.sum("occ").alias("matches"))
+        pages.select(*keys, F.explode(F.array(*entries)).alias("h"))
+        .select(*keys, "h.doc_type", "h.priority", "h.matches")
+        .filter(F.col("matches") > 0)
         .withColumn("score", F.col("matches") * (100 - F.col("priority")))
     )
     w = Window.partitionBy(*keys).orderBy(

@@ -173,7 +173,7 @@ def match_pages(
     top_k: int = C.TOP_K,
     partial_threshold: float = C.PARTIAL_THRESHOLD,
     fallback_cap: int = C.FALLBACK_CAP,
-    ref_per_key_cap: int = REF_PER_KEY_CAP,
+    ref_per_key_cap: int | None = REF_PER_KEY_CAP,
     sim_fn=None,
     sim_struct_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
@@ -211,7 +211,11 @@ def match_pages(
     # rest/cand feed multiple downstream branches (blocking, anti-join,
     # scoring); cache them so the branches don't recompute the upstream
     # DAG — the dataflow analogue of the reference's materialized
-    # candidate lists (content_matcher.py:291-306)
+    # candidate lists (content_matcher.py:291-306). Cache LIFETIME is
+    # owned by the caller: a long-lived session should
+    # spark.catalog.clearCache() after materializing the result (bench
+    # and the test suite do), since library code cannot know when the
+    # returned lazy DataFrame is done being consumed.
     rest = v.join(exact_probes, _PROBE, "left_anti").cache()
 
     # J2/J3 — blocking joins on exploded date / normalized-amount keys.
@@ -220,15 +224,41 @@ def match_pages(
     # bucket|; cap each blocking key's reference bucket at
     # ref_per_key_cap in deterministic (t_doc, t_page) order — the same
     # bounded-scan idea as the reference's 100-page fallback cap
-    # (content_matcher.py:306), applied per key.
-    kw = Window.partitionBy("bk").orderBy("t_doc", "t_page")
+    # (content_matcher.py:306), applied per key. DOCUMENTED DEVIATION:
+    # the reference scores ALL index pages sharing a key
+    # (content_matcher.py:291-304); when a bucket exceeds the cap the
+    # true best match may be excluded. Pass ref_per_key_cap=None for
+    # exact reference semantics (accepting the hot-key blowup).
+    #
+    # Shape: two-phase salted top-k, NOT a row_number window — a window
+    # sorts the ENTIRE hot bucket on one reducer before the cap
+    # applies. Phase 1 takes the cap-smallest within (bk, salt) cells
+    # (16-way spread of the hot key), phase 2 merges the ≤16·cap
+    # survivors per key. Any global top-cap row is top-cap within its
+    # cell, so the result is identical and deterministic.
+    _N_SALT = 16
 
     def _cap(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("krn", F.row_number().over(kw))
-            .filter(F.col("krn") <= ref_per_key_cap)
-            .drop("krn")
+        if ref_per_key_cap is None:
+            return df
+        pair = F.struct(F.col("t_doc"), F.col("t_page"))
+        salt = F.pmod(F.hash("t_doc", "t_page"), F.lit(_N_SALT))
+        cell = (
+            df.groupBy("bk", salt.alias("salt"))
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(pair)), 1, ref_per_key_cap
+                ).alias("ps")
+            )
         )
+        merged = cell.groupBy("bk").agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("ps"))), 1, ref_per_key_cap
+            ).alias("ps")
+        )
+        return merged.select(
+            "bk", F.explode("ps").alias("p")
+        ).select("bk", F.col("p.t_doc").alias("t_doc"), F.col("p.t_page").alias("t_page"))
 
     v_dates = rest.select(*_PROBE, F.explode("dates").alias("bk"))
     r_dates = _cap(r.select("t_doc", "t_page", F.explode("t_dates").alias("bk")))

@@ -108,14 +108,22 @@ def page_top_keywords(pages: DataFrame, k: int = 3) -> DataFrame:
 
 
 def timeline(feat_pages: DataFrame) -> DataFrame:
-    """A9: per extracted date — pages, distinct docs, role split
-    (reference main.py:669-707)."""
+    """A9: per extracted date — pages, distinct docs, role split, plus
+    the first-3 sample documents (reference main.py:696 slices 3 sample
+    files per date; sorted here for determinism)."""
     ex = feat_pages.select("doc_id", "role", F.explode("dates").alias("date_s"))
     return ex.groupBy("date_s").agg(
         F.count("*").alias("n_pages"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.when(F.col("role") == "voucher", 1)).alias("n_voucher"),
         F.count(F.when(F.col("role") == "reference", 1)).alias("n_reference"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 3),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("sample_docs"),
     )
 
 

@@ -71,26 +71,35 @@ FROM feat"""
 
 
 def classify_sql(d: str, docs: str = "documents") -> str:
-    dim = C.doc_type_values_sql()
-    occ = P.idiv(
-        "(length(p.text) - length(replace(p.text, k.keyword, '')))",
-        "length(k.keyword)",
-        d,
-    )
+    """Mirror of operators.classify.classify_pages: per-type findall
+    counts via sentinel-replace (leftmost-first alternation — identical
+    semantics in Python re, Java regex and RE2)."""
+    entries = []
+    for t, p, pat in C.doc_type_patterns():
+        if d == SPARK:
+            r = f"regexp_replace(p.text, {G.rx(pat, d)}, chr(1))"
+        else:
+            r = f"regexp_replace(p.text, {G.rx(pat, d)}, chr(1), 'g')"
+        m = f"CAST(length({r}) - length(replace({r}, chr(1), '')) AS BIGINT)"
+        if d == SPARK:
+            entries.append(
+                f"named_struct('doc_type', '{t}', 'priority', {p}, 'matches', {m})"
+            )
+        else:
+            entries.append(f"{{'doc_type': '{t}', 'priority': {p}, 'matches': {m}}}")
+    if d == SPARK:
+        unn = f"explode(array({', '.join(entries)})) AS h"
+    else:
+        unn = f"unnest([{', '.join(entries)}]) AS h"
     return f"""WITH {P.pages_cte(d, docs)},
-clf_hits AS (
-  SELECT p.doc_id, p.role, p.page_num, k.doc_type, k.priority,
-         CAST({occ} AS BIGINT) AS occ
-  FROM pages p JOIN {dim} ON instr(p.text, k.keyword) > 0
-),
-clf_scores AS (
-  SELECT doc_id, role, page_num, doc_type, priority, sum(occ) AS matches
-  FROM clf_hits GROUP BY doc_id, role, page_num, doc_type, priority
+clf_all AS (
+  SELECT p.doc_id, p.role, p.page_num, {unn} FROM pages p
 ),
 clf_sc AS (
-  SELECT doc_id, role, page_num, doc_type, priority, matches,
-         matches * (100 - priority) AS score
-  FROM clf_scores
+  SELECT doc_id, role, page_num,
+         h.doc_type AS doc_type, h.priority AS priority, h.matches AS matches,
+         h.matches * (100 - h.priority) AS score
+  FROM clf_all WHERE h.matches > 0
 ),
 clf_ranked AS (
   SELECT *,
@@ -431,13 +440,21 @@ FROM kt_ranked WHERE rank <= {n}"""
 
 
 def timeline_sql(d: str, docs: str = "documents") -> str:
+    if d == SPARK:
+        samp_arr = "slice(array_sort(collect_set(doc_id)), 1, 3)"
+    else:
+        samp_arr = "list_slice(list_sort(list(DISTINCT doc_id)), 1, 3)"
+    samp = G.array_join(
+        G.ltransform(samp_arr, f"x -> {G.cast_str('x', d)}", d), "'|'", d
+    )
     return f"""WITH {feat_cte(d, docs)},
 tl AS (SELECT doc_id, role, {explode('dates', 'date_s', d)} FROM feat)
 SELECT date_s,
        CAST(count(*) AS BIGINT) AS n_pages,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) FILTER (WHERE role = 'voucher') AS BIGINT) AS n_voucher,
-       CAST(count(*) FILTER (WHERE role = 'reference') AS BIGINT) AS n_reference
+       CAST(count(*) FILTER (WHERE role = 'reference') AS BIGINT) AS n_reference,
+       {samp} AS sample_docs
 FROM tl GROUP BY date_s"""
 
 

@@ -175,14 +175,14 @@ def q_page_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_classify_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 keyword-rule classification with argmax + confidence."""
     pages = synth.pages_df(spark, sf_dir)
-    return classify.classify_pages(pages, C.doc_type_dim(spark))
+    return classify.classify_pages(pages)
 
 
 @register("doc_majority_type", oracle=O.majority_type_sql(G.DUCK))
 def q_doc_majority_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 per-document majority page type."""
     pages = synth.pages_df(spark, sf_dir)
-    clf = classify.classify_pages(pages, C.doc_type_dim(spark))
+    clf = classify.classify_pages(pages)
     return classify.majority_doc_type(clf)
 
 
@@ -367,7 +367,7 @@ def q_engine_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 consecutive same-type page runs (split-by-type grouping)."""
     pages = synth.pages_df(spark, sf_dir)
-    clf = classify.classify_pages(pages, C.doc_type_dim(spark))
+    clf = classify.classify_pages(pages)
     return classify.type_islands(clf)
 
 

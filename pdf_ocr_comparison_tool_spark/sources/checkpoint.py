@@ -58,29 +58,52 @@ def remaining_parts(
     return all_parts.join(lineage.select("part"), "part", "left_anti")
 
 
-def write_partition(
+def write_parts_batch(
     spark: SparkSession,
-    part_df: DataFrame,
-    part: int,
+    with_part: DataFrame,
+    parts: list[int],
     out_dir: str,
     run_id: str,
     n_parts: int,
 ) -> None:
-    """Commit one part: data file + lineage row. The lineage row is
-    written only after the data write succeeds (commit point)."""
+    """Commit a BATCH of parts in ONE Spark job (dynamic partition
+    overwrite), then append their lineage rows as the commit point.
+
+    One job for all remaining parts instead of one job per part — at
+    n_parts ≈ 10⁴ the per-job driver serialization dominates wall time
+    (round-1 verdict); batching keeps exactly-once semantics because a
+    killed run leaves data files WITHOUT lineage rows, and the next run
+    recomputes those parts and dynamic-overwrite replaces them
+    atomically per partition directory.
+
+    Per-part stats are aggregated from the files just committed (no
+    second execution of the extraction DAG); ``wall_ms`` records the
+    batch job wall for each of its parts.
+    """
+    from ..operators.extraction import extract_ordered_spans
+
     t0 = time.perf_counter()
-    data_path = os.path.join(out_dir, "data", f"part={part}")
-    part_df.write.mode("overwrite").parquet(data_path)
-    stats = part_df.agg(
+    out = extract_ordered_spans(with_part.filter(F.col("part").isin(parts)))
+    data_path = os.path.join(out_dir, "data")
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part")
+        .parquet(data_path)
+    )
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+    written = spark.read.parquet(data_path).filter(F.col("part").isin(parts))
+    stats = written.groupBy("part").agg(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
-    ).collect()[0]
-    wall_ms = int((time.perf_counter() - t0) * 1000)
-    lineage_row = spark.createDataFrame(
-        [(part, n_parts, stats["n_docs"], stats["n_spans"], wall_ms, run_id)],
-        LINEAGE_SCHEMA,
     )
-    lineage_row.write.mode("append").parquet(os.path.join(out_dir, "_lineage"))
+    rows = [
+        (r["part"], n_parts, r["n_docs"], r["n_spans"], wall_ms, run_id)
+        for r in stats.collect()
+    ]
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
+        os.path.join(out_dir, "_lineage")
+    )
 
 
 def run_extraction_job(
@@ -91,13 +114,12 @@ def run_extraction_job(
     n_parts: int = 8,
     fail_after_parts: int | None = None,
 ) -> int:
-    """Resumable extraction job: per-part commit + anti-join resume.
+    """Resumable extraction job: batched part commit + anti-join resume.
 
-    ``fail_after_parts`` simulates a mid-job kill for the resume test.
-    Returns the number of parts processed in this run.
+    ``fail_after_parts`` simulates a mid-job kill for the resume test
+    (commits only that many parts, then raises). Returns the number of
+    parts processed in this run.
     """
-    from ..operators.extraction import extract_ordered_spans
-
     # resume safety: partition count is part of the checkpoint identity —
     # a different n_parts would re-key every doc and double-write. Adopt
     # the committed run's n_parts if one exists.
@@ -115,16 +137,12 @@ def run_extraction_job(
         .orderBy("part")
         .collect()
     ]
-    done = 0
-    for p in todo:
-        if fail_after_parts is not None and done >= fail_after_parts:
-            raise RuntimeError(f"simulated failure after {done} parts")
-        out = extract_ordered_spans(with_part.filter(F.col("part") == p)).drop(
-            "part"
-        )
-        write_partition(spark, out, p, out_dir, run_id, n_parts)
-        done += 1
-    return done
+    batch = todo if fail_after_parts is None else todo[:fail_after_parts]
+    if batch:
+        write_parts_batch(spark, with_part, batch, out_dir, run_id, n_parts)
+    if fail_after_parts is not None:
+        raise RuntimeError(f"simulated failure after {len(batch)} parts")
+    return len(batch)
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -75,17 +75,26 @@ DEBUG_RE = (
     r"|deprecat|tensor|cuda|device|dtype"
 )
 
-# Feature-extraction regexes (reference ocr_engine.py:325-345)
+# Feature-extraction regexes — the reference's FULL pattern lists
+# (ocr_engine.py:324-344: DATE_PATTERNS, AMOUNT_PATTERNS,
+# NUMBER_PATTERNS verbatim; results are set-deduped there, array_
+# distinct here).
 DATE_RES = [
-    r"\d{4}[-/年]\d{1,2}[-/月]\d{1,2}日?",
+    r"\d{4}[-/年]\d{1,2}[-/月]\d{1,2}[日]?",
     r"\d{4}\.\d{1,2}\.\d{1,2}",
+    r"\d{4}年\d{1,2}月\d{1,2}日",
 ]
 AMOUNT_RES = [
     r"[¥￥]\s*[\d,]+\.?\d*",
     r"[\d,]+\.?\d*\s*[元万]",
+    r"金额[：:]\s*[\d,]+\.?\d*",
+    r"合计[：:]\s*[\d,]+\.?\d*",
 ]
 NUMBER_RES = [
-    r"[A-Za-z]+\d{4,}",
+    r"[A-Za-z]*\d{4,}",
+    r"编号[：:]\s*\S+",
+    r"合同号[：:]\s*\S+",
+    r"发票号[：:]\s*\S+",
 ]
 
 

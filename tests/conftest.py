@@ -20,6 +20,16 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_plan_caches(request):
+    """Operators cache build-once tables (featured pages, minhash sigs)
+    and never unpersist — callers own the lifetime. Clear after each
+    test so a 40-query session doesn't accumulate cached plans."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

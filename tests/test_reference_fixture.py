@@ -75,10 +75,26 @@ def test_canonical_classification_fixture(spark):
     df = spark.createDataFrame(rows, "doc_id long, role string, page_num int, text string")
     out = {
         r["doc_id"]: (r["doc_type"], r["confidence"])
-        for r in classify.classify_pages(df, C.doc_type_dim(spark)).collect()
+        for r in classify.classify_pages(df).collect()
     }
     assert out[0][0] == "凭证"
     assert out[1][0] == "发票"
     assert out[2][0] == "合同书"
     assert out[3][0] == "会议纪要"
     assert out[4] == (C.DEFAULT_DOC_TYPE, C.DEFAULT_CONFIDENCE)
+
+
+def test_nested_keywords_count_once(spark):
+    """findall alternation semantics (document_classifier.py:59,76):
+    合同编号 contains both the 合同 and 合同编号 keywords, but leftmost-
+    first non-overlapping matching counts exactly ONE match — per-
+    keyword substring counting would report 2."""
+    df = spark.createDataFrame(
+        [(0, "voucher", 1, "合同编号"), (1, "voucher", 1, "发票 发票代码")],
+        "doc_id long, role string, page_num int, text string",
+    )
+    out = {r["doc_id"]: r for r in classify.classify_pages(df).collect()}
+    assert out[0]["doc_type"] == "合同书" and out[0]["n_matched"] == 1
+    # 发票代码 starts with 发票 -> 发票(standalone) + 发票(prefix of 代码)
+    # = 2 matches, not 3
+    assert out[1]["doc_type"] == "发票" and out[1]["n_matched"] == 2
