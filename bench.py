@@ -31,11 +31,15 @@ HEADLINE = [
     "extract_spans",
     "extract_fulltext",
     "span_stats",
+    "extract_grounded",
     "match_best",
+    "match_best_cosine",
     "match_merged",
     "classify_pages",
     "dedup_minhash_lsh",
     "ann_brute_topk",
+    "ann_lsh_search",
+    "ann_ivf_search",
     "events_sessions",
     "lineitem_rollup",
 ]

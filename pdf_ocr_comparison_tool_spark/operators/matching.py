@@ -148,22 +148,47 @@ def tf_nsq_expr(tf_map) -> "F.Column":
     )
 
 
-def cosine_map_sim_expr(s1, s2) -> "F.Column":
-    """TF-cosine over precomputed (tf, nsq) payload structs — identical
-    values to :func:`cosine_sim_expr` (same integer dot/norms, same
-    final float ops) at a fraction of the per-pair cost."""
-    dot = F.aggregate(
-        F.transform(
-            F.map_entries(s1["tf"]),
-            lambda e: e["value"]
-            * F.coalesce(F.try_element_at(s2["tf"], e["key"]), F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def cosine_pair_scores(
+    pairs: DataFrame, vouchers: DataFrame, refs: DataFrame
+) -> DataFrame:
+    """TF-cosine for a pair set, RELATIONALLY: explode the per-page
+    token→count maps, equi-join voucher and reference counts on
+    (target page, token), aggregate Σ cnt_v·cnt_r per pair — every
+    operator whole-stage-codegen'd, no interpreted lambda in the
+    per-pair path (a per-pair HOF expression measured 117 s at sf0.1;
+    this shape runs in seconds and is the sparse-vector dot product a
+    1000-executor cluster wants: token joins carry the page key, so a
+    hot token cannot blow up beyond tokens-per-page × pairs).
+
+    Values are bit-identical to :func:`cosine_sim_expr`: the dot and
+    squared norms are the same integers (order-free sums), the final
+    sqrt/divide the same double ops. Pairs sharing no token get dot 0.
+    """
+    vt = vouchers.select(*_PROBE, F.explode(F.map_entries("tf")).alias("e")).select(
+        *_PROBE, F.col("e.key").alias("tok"), F.col("e.value").alias("cnt_v")
     )
-    n1, n2 = s1["nsq"], s2["nsq"]
-    return F.when((n1 == 0) | (n2 == 0), F.lit(0.0)).otherwise(
-        dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
+    rt = refs.select(
+        "t_doc", "t_page", F.explode(F.map_entries("t_tf")).alias("e")
+    ).select(
+        "t_doc", "t_page", F.col("e.key").alias("tok"), F.col("e.value").alias("cnt_r")
+    )
+    dots = (
+        pairs.join(vt, _PROBE)
+        .join(rt, ["t_doc", "t_page", "tok"])
+        .groupBy(*_PROBE, "t_doc", "t_page")
+        .agg(F.sum(F.col("cnt_v") * F.col("cnt_r")).alias("dot"))
+    )
+    vn = vouchers.select(*_PROBE, F.col("nsq").alias("v_nsq"))
+    rn = refs.select("t_doc", "t_page", F.col("t_nsq").alias("r_nsq"))
+    sim = F.when((F.col("v_nsq") == 0) | (F.col("r_nsq") == 0), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("dot"), F.lit(0).cast("long")).cast("double")
+        / (F.sqrt(F.col("v_nsq").cast("double")) * F.sqrt(F.col("r_nsq").cast("double")))
+    )
+    return (
+        pairs.join(dots, _PROBE + ["t_doc", "t_page"], "left")
+        .join(vn, _PROBE)
+        .join(rn, ["t_doc", "t_page"])
+        .select(*_PROBE, "t_doc", "t_page", sim.alias("sim"))
     )
 
 
@@ -175,20 +200,22 @@ def match_pages(
     fallback_cap: int = C.FALLBACK_CAP,
     ref_per_key_cap: int | None = REF_PER_KEY_CAP,
     sim_fn=None,
-    sim_struct_cols: tuple[str, ...] | None = None,
+    feature_cols: tuple[str, ...] | None = None,
+    pair_scorer=None,
 ) -> DataFrame:
     """vouchers/refs: (doc_id, page_num, text, text_hash, dates, amounts).
 
     Returns ranked candidate matches: probe keys + t_doc, t_page, sim,
     rn (1..top_k).
 
-    ``sim_fn`` scores (text, t_text) column pairs by default. When the
-    similarity needs precomputed per-page features instead (e.g. the
-    cosine TF maps), pass their column names as ``sim_struct_cols``:
-    they are carried through the blocking joins as one struct per side
-    and ``sim_fn`` receives the two structs.
+    Scoring contract: either ``pair_scorer(pairs, vouchers', refs')`` —
+    a relational scorer mapping the pair set to (probe, t_doc, t_page,
+    sim) rows (the cosine path; ``feature_cols`` names precomputed
+    per-page columns to carry into both sides, reference side
+    t_-prefixed) — or ``sim_fn`` over the (text, t_text) column pair
+    (default: levenshtein with its exact length prefilter).
     """
-    extra = list(sim_struct_cols or ())
+    extra = list(feature_cols or ())
     v = vouchers.select(
         "doc_id", "page_num", "text", "text_hash", "dates", "amounts", *extra
     )
@@ -295,36 +322,31 @@ def match_pages(
     # rest before the O(n·m) DP. Semantically a no-op (those pairs fail
     # the θ filter anyway), so the oracle needs no change.
     pairs = cand.unionByName(fallback).distinct()
-    if sim_struct_cols:
-        # precomputed-feature path: carry one struct per side through
-        # the scoring join; sim_fn scores the struct pair
-        lsel = rest.select(*_PROBE, F.struct(*extra).alias("_simL"))
-        rsel = r.select(
-            "t_doc",
-            "t_page",
-            F.struct(*[F.col(f"t_{c}").alias(c) for c in extra]).alias("_simR"),
+    if pair_scorer is not None:
+        # relational scorer: already aggregated per pair, its groupBy
+        # exchange plays the anti-pushdown barrier role
+        scored = pair_scorer(pairs, rest, r).filter(
+            F.col("sim") >= partial_threshold
         )
-        joined = pairs.join(lsel, _PROBE).join(rsel, ["t_doc", "t_page"])
-        sim = sim_fn(F.col("_simL"), F.col("_simR"))
-    else:
-        joined = pairs.join(rest.select(*_PROBE, "text"), _PROBE).join(
-            r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"]
+        return _rank_topk(exact, scored, top_k)
+    joined = pairs.join(rest.select(*_PROBE, "text"), _PROBE).join(
+        r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"]
+    )
+    if sim_fn is None:
+        # exact length prefilter — the bound only holds for edit
+        # distance, computed on the truncated inputs the DP sees
+        la = F.least(F.length("text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+        lb = F.least(F.length("t_text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
+        len_ok = (
+            (la - lb).cast("double")
+            <= (1.0 - partial_threshold) * F.greatest(la, lb)
+        ) & (
+            (lb - la).cast("double")
+            <= (1.0 - partial_threshold) * F.greatest(la, lb)
         )
-        if sim_fn is None:
-            # exact length prefilter — the bound only holds for edit
-            # distance, computed on the truncated inputs the DP sees
-            la = F.least(F.length("text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
-            lb = F.least(F.length("t_text"), F.lit(C.LEVENSHTEIN_MAX_CHARS))
-            len_ok = (
-                (la - lb).cast("double")
-                <= (1.0 - partial_threshold) * F.greatest(la, lb)
-            ) & (
-                (lb - la).cast("double")
-                <= (1.0 - partial_threshold) * F.greatest(la, lb)
-            )
-            joined = joined.filter(len_ok)
-            sim_fn = _sim_expr
-        sim = sim_fn(F.col("text"), F.col("t_text"))
+        joined = joined.filter(len_ok)
+        sim_fn = _sim_expr
+    sim = sim_fn(F.col("text"), F.col("t_text"))
     # The repartition between the sim projection and the θ filter is a
     # deliberate barrier: without it Catalyst collapses filter+project
     # and pushes the similarity CASE into the hash-join condition,
@@ -337,8 +359,11 @@ def match_pages(
         .repartition(*_PROBE)
         .filter(F.col("sim") >= partial_threshold)
     )
+    return _rank_topk(exact, scored, top_k)
 
-    # J6 — union with exact hits, top-k per probe
+
+def _rank_topk(exact: DataFrame, scored: DataFrame, top_k: int) -> DataFrame:
+    """J6 — union exact hits with fuzzy scores, top-k per probe."""
     all_matches = exact.unionByName(scored)
     w = Window.partitionBy(*_PROBE).orderBy(
         F.desc("sim"), F.asc("t_doc"), F.asc("t_page")

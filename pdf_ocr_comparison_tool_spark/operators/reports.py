@@ -127,6 +127,34 @@ def timeline(feat_pages: DataFrame) -> DataFrame:
     )
 
 
+def doc_processing_stats(exploded: DataFrame) -> DataFrame:
+    """A6: per-document processing stats + grand-total row (reference
+    main.py:550-592 writes one row per file — pages, seconds, speed —
+    then appends a manual 合计 row; Spark's ROLLUP is the idiomatic
+    form, grouping-set NULL ↦ 合计).
+
+    The sandbox has no OCR wall times; ``ms`` is the deterministic
+    char-count proxy (1 char ≡ 1 ms) standing in for the per-file
+    timing column, so speed = spans / (chars/1000) is oracle-checkable.
+    """
+    per_doc = exploded.rollup("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0)).cast("long").alias("ms"),
+    )
+    return per_doc.select(
+        F.when(F.col("doc_id").isNull(), F.lit("合计"))
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("doc"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "ms",
+        F.when(F.col("ms") > 0,
+               F.col("n_spans").cast("double")
+               / (F.col("ms").cast("double") / F.lit(1000.0)))
+        .otherwise(F.lit(0.0))
+        .alias("spans_per_sec"),
+    )
+
+
 def lineitem_rollup(lineitem: DataFrame) -> DataFrame:
     """A6-shaped rollup with grand-total rows (reference main.py:550-592
     appends a manual 合计 row; Spark rollup() is the idiomatic form)."""

@@ -467,6 +467,19 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
+def doc_processing_stats_sql(d: str, docs: str = "documents") -> str:
+    """A6 per-file stats + 合计 rollup row over the extraction output."""
+    ms = "CAST(coalesce(sum(length(text)), 0) AS BIGINT)"
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)})
+SELECT CASE WHEN doc_id IS NULL THEN '合计' ELSE {G.cast_str('doc_id', d)} END AS doc,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       {ms} AS ms,
+       CASE WHEN {ms} > 0
+            THEN CAST(count(*) AS DOUBLE) / (CAST({ms} AS DOUBLE) / 1000.0)
+            ELSE CAST(0.0 AS DOUBLE) END AS spans_per_sec
+FROM ext GROUP BY ROLLUP (doc_id)"""
+
+
 def events_sessions_sql(d: str, gap_sec: int = 1800) -> str:
     epoch = (
         "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"

@@ -188,6 +188,13 @@ def q_doc_majority_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _featured_roles(spark: SparkSession, sf_dir: str):
     pages = synth.pages_df(spark, sf_dir)
+    # the driver parquet is a single file → one input partition; the
+    # per-page feature projections below (regex features, keyword
+    # top-N, TF maps for cosine) are the heavy narrow work, so spread
+    # the rows across the executors BEFORE projecting (at real scale
+    # the scan already has thousands of splits and this is a no-op
+    # round-robin)
+    pages = pages.repartition(spark.sparkContext.defaultParallelism)
     f = features.add_features(pages).withColumn(
         "amounts",
         F.array_sort(
@@ -246,19 +253,27 @@ def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — TF cosine (config.yaml:154) — fully native and oracled
     (the pandas-UDF variant remains as the documented UDF surface).
 
-    TF maps + squared norms are precomputed per page and carried
-    through the blocking joins as a struct; the per-pair cost is
-    |tokens| hash lookups (matching.tf_map_expr)."""
+    TF maps + squared norms are precomputed per page
+    (matching.tf_map_expr); pair scoring is the RELATIONAL sparse dot
+    product (matching.cosine_pair_scores) — explode counts, equi-join
+    on token, aggregate — fully codegen'd, no per-pair lambda."""
     v, r = _featured_roles(spark, sf_dir)
 
     def aug(df):
-        return df.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
-            "nsq", matching.tf_nsq_expr(F.col("tf"))
+        # cache: the TF map build is the expensive narrow projection
+        # and the match DAG reads each side from several branches
+        return (
+            df.withColumn("tf", matching.tf_map_expr(F.col("text")))
+            .withColumn("nsq", matching.tf_nsq_expr(F.col("tf")))
+            .cache()
         )
 
     v2, r2 = aug(v), aug(r)
     ranked = matching.match_pages(
-        v2, r2, sim_fn=matching.cosine_map_sim_expr, sim_struct_cols=("tf", "nsq")
+        v2,
+        r2,
+        pair_scorer=matching.cosine_pair_scores,
+        feature_cols=("tf", "nsq"),
     )
     best = matching.best_matches(v2, ranked)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
@@ -336,6 +351,14 @@ def q_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6-shaped rollup with grand totals (decimal-exact sums)."""
     return reports.lineitem_rollup(synth.load_table(spark, sf_dir, "lineitem"))
+
+
+@register("doc_processing_stats", oracle=O.doc_processing_stats_sql(G.DUCK))
+def q_doc_processing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A13: per-document processing stats + 合计 grand-total row
+    (rollup) over the extraction output (main.py:550-592)."""
+    ex = extraction.exploded_spans(synth.spans_df(spark, sf_dir))
+    return reports.doc_processing_stats(ex)
 
 
 @register("events_sessions", oracle=O.events_sessions_sql(G.DUCK))

@@ -57,3 +57,36 @@ def test_match_fallback_is_broadcast(spark):
 def test_full_text_no_shuffle(spark):
     ft = extraction.full_text(synth.spans_df(spark, SF_DIR))
     assert "Exchange" not in _plan(ft)
+
+
+def test_keyword_top_is_parallel_topk(spark):
+    """A web-scale vocabulary must not funnel through one reducer: the
+    global top-50 compiles to TakeOrderedAndProject (parallel partial
+    top-k per partition), with NO single-partition exchange."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import reports
+
+    df = reports.keyword_top(synth.load_table(spark, SF_DIR, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_blocking_cap_has_no_global_window(spark):
+    """The per-key reference cap must be the two-phase salted top-k
+    aggregation, not a row_number window that sorts the whole hot
+    bucket on one reducer: the ranked-match plan contains no Window
+    sorting by the blocking key."""
+    from pdf_ocr_comparison_tool_spark.operators import matching
+    from pdf_ocr_comparison_tool_spark.queries import _featured_roles
+
+    v, r = _featured_roles(spark, SF_DIR)
+    ranked = matching.match_pages(v, r)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window remains: the per-probe top-k (partitioned by
+    # doc_id, page_num); none partitioned by the blocking key bk
+    assert "partial_sort" not in plan.lower()
+    import re
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    assert not any("bk" in w for w in windows), windows
