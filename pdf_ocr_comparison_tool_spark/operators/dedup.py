@@ -65,23 +65,31 @@ def minhash_sig(sh) -> "F.Column":
     """array<bigint> of NUM_HASHES minima under universal hashing
     h_i(x) = (A_i·x + B_i) mod P over x = int(md5(shingle)[:8], 16).
 
-    One md5 per shingle + cheap integer mixing per seed — 16× less
-    hashing than per-seed md5, the classic a·x+b minhash construction.
+    Shape: ONE fold over the shingles carrying the 16 running minima —
+    the md5 evaluates exactly once per shingle. (The transposed form —
+    16 outer seeds each scanning the hashed-shingle array — re-evaluates
+    the md5 transform inside every seed lambda, 16× the hashing;
+    measured ~4× slower end-to-end on the dedup query.)
     """
     xs = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                xs,
-                lambda x: (
+    init = F.array_repeat(F.lit(MH_P).cast("long"), NUM_HASHES)
+    seeds = F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))
+    return F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            seeds,
+            lambda m, i: F.least(
+                m,
+                (
                     ((i * MH_A_MULT + MH_A_ADD) % MH_P) * x
                     + (i * MH_B_MULT + MH_B_ADD)
                 )
                 % MH_P,
-            )
+            ),
         ),
     )
 

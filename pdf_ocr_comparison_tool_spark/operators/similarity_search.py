@@ -264,6 +264,44 @@ def ivf_search(
     )
 
 
+def lsh_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    bits: int = LSH_SEARCH_BITS,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs THE SCALE WAY: bucket
+    self-join on the random-hyperplane signature + exact-cosine verify
+    of in-bucket candidates only — never an all-pairs cross join (the
+    `embedding_near_dups` brute baseline is explicitly bounded).
+    Buckets larger than ``max_bucket`` are dropped (hot-bucket guard,
+    same pattern as the MinHash-LSH dedup) so the b·(b−1)/2 in-bucket
+    blowup is bounded; random hyperplanes keep buckets balanced, so at
+    10¹² rows the guard only fires on degenerate signatures (e.g. the
+    all-zeros vector)."""
+    b = lsh_bucket(embeddings, bits)
+    small = b.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
+    bs = b.join(small.select("bucket"), "bucket")
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
+    )
+    x = bs.join(norms, "vec_id").select(
+        F.col("vec_id").alias("a"), "bucket",
+        F.col("embedding").alias("av"), F.col("nsq").alias("a_nsq"),
+    )
+    y = bs.join(norms, "vec_id").select(
+        F.col("vec_id").alias("b"), "bucket",
+        F.col("embedding").alias("bv"), F.col("nsq").alias("b_nsq"),
+    )
+    sim = _dot("av", "bv") / (F.sqrt(F.col("a_nsq")) * F.sqrt(F.col("b_nsq")))
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.95, n_limit: int = 200
 ) -> DataFrame:

@@ -398,6 +398,29 @@ SELECT status, CAST(count(*) AS BIGINT) AS n,
 FROM ms_best GROUP BY status"""
 
 
+def match_summary_wide_sql(d: str, docs: str = "documents") -> str:
+    """The reference's generate_match_summary dict as ONE row
+    (content_matcher.py:385-407): totals per status + match_rate =
+    (exact+partial)/total."""
+    return f"""WITH mw_best AS ({match_best_sql(d, docs)})
+SELECT CAST(count(*) AS BIGINT) AS total_pages,
+       CAST(count(*) FILTER (WHERE status = '{C.STATUS_EXACT}') AS BIGINT) AS exact_matches,
+       CAST(count(*) FILTER (WHERE status = '{C.STATUS_PARTIAL}') AS BIGINT) AS partial_matches,
+       CAST(count(*) FILTER (WHERE status = '{C.STATUS_NOT_FOUND}') AS BIGINT) AS not_found,
+       CAST(count(*) FILTER (WHERE status = '{C.STATUS_EXACT}')
+            + count(*) FILTER (WHERE status = '{C.STATUS_PARTIAL}') AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS match_rate
+FROM mw_best"""
+
+
+def page_keywords_sql(d: str, docs: str = "documents") -> str:
+    """Direct oracle for the per-page top-10 TF keyword operator."""
+    return f"""WITH {P.pages_cte(d, docs)}
+SELECT doc_id, role, page_num,
+       {G.array_join(_page_kw_sql('text', d), "'|'", d)} AS kw_s
+FROM pages"""
+
+
 # --------------------------------------------------------------- reports
 def split_rx(expr: str, pat: str, d: str) -> str:
     if d == SPARK:
@@ -983,6 +1006,39 @@ en_s AS (
   FROM en_a CROSS JOIN en_b WHERE a < b
 )
 SELECT a, b, sim FROM en_s WHERE sim >= {threshold}"""
+
+
+def lsh_near_dups_sql(
+    d: str, threshold: float = 0.35, bits: int = 8, max_bucket: int = 256,
+) -> str:
+    sim = (
+        f"CAST({_dot_sql('x.av', 'y.bv', d)} AS DOUBLE)"
+        f" / (sqrt(CAST(x.a_nsq AS DOUBLE)) * sqrt(CAST(y.b_nsq AS DOUBLE)))"
+    )
+    return f"""WITH ld_b AS ({lsh_bucket_sql(d, bits=bits)}),
+ld_small AS (
+  SELECT bucket FROM ld_b GROUP BY bucket HAVING count(*) <= {max_bucket}
+),
+ld_bs AS (
+  SELECT b.* FROM ld_b b JOIN ld_small s ON b.bucket = s.bucket
+),
+ld_n AS (
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq
+  FROM embeddings
+),
+ld_x AS (
+  SELECT b.vec_id AS a, b.bucket, n.embedding AS av, n.nsq AS a_nsq
+  FROM ld_bs b JOIN ld_n n ON b.vec_id = n.vec_id
+),
+ld_y AS (
+  SELECT b.vec_id AS b, b.bucket, n.embedding AS bv, n.nsq AS b_nsq
+  FROM ld_bs b JOIN ld_n n ON b.vec_id = n.vec_id
+),
+ld_s AS (
+  SELECT x.a, y.b, {sim} AS sim
+  FROM ld_x x JOIN ld_y y ON x.bucket = y.bucket AND x.a < y.b
+)
+SELECT a, b, sim FROM ld_s WHERE sim >= {threshold}"""
 
 
 def events_window_sql(d: str, width_sec: int = 300) -> str:

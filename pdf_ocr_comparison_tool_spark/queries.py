@@ -327,6 +327,38 @@ def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("match_summary_wide", oracle=O.match_summary_wide_sql(G.DUCK))
+def q_match_summary_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 as the reference's one-row summary dict
+    (content_matcher.py:385-407): per-status totals + match_rate."""
+    v, r = _featured_roles(spark, sf_dir)
+    best = matching.best_matches(v, matching.match_pages(v, r))
+    is_ = lambda s: F.count(F.when(F.col("status") == s, 1))  # noqa: E731
+    return best.agg(
+        F.count("*").alias("total_pages"),
+        is_(C.STATUS_EXACT).alias("exact_matches"),
+        is_(C.STATUS_PARTIAL).alias("partial_matches"),
+        is_(C.STATUS_NOT_FOUND).alias("not_found"),
+        (
+            (is_(C.STATUS_EXACT) + is_(C.STATUS_PARTIAL)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("match_rate"),
+    )
+
+
+@register("page_keywords", oracle=O.page_keywords_sql(G.DUCK))
+def q_page_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/T14: the per-page top-10 TF keyword operator, oracled
+    directly (ocr_engine.py:392-412)."""
+    pages = synth.pages_df(spark, sf_dir)
+    return pages.select(
+        "doc_id", "role", "page_num",
+        F.array_join(
+            features.page_keywords_expr(F.col("text")), "|"
+        ).alias("kw_s"),
+    )
+
+
 # --------------------------------------------------------------- reports
 @register("page_quality", oracle=O.page_quality_sql(G.DUCK))
 def q_page_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +480,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidates, verified by exact shingle
     Jaccard ≥ 0.5."""
     docs = synth.load_table(spark, sf_dir, "documents")
+    # single-file input → one partition; the signature build (md5 per
+    # shingle × 16 hashes) is the heavy narrow work — spread it first
+    # (no-op at real scale where the scan has many splits)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # cache: the signature table feeds both sides of the bucket
     # self-join and both sides of the verification join
     withsig = dedup.with_minhash(docs).cache()
@@ -527,6 +563,14 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (decimal-exact sims)."""
     emb = synth.load_table(spark, sf_dir, "embeddings")
     return similarity_search.embedding_near_dups(emb, threshold=0.35, n_limit=500)
+
+
+@register("emb_near_dups_lsh", oracle=O.lsh_near_dups_sql(G.DUCK))
+def q_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups via LSH bucket self-join + exact verify —
+    the unbounded-corpus route (the brute variant is bounded)."""
+    emb = synth.load_table(spark, sf_dir, "embeddings")
+    return similarity_search.lsh_near_dups(emb)
 
 
 @register("events_window", oracle=O.events_window_sql(G.DUCK))
