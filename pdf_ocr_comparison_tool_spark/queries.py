@@ -213,9 +213,19 @@ def _featured_roles(spark: SparkSession, sf_dir: str):
     )
     # cache: the staged match DAG branches over both sides many times
     # (exact / anti / blocking / fallback / scoring); caching the
-    # featured pages mirrors the reference's build-once index (O5)
-    v = f.filter(F.col("role") == "voucher").drop("role").cache()
-    r = f.filter(F.col("role") == "reference").drop("role").cache()
+    # featured pages mirrors the reference's build-once index (O5).
+    # Cache BEFORE the role split — one computation of the (expensive)
+    # feature projections serves both role filters as InMemoryTableScan
+    # + filter; caching per branch computed f twice (measured 2×).
+    # prune to what the match path consumes before caching — `numbers`
+    # alone is 4 regex passes over every page and no match stage reads
+    # it (cache materialization computes every cached column)
+    f = f.select(
+        "doc_id", "role", "page_num", "text", "text_hash",
+        "dates", "amounts", "kw",
+    ).cache()
+    v = f.filter(F.col("role") == "voucher").drop("role")
+    r = f.filter(F.col("role") == "reference").drop("role")
     return v, r
 
 
