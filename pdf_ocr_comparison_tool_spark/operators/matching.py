@@ -234,7 +234,7 @@ def match_pages(
         v.join(F.broadcast(r), F.col("text_hash") == F.col("t_hash"))
         .select(*_PROBE, "t_doc", "t_page", F.lit(1.0).alias("sim"))
     )
-    exact_probes = exact.select(*_PROBE).distinct()
+    exact_probes = exact.select(*_PROBE)  # left_anti tolerates dupes
     # rest/cand feed multiple downstream branches (blocking, anti-join,
     # scoring); cache them so the branches don't recompute the upstream
     # DAG — the dataflow analogue of the reference's materialized
@@ -306,9 +306,7 @@ def match_pages(
     )
 
     # J4 — bounded fallback for probes with zero candidates
-    no_cand = rest.select(*_PROBE).join(
-        cand.select(*_PROBE).distinct(), _PROBE, "left_anti"
-    )
+    no_cand = rest.select(*_PROBE).join(cand.select(*_PROBE), _PROBE, "left_anti")
     fb_refs = (
         r.select("t_doc", "t_page")
         .orderBy("t_doc", "t_page")
@@ -321,7 +319,10 @@ def match_pages(
     # threshold when the length gap is within (1−θ)·maxlen — drop the
     # rest before the O(n·m) DP. Semantically a no-op (those pairs fail
     # the θ filter anyway), so the oracle needs no change.
-    pairs = cand.unionByName(fallback).distinct()
+    # no distinct needed: cand is already distinct and fallback probes
+    # are anti-joined out of cand, so the two legs are disjoint (the
+    # oracle's UNION dedups across the same disjoint sets — no-op)
+    pairs = cand.unionByName(fallback)
     if pair_scorer is not None:
         # relational scorer: already aggregated per pair, its groupBy
         # exchange plays the anti-pushdown barrier role
