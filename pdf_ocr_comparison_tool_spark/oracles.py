@@ -490,6 +490,20 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
+def media_manifest_sql(d: str, docs: str = "documents") -> str:
+    """Multimodal fetch manifest: one row per media span with the
+    deterministic storage metadata of operators.multimodal.media_manifest."""
+    from .operators.multimodal import N_FETCH_BUCKETS
+
+    href = G.hexint("media_ref", d)
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)})
+SELECT {G.cast_str('doc_id', d)} AS doc_id, media_ref,
+       CAST(ord AS BIGINT) AS ord,
+       {href} % 100000 AS n_bytes_est,
+       CAST({href} % {N_FETCH_BUCKETS} AS INT) AS fetch_bucket
+FROM ext WHERE kind = 'media'"""
+
+
 def doc_processing_stats_sql(d: str, docs: str = "documents") -> str:
     """A6 per-file stats + 合计 rollup row over the extraction output."""
     ms = "CAST(coalesce(sum(length(text)), 0) AS BIGINT)"

@@ -395,6 +395,18 @@ def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.lineitem_rollup(synth.load_table(spark, sf_dir, "lineitem"))
 
 
+@register("media_manifest", oracle=O.media_manifest_sql(G.DUCK))
+def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, driver-oracled half: per-media-span fetch
+    manifest (ref, reading-order position, size estimate, co-location
+    bucket). The decode stage itself is the documented mapInPandas
+    stub (no codecs in the container) covered by pytest."""
+    from .operators import multimodal
+
+    ext = extraction.extract_ordered_spans(synth.spans_df(spark, sf_dir))
+    return multimodal.media_manifest(ext)
+
+
 @register("doc_processing_stats", oracle=O.doc_processing_stats_sql(G.DUCK))
 def q_doc_processing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/A13: per-document processing stats + 合计 grand-total row

@@ -90,3 +90,56 @@ def test_ann_search_recall_vs_brute(spark):
     # embeddings make these floors loose but non-trivial
     assert r_ivf >= 0.2, f"IVF recall@{k} collapsed: {r_ivf}"
     assert r_lsh >= 0.05, f"LSH recall@{k} collapsed: {r_lsh}"
+
+
+def test_cosine_scalar_equals_relational(spark):
+    """Triangle check: the direct scalar TF-cosine expression (the spec
+    form, matching.cosine_sim_expr) and the relational sparse-dot
+    scorer (matching.cosine_pair_scores, the production shape) must be
+    bit-identical on the staged match's candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark.operators import matching
+    from pdf_ocr_comparison_tool_spark.queries import _featured_roles
+    from tests.conftest import SF_DIR_001
+
+    v, r = _featured_roles(spark, SF_DIR_001)
+    v2 = v.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
+        "nsq", matching.tf_nsq_expr(F.col("tf"))
+    )
+    r2 = r.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
+        "nsq", matching.tf_nsq_expr(F.col("tf"))
+    )
+    ranked = matching.match_pages(
+        v2, r2, pair_scorer=matching.cosine_pair_scores,
+        feature_cols=("tf", "nsq"),
+    )
+    # exclude the exact-hash short-circuit rows (sim := 1.0 by J1)
+    rel = {
+        (x["doc_id"], x["page_num"], x["t_doc"], x["t_page"]): x["sim"]
+        for x in ranked.filter(F.col("sim") < 1.0).collect()
+    }
+    assert rel, "fixture produced no fuzzy cosine pairs"
+    keys = list(rel)[:50]
+    vt = v.select("doc_id", "page_num", F.col("text").alias("v_text"))
+    rt = r.select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("page_num").alias("t_page"),
+        F.col("text").alias("r_text"),
+    )
+    pairs = spark.createDataFrame(
+        keys, "doc_id long, page_num int, t_doc long, t_page int"
+    )
+    scalar = (
+        pairs.join(vt, ["doc_id", "page_num"])
+        .join(rt, ["t_doc", "t_page"])
+        .select(
+            "doc_id", "page_num", "t_doc", "t_page",
+            matching.cosine_sim_expr(F.col("v_text"), F.col("r_text")).alias("s"),
+        )
+        .collect()
+    )
+    assert len(scalar) == len(keys)
+    for row in scalar:
+        k = (row["doc_id"], row["page_num"], row["t_doc"], row["t_page"])
+        assert rel[k] == row["s"], k
