@@ -32,6 +32,38 @@ def normalize_amount(col: Column) -> Column:
     return F.regexp_replace(col, r"[,，\s]", "")
 
 
+def token_count_entries(toks: Column) -> Column:
+    """``array<struct<tok,cnt>>`` term-frequency entries via sort +
+    run-length over the token array — O(n log n + n) per page, vs the
+    O(distinct·n) per-token rescan form (HOF lambdas evaluate
+    interpreted, so the asymptotics show up directly in wall time).
+    Narrow and shuffle-free: the right per-page shape at 100 TB, where
+    relational token counting would shuffle the whole token stream."""
+    s = F.array_sort(toks)
+    n = F.size(s)
+    # run starts: positions whose token differs from the previous one
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | (F.try_element_at(s, i + 1) != F.try_element_at(s, i)),
+    )
+    m = F.size(starts)
+    entries = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda j: F.struct(
+            F.try_element_at(s, F.try_element_at(starts, j + 1) + 1).alias("tok"),
+            (
+                F.coalesce(F.try_element_at(starts, j + 2), n)
+                - F.try_element_at(starts, j + 1)
+            )
+            .cast("long")
+            .alias("cnt"),
+        ),
+    )
+    empty = F.array().cast("array<struct<tok:string,cnt:bigint>>")
+    # sequence(0, -1) throws; CASE branches evaluate lazily
+    return F.when(n == 0, empty).otherwise(entries)
+
+
 def page_keywords_expr(text_col: Column, top_n: int = 10) -> Column:
     """Per-page top-N keywords by term frequency (reference
     ocr_engine.py:392-412: tokens of length ≥ 2, non-digit,
@@ -39,7 +71,7 @@ def page_keywords_expr(text_col: Column, top_n: int = 10) -> Column:
     deterministic alnum-run tokenizer, ties broken count desc → token
     asc instead of insertion order).
 
-    Fully native: encode each distinct token as
+    Fully native: run-length TF entries, each encoded as
     ``lpad(10^7 − count) || token`` so one ascending array_sort yields
     (count desc, token asc); computed once per page, no shuffle.
     """
@@ -47,19 +79,10 @@ def page_keywords_expr(text_col: Column, top_n: int = 10) -> Column:
         F.split(F.lower(text_col), r"[^a-z0-9]+"),
         lambda t: (F.length(t) >= 2) & ~t.rlike(r"^[0-9]+$"),
     )
-    u = F.array_distinct(toks)
     enc = F.transform(
-        u,
-        lambda w: F.concat(
-            F.lpad(
-                (
-                    F.lit(10000000)
-                    - F.size(F.filter(toks, lambda x: x == w))
-                ).cast("string"),
-                8,
-                "0",
-            ),
-            w,
+        token_count_entries(toks),
+        lambda e: F.concat(
+            F.lpad((F.lit(10000000) - e["cnt"]).cast("string"), 8, "0"), e["tok"]
         ),
     )
     return F.transform(

@@ -121,21 +121,16 @@ def cosine_sim_expr(t1, t2) -> "F.Column":
 
 def tf_map_expr(text_col) -> "F.Column":
     """token → count map of the CJK-folded lowercase text. Built ONCE
-    per page (the build-once index shape), so the cosine scoring join
-    costs O(|tokens|) hash lookups per candidate pair instead of
-    re-tokenizing + rescanning arrays per pair (measured 120 s → ~2 s
-    at sf0.01)."""
+    per page (the build-once index shape) via the O(n log n) sort +
+    run-length construction (features.token_count_entries); the cosine
+    pair scoring then explodes these maps into the relational sparse
+    dot product."""
     from .. import sqlgen as G
+    from .features import token_count_entries
 
     folded = F.lower(F.translate(text_col, G.CJK_FOLD_SRC, G.CJK_FOLD_DST))
     toks = F.filter(F.split(folded, r"[^a-z0-9@#$%&*]+"), lambda x: x != "")
-    u = F.array_distinct(toks)
-    return F.map_from_arrays(
-        u,
-        F.transform(
-            u, lambda w: F.size(F.filter(toks, lambda x: x == w)).cast("long")
-        ),
-    )
+    return F.map_from_entries(token_count_entries(toks))
 
 
 def tf_nsq_expr(tf_map) -> "F.Column":
