@@ -34,33 +34,49 @@ def normalize_amount(col: Column) -> Column:
 
 def token_count_entries(toks: Column) -> Column:
     """``array<struct<tok,cnt>>`` term-frequency entries via sort +
-    run-length over the token array — O(n log n + n) per page, vs the
-    O(distinct·n) per-token rescan form (HOF lambdas evaluate
-    interpreted, so the asymptotics show up directly in wall time).
+    shifted-zip run-length — a constant number of O(n log n) array
+    passes per page, vs the O(distinct·n) per-token rescan form.
+
+    CRITICAL Spark HOF constraint honored here: only a lambda's INPUT
+    array is evaluated once — any non-trivial expression referenced
+    *inside* a lambda body (e.g. ``element_at(array_sort(..), i)``)
+    re-evaluates per element, turning an intended O(n) pass into
+    O(n²·log n). Every step below therefore feeds the previous array
+    in as the HOF input and uses only the lambda variables inside.
+
     Narrow and shuffle-free: the right per-page shape at 100 TB, where
-    relational token counting would shuffle the whole token stream."""
+    relational token counting would shuffle the whole token stream.
+    """
     s = F.array_sort(toks)
     n = F.size(s)
-    # run starts: positions whose token differs from the previous one
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == 0) | (F.try_element_at(s, i + 1) != F.try_element_at(s, i)),
+    # previous-element array: sentinel (impossible token: tokenizers
+    # emit alnum-only) followed by s[0..n-2]
+    shifted = F.concat(
+        F.array(F.lit("\x00")), F.slice(s, 1, F.greatest(n - 1, F.lit(0)))
     )
-    m = F.size(starts)
-    entries = F.transform(
-        F.sequence(F.lit(0), m - 1),
-        lambda j: F.struct(
-            F.try_element_at(s, F.try_element_at(starts, j + 1) + 1).alias("tok"),
-            (
-                F.coalesce(F.try_element_at(starts, j + 2), n)
-                - F.try_element_at(starts, j + 1)
-            )
-            .cast("long")
-            .alias("cnt"),
+    # token at each run start, in sorted order (nulls elsewhere, compacted)
+    run_toks = F.filter(
+        F.zip_with(s, shifted, lambda a, b: F.when(a != b, a)),
+        lambda x: x.isNotNull(),
+    )
+    # run-start positions (0-based), same order
+    start_pos = F.filter(
+        F.transform(
+            F.zip_with(s, shifted, lambda a, b: a != b),
+            lambda f, i: F.when(f, i).otherwise(F.lit(-1)),
         ),
+        lambda p: p >= 0,
+    )
+    # each run ends where the next begins (the last at n)
+    ends = F.concat(
+        F.slice(start_pos, 2, F.greatest(F.size(start_pos) - 1, F.lit(0))),
+        F.array(n),
+    )
+    counts = F.zip_with(start_pos, ends, lambda a, b: (b - a).cast("long"))
+    entries = F.zip_with(
+        run_toks, counts, lambda t, c: F.struct(t.alias("tok"), c.alias("cnt"))
     )
     empty = F.array().cast("array<struct<tok:string,cnt:bigint>>")
-    # sequence(0, -1) throws; CASE branches evaluate lazily
     return F.when(n == 0, empty).otherwise(entries)
 
 
