@@ -545,6 +545,53 @@ SELECT user_id, CAST(session AS BIGINT) AS session,
 FROM es_isl GROUP BY user_id, session"""
 
 
+def events_session_window_sql(d: str, gap_sec: int = 1800) -> str:
+    """Oracle for Spark's native session_window: sessions merge while
+    the NEXT event starts strictly before prev_ts + gap (note: STRICT
+    <, unlike events_sessions' manual islands which use <=);
+    window.end = last event + gap."""
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    return f"""WITH sw_e AS (
+  SELECT user_id, event_id, {epoch} AS epoch,
+         CAST(value AS DECIMAL(28,6)) AS value_dec
+  FROM events
+),
+sw_lag AS (
+  SELECT *, lag(epoch) OVER (PARTITION BY user_id ORDER BY epoch, event_id) AS pv
+  FROM sw_e
+),
+sw_brk AS (
+  SELECT *, CASE WHEN epoch - pv < {gap_sec} THEN 0 ELSE 1 END AS brk FROM sw_lag
+),
+sw_isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM sw_brk
+)
+SELECT user_id,
+       min(epoch) AS w_start,
+       max(epoch) + {gap_sec} AS w_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_dec) AS DOUBLE) AS sum_value
+FROM sw_isl GROUP BY user_id, sess"""
+
+
+def pages_exact_dups_sql(d: str, docs: str = "documents") -> str:
+    """Exact dedup over the pages IR (which, unlike the driver's
+    documents table, contains real duplicate content — the voucher /
+    reference hash matches the J1 stage short-circuits on)."""
+    ws = G.replace_all("text", r"\s+", "", d)
+    return f"""WITH {P.pages_cte(d, docs)},
+pe AS (
+  SELECT doc_id, role, page_num, md5(lower({ws})) AS text_hash FROM pages
+)
+SELECT text_hash, CAST(count(*) AS BIGINT) AS n_pages,
+       min(doc_id) AS keep_doc
+FROM pe GROUP BY text_hash HAVING count(*) > 1"""
+
+
 def events_topk_sql(d: str, k: int = 3) -> str:
     return f"""WITH et_r AS (
   SELECT user_id, event_id, value,

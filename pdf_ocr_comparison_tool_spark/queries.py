@@ -421,6 +421,51 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.events_sessions(synth.load_table(spark, sf_dir, "events"))
 
 
+@register("events_session_window", oracle=O.events_session_window_sql(G.DUCK))
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (vs the manual
+    lag+cumsum islands of events_sessions): merge-on-overlap session
+    aggregation, the same operator the streaming twin uses. Epochs are
+    tz-pure (NTZ input under UTC session; oracled against the
+    equivalent strict-gap islands SQL)."""
+    e = synth.load_table(spark, sf_dir, "events")
+    g = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    epoch = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" CAST({c} AS TIMESTAMP_NTZ))"
+    )
+    return g.select(
+        "user_id",
+        epoch("session_window.start").alias("w_start"),
+        epoch("session_window.end").alias("w_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register("dedup_exact_pages", oracle=O.pages_exact_dups_sql(G.DUCK))
+def q_dedup_exact_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the pages IR — a corpus that actually CONTAINS
+    duplicates (the documents-table variant, dedup_exact, legitimately
+    returns zero groups on the driver data)."""
+    pages = synth.pages_df(spark, sf_dir)
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", "")))
+    return (
+        pages.select("doc_id", h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_pages"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_pages") > 1)
+    )
+
+
 @register("events_topk", oracle=O.events_topk_sql(G.DUCK))
 def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 ranked top-k per group."""
