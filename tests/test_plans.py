@@ -90,3 +90,38 @@ def test_blocking_cap_has_no_global_window(spark):
 
     windows = re.findall(r"Window \[.*?\]", plan)
     assert not any("bk" in w for w in windows), windows
+
+
+def test_ann_searches_have_no_cartesian(spark):
+    """The ANN search paths must be bucket / inverted-list equi-joins:
+    no CartesianProduct anywhere; the only nested-loop join allowed is
+    the broadcast of the tiny probe/centroid side."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    for df in (SS.lsh_search(emb), SS.ivf_search(emb), SS.lsh_near_dups(emb)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+def test_cosine_pair_scoring_has_no_cartesian(spark):
+    """The relational sparse-dot cosine must stay equi-join shaped."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark.operators import matching
+    from pdf_ocr_comparison_tool_spark.queries import _featured_roles
+
+    v, r = _featured_roles(spark, SF_DIR)
+
+    def aug(df):
+        return df.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
+            "nsq", matching.tf_nsq_expr(F.col("tf"))
+        )
+
+    ranked = matching.match_pages(
+        aug(v), aug(r),
+        pair_scorer=matching.cosine_pair_scores, feature_cols=("tf", "nsq"),
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
