@@ -101,6 +101,56 @@ def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+WINNOW_W = 4
+
+
+def _shift(arr, by: int) -> "F.Column":
+    return F.slice(arr, by + 1, F.greatest(F.size(arr) - by, F.lit(0)))
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MOSS-style winnowing document fingerprints: hash the POSITIONAL
+    k-shingle sequence, keep the minimum of every sliding window of
+    ``WINNOW_W`` hashes, dedupe — a near-dup fingerprint whose density
+    is guaranteed (≥ one fingerprint per window) unlike plain modular
+    sampling. Emits one row per (doc_id, fp).
+
+    Shape: everything is zip-shifted arrays (each derived array enters
+    the next step as the HOF input — the single-evaluation rule), so
+    the whole construction is narrow and shuffle-free per document.
+    """
+    t = tokens_col(F.col(text_col))
+    # positional 3-gram shingles via two shifted copies (NULL-masked at
+    # the tail so partial grams never form)
+    s1, s2 = _shift(t, 1), _shift(t, 2)
+    g2 = F.zip_with(t, s1, lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)))
+    g3 = F.filter(
+        F.zip_with(
+            g2, s2,
+            lambda ab, c: F.when(ab.isNotNull() & c.isNotNull(), F.concat(ab, F.lit(" "), c)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tri = F.when(F.size(t) < SHINGLE_K, F.array(F.array_join(t, " "))).otherwise(g3)
+    hs = F.transform(
+        tri, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    docs = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
+    h = F.col("hs")
+    h1, h2, h3 = _shift(h, 1), _shift(h, 2), _shift(h, 3)
+    m1 = F.zip_with(h, h1, lambda a, b: F.least(a, b))  # least skips NULL
+    m2 = F.zip_with(m1, h2, lambda a, b: F.least(a, b))
+    # the last shift also MASKS partial windows (d NULL → window null)
+    m3 = F.filter(
+        F.zip_with(m2, h3, lambda m, d: F.when(d.isNotNull(), F.least(m, d))),
+        lambda x: x.isNotNull(),
+    )
+    fps = F.when(
+        F.size("hs") < WINNOW_W, F.array(F.array_min("hs"))
+    ).otherwise(F.array_sort(F.array_distinct(m3)))
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on normalized content (T1 hash)."""
     h = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", "")))

@@ -732,6 +732,67 @@ JOIN dd_sh sb ON sb.doc_id = p.b
 WHERE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE) >= {threshold}"""
 
 
+def winnow_sql(d: str, docs: str = "documents", w: int = 4) -> str:
+    """Mirror of operators.dedup.winnow_fingerprints (MOSS winnowing:
+    positional 3-gram hashes → min per sliding window of w → dedupe)."""
+    if d == SPARK:
+        sh = lambda arr, by: f"slice({arr}, {by + 1}, greatest(size({arr}) - {by}, 0))"  # noqa: E731
+        g2 = f"zip_with(toks, {sh('toks', 1)}, (a, b) -> CASE WHEN b IS NOT NULL THEN a || ' ' || b END)"
+        g3 = (
+            f"filter(zip_with({g2}, {sh('toks', 2)},"
+            f" (ab, c) -> CASE WHEN ab IS NOT NULL AND c IS NOT NULL THEN ab || ' ' || c END),"
+            f" x -> x IS NOT NULL)"
+        )
+        m1 = f"zip_with(hs, {sh('hs', 1)}, (a, b) -> least(a, b))"
+        m2 = f"zip_with({m1}, {sh('hs', 2)}, (a, b) -> least(a, b))"
+        m3 = (
+            f"filter(zip_with({m2}, {sh('hs', 3)},"
+            f" (m, dd) -> CASE WHEN dd IS NOT NULL THEN least(m, dd) END),"
+            f" x -> x IS NOT NULL)"
+        )
+        fp_sel = "explode(fps) AS fp"
+    else:
+        sh = lambda arr, by: f"list_slice({arr}, {by + 1}, len({arr}))"  # noqa: E731
+        g2 = (
+            f"list_transform(list_zip(toks, {sh('toks', 1)}),"
+            f" p -> CASE WHEN p[2] IS NOT NULL THEN p[1] || ' ' || p[2] END)"
+        )
+        g3 = (
+            f"list_filter(list_transform(list_zip({g2}, {sh('toks', 2)}),"
+            f" q -> CASE WHEN q[1] IS NOT NULL AND q[2] IS NOT NULL THEN q[1] || ' ' || q[2] END),"
+            f" x -> x IS NOT NULL)"
+        )
+        m1 = f"list_transform(list_zip(hs, {sh('hs', 1)}), p -> least(p[1], p[2]))"
+        m2 = f"list_transform(list_zip({m1}, {sh('hs', 2)}), p -> least(p[1], p[2]))"
+        m3 = (
+            f"list_filter(list_transform(list_zip({m2}, {sh('hs', 3)}),"
+            f" p -> CASE WHEN p[2] IS NOT NULL THEN least(p[1], p[2]) END),"
+            f" x -> x IS NOT NULL)"
+        )
+        fp_sel = "unnest(fps) AS fp"
+    one = f"array({G.array_join('toks', chr(39) + ' ' + chr(39), d)})" if d == SPARK \
+        else f"[{G.array_join('toks', chr(39) + ' ' + chr(39), d)}]"
+    hexi = G.hexint("s", d)
+    minone = _arr_min("hs", d)
+    return f"""WITH {_tok_cte(d, docs)},
+wn_g AS (
+  SELECT doc_id,
+         CASE WHEN {_arr_size('toks', d)} < 3 THEN {one} ELSE {g3} END AS tri
+  FROM dd_tok
+),
+wn_h AS (
+  SELECT doc_id, {G.ltransform('tri', f's -> {hexi}', d)} AS hs FROM wn_g
+),
+wn_f AS (
+  SELECT doc_id,
+         CASE WHEN {_arr_size('hs', d)} < {w}
+              THEN {f"array({minone})" if d == SPARK else f"[{minone}]"}
+              ELSE {P._arr_sort(P._arr_distinct(m3, d), d)} END AS fps
+  FROM wn_h
+)
+SELECT doc_id, {fp_sel} FROM wn_f"""
+
+
 def _shr_bit(x: str, b: int, d: str) -> str:
     if d == SPARK:
         return f"(shiftright({x}, {b}) % 2)"

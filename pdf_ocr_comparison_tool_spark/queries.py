@@ -558,6 +558,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verified_near_dups(withsig, pairs)
 
 
+@register("dedup_winnow", oracle=O.winnow_sql(G.DUCK))
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (rolling min-in-window over
+    the positional shingle-hash sequence) — guaranteed-density document
+    fingerprinting; shared fingerprints = near-dup candidates via a
+    plain equi-join on fp."""
+    return dedup.winnow_fingerprints(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_simhash", oracle=O.simhash_sql(G.DUCK))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash document fingerprints."""
