@@ -151,6 +151,28 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.explode(fps).alias("fp"))
 
 
+WINNOW_MAX_FP_DOCS = 64
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame, max_fp_docs: int = WINNOW_MAX_FP_DOCS
+) -> DataFrame:
+    """Fingerprint table (doc_id, fp) → candidate near-dup pairs with
+    shared-fingerprint counts: equi-join on fp (never all-pairs), with
+    the standard hot-bucket guard (a fingerprint shared by more than
+    ``max_fp_docs`` docs is boilerplate — drop it, as in the LSH paths)."""
+    small = fps.groupBy("fp").count().filter(F.col("count") <= max_fp_docs)
+    f2 = fps.join(small.select("fp"), "fp")
+    a = f2.select(F.col("doc_id").alias("a"), "fp")
+    b = f2.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on normalized content (T1 hash)."""
     h = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", "")))

@@ -793,6 +793,19 @@ wn_f AS (
 SELECT doc_id, {fp_sel} FROM wn_f"""
 
 
+def winnow_pairs_sql(d: str, docs: str = "documents", max_fp_docs: int = 64) -> str:
+    return f"""WITH wp_f AS ({winnow_sql(d, docs)}),
+wp_small AS (
+  SELECT fp FROM wp_f GROUP BY fp HAVING count(*) <= {max_fp_docs}
+),
+wp_fs AS (
+  SELECT f.* FROM wp_f f JOIN wp_small s ON f.fp = s.fp
+)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wp_fs x JOIN wp_fs y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id"""
+
+
 def _shr_bit(x: str, b: int, d: str) -> str:
     if d == SPARK:
         return f"(shiftright({x}, {b}) % 2)"

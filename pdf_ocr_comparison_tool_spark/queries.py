@@ -567,6 +567,16 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_winnow_pairs", oracle=O.winnow_pairs_sql(G.DUCK))
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate near-dup pairs: equi-join on shared
+    fingerprints with a hot-fingerprint guard."""
+    fps = dedup.winnow_fingerprints(
+        synth.load_table(spark, sf_dir, "documents")
+    ).cache()
+    return dedup.winnow_candidate_pairs(fps)
+
+
 @register("dedup_simhash", oracle=O.simhash_sql(G.DUCK))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash document fingerprints."""
