@@ -119,3 +119,36 @@ def test_streaming_windowed_rollup_matches_batch(spark):
     got = {(r["w_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in out.collect()}
     exp = {(r["w_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in expected.collect()}
     assert got == exp
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """The streaming session_window twin must agree with the batch
+    native-session_window aggregation (whose values are themselves
+    driver-oracled via the events_session_window query)."""
+    import shutil
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark.streaming import windows as SW
+
+    with tempfile.TemporaryDirectory() as tdir:
+        shutil.copy(f"{SF_DIR}/events.parquet", f"{tdir}/events.parquet")
+        stream = SW.read_events_stream(spark, tdir)
+        out = SW.run_bounded(SW.session_windows(stream), "stream_sessions")
+        out = out.localCheckpoint()
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = (
+        batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    got = {(r["user_id"], r["s_start"]): (r["s_end"], r["n_events"]) for r in out.collect()}
+    exp = {(r["user_id"], r["s_start"]): (r["s_end"], r["n_events"]) for r in expected.collect()}
+    assert got and got == exp
