@@ -249,6 +249,74 @@ def verified_near_dups(
     )
 
 
+CC_MAX_ITERS = 25
+
+
+def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Near-dup cluster formation — the stage every candidate-pair
+    generator (LSH / winnowing / embedding buckets) feeds at 100 TB:
+    connected components over the pair edges, emitting one row per doc
+    that appears in any pair: (doc_id, cluster_id, keep) with
+    cluster_id = min(doc_id in component) and keep = (doc_id ==
+    cluster_id) — the canonical keep-one-per-cluster drop policy.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds. Near-dup components are shallow
+    (dupes of a common source), so the diameter bound is small in
+    practice; the hot-bucket guards upstream cap the degree. (For
+    adversarially long chains the alternating large-star/small-star
+    construction [Kiveris et al., "Connected Components in MapReduce"]
+    converges in O(log n) rounds — same join/groupBy primitives, drop-in
+    replacement here.)
+
+    The driver-side loop is a CONVERGENCE loop, not a data loop: per
+    round one join + one groupBy-min, all distributed; the driver only
+    sees the scalar changed-count. ``localCheckpoint`` truncates the
+    lineage each round so the plan doesn't grow with iterations.
+    """
+    sym = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("keep"),
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: per bit, sum ±1 weighted by
     the token-hash bit, sign → bit. Token hash = first 8 md5 hex chars

@@ -193,10 +193,11 @@ def match_pages(
     top_k: int = C.TOP_K,
     partial_threshold: float = C.PARTIAL_THRESHOLD,
     fallback_cap: int = C.FALLBACK_CAP,
-    ref_per_key_cap: int | None = REF_PER_KEY_CAP,
+    ref_per_key_cap: int | None = None,
     sim_fn=None,
     feature_cols: tuple[str, ...] | None = None,
     pair_scorer=None,
+    broadcast_refs: bool = False,
 ) -> DataFrame:
     """vouchers/refs: (doc_id, page_num, text, text_hash, dates, amounts).
 
@@ -209,6 +210,20 @@ def match_pages(
     per-page columns to carry into both sides, reference side
     t_-prefixed) — or ``sim_fn`` over the (text, t_text) column pair
     (default: levenshtein with its exact length prefilter).
+
+    ``ref_per_key_cap``: None (default) = the reference's EXACT
+    semantics — every index page sharing a blocking key is scored
+    (content_matcher.py:291-304). Pass :data:`REF_PER_KEY_CAP` (the
+    documented scale knob, used by the oracled queries) to bound each
+    blocking key's reference bucket and survive web-scale hot keys.
+
+    ``broadcast_refs``: True forces a broadcast hint on the reference
+    side of the exact-hash join — only safe when the caller KNOWS the
+    reference index fits in driver/executor memory. Default False: no
+    hint, AQE picks broadcast at runtime when the build side is small
+    (it does at every test SF) and falls back to a shuffled hash join
+    when it isn't — a hard F.broadcast here would force a driver-side
+    build and OOM at 100× corpus scale.
     """
     extra = list(feature_cols or ())
     v = vouchers.select(
@@ -224,9 +239,11 @@ def match_pages(
         *[F.col(c).alias(f"t_{c}") for c in extra],
     )
 
-    # J1 — exact hash short-circuit
+    # J1 — exact hash short-circuit (broadcast only on explicit opt-in;
+    # see broadcast_refs in the docstring)
+    r_build = F.broadcast(r) if broadcast_refs else r
     exact = (
-        v.join(F.broadcast(r), F.col("text_hash") == F.col("t_hash"))
+        v.join(r_build, F.col("text_hash") == F.col("t_hash"))
         .select(*_PROBE, "t_doc", "t_page", F.lit(1.0).alias("sim"))
     )
     exact_probes = exact.select(*_PROBE)  # left_anti tolerates dupes
@@ -246,11 +263,12 @@ def match_pages(
     # bucket|; cap each blocking key's reference bucket at
     # ref_per_key_cap in deterministic (t_doc, t_page) order — the same
     # bounded-scan idea as the reference's 100-page fallback cap
-    # (content_matcher.py:306), applied per key. DOCUMENTED DEVIATION:
-    # the reference scores ALL index pages sharing a key
-    # (content_matcher.py:291-304); when a bucket exceeds the cap the
-    # true best match may be excluded. Pass ref_per_key_cap=None for
-    # exact reference semantics (accepting the hot-key blowup).
+    # (content_matcher.py:306), applied per key. The DEFAULT (None) is
+    # the reference's exact semantics — ALL index pages sharing a key
+    # are scored (content_matcher.py:291-304); callers opt into the cap
+    # (REF_PER_KEY_CAP, used by the oracled queries) as the documented
+    # scale knob, accepting that a hot bucket beyond the cap may
+    # exclude the true best match (COVERAGE.md deviation #1).
     #
     # Shape: two-phase salted top-k, NOT a row_number window — a window
     # sorts the ENTIRE hot bucket on one reducer before the cap

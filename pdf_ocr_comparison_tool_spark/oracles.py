@@ -336,6 +336,48 @@ SELECT doc_id, page_num, CAST(rn AS BIGINT) AS rn, t_doc, t_page, sim
 FROM m_ranked WHERE rn <= {C.TOP_K}"""
 
 
+def _udf_toks(t: str, d: str) -> str:
+    """Token array of the pandas-UDF tokenizer
+    (functions/similarity.py tokenize_py, the SURVEY §7.1/M3 jieba
+    stand-in): lowercase ASCII [a-z0-9]+ runs + CJK character bigrams
+    (a length-1 CJK run yields the char itself). Term frequencies kept
+    (duplicates NOT deduped)."""
+    low = f"lower({t})"
+    ascii_ = G.extract_all(low, "[a-z0-9]+", d)
+    runs = G.extract_all(low, "[一-鿿]+", d)
+    if d == G.SPARK:
+        seq, arr1, concat = "sequence(1, length(r) - 1)", "array(r)", "concat"
+    else:
+        seq, arr1, concat = "range(1, length(r))", "[r]", "list_concat"
+    inner = G.ltransform(seq, "i -> substr(r, CAST(i AS INT), 2)", d)
+    big = G.ltransform(
+        runs, f"r -> CASE WHEN length(r) = 1 THEN {arr1} ELSE {inner} END", d
+    )
+    return f"{concat}({ascii_}, flatten({big}))"
+
+
+def match_cosine_pairs_sql(d: str, docs: str = "documents") -> str:
+    """T9's pandas-UDF surface, oracled: the rn<=2 ranked candidate
+    pairs scored with TF-cosine over the UDF's bigram tokenizer on the
+    RAW (unfolded) page text. Bit-exact vs the UDF: dot/norms are
+    integer sums; the only float ops are sqrt·sqrt then one division —
+    the same operand order as cosine_py (content_matcher.py:54-93)."""
+    return f"""WITH {ranked_matches_cte(d, docs)},
+mcp_pairs AS (
+  SELECT doc_id, page_num, t_doc, t_page FROM m_ranked WHERE rn <= 2
+),
+mcp_tok AS (
+  SELECT doc_id, role, page_num, {_udf_toks('text', d)} AS utoks FROM pages
+)
+SELECT p.doc_id, p.page_num, p.t_doc, p.t_page,
+       {_cosine_sim_sql('tv.utoks', 'tr.utoks', d)} AS cosine
+FROM mcp_pairs p
+JOIN mcp_tok tv ON tv.role = 'voucher'
+  AND tv.doc_id = p.doc_id AND tv.page_num = p.page_num
+JOIN mcp_tok tr ON tr.role = 'reference'
+  AND tr.doc_id = p.t_doc AND tr.page_num = p.t_page"""
+
+
 def match_merged_sql(d: str, docs: str = "documents") -> str:
     nse = nullsafe_eq
     w = "OVER (PARTITION BY doc_id ORDER BY page_num)"
@@ -374,7 +416,7 @@ mm_isl AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM mm_brk
 )
-SELECT doc_id, island,
+SELECT doc_id, CAST(island AS BIGINT) AS island,
        CASE WHEN min(page_num) = max(page_num)
             THEN 'P' || {G.cast_str('min(page_num)', d)}
             ELSE 'P' || {G.cast_str('min(page_num)', d)} || '-P' || {G.cast_str('max(page_num)', d)} END AS page_range,
@@ -730,6 +772,31 @@ FROM dd_pairs p
 JOIN dd_sh sa ON sa.doc_id = p.a
 JOIN dd_sh sb ON sb.doc_id = p.b
 WHERE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE) >= {threshold}"""
+
+
+def dedup_clusters_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
+    """Connected components over the verified near-dup pairs
+    (near_dup_pairs_sql): the recursive reachability closure's
+    min-reachable doc_id per node is the cluster id — the same fixpoint
+    operators.dedup.connected_components iterates distributively.
+    DuckDB's recursive UNION dedups rows, so the closure terminates on
+    cyclic components."""
+    return f"""WITH RECURSIVE np AS (
+{near_dup_pairs_sql(d, docs, threshold)}
+),
+cc_edges AS (
+  SELECT a AS src, b AS dst FROM np
+  UNION
+  SELECT b AS src, a AS dst FROM np
+),
+cc_reach(node, lbl) AS (
+  SELECT src, src FROM cc_edges
+  UNION
+  SELECT r.node, e.dst FROM cc_reach r JOIN cc_edges e ON e.src = r.lbl
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id,
+       (node = min(lbl)) AS keep
+FROM cc_reach GROUP BY node"""
 
 
 def winnow_sql(d: str, docs: str = "documents", w: int = 4) -> str:

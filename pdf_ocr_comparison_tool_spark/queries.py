@@ -234,7 +234,7 @@ def q_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-J7 staged similarity join, best match per voucher page, with
     the matched-keywords intersection column (content_matcher.py:353-356)."""
     v, r = _featured_roles(spark, sf_dir)
-    ranked = matching.match_pages(v, r)
+    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
     best = matching.best_matches(v, ranked)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
 
@@ -248,7 +248,8 @@ def q_match_best_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm (token-set ∩/∪) — the engine-comparison surface."""
     v, r = _featured_roles(spark, sf_dir)
     ranked = matching.match_pages(
-        v, r, sim_fn=matching.jaccard_sim_expr, partial_threshold=0.3
+        v, r, sim_fn=matching.jaccard_sim_expr, partial_threshold=0.3,
+        ref_per_key_cap=matching.REF_PER_KEY_CAP,
     )
     best = matching.best_matches(v, ranked)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
@@ -284,6 +285,7 @@ def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2,
         pair_scorer=matching.cosine_pair_scores,
         feature_cols=("tf", "nsq"),
+        ref_per_key_cap=matching.REF_PER_KEY_CAP,
     )
     best = matching.best_matches(v2, ranked)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
@@ -294,7 +296,7 @@ def q_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 as an oracled output: the full top-5 candidate list per
     voucher page (content_matcher.py:315-318)."""
     v, r = _featured_roles(spark, sf_dir)
-    ranked = matching.match_pages(v, r)
+    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
     return ranked.select(
         "doc_id", "page_num",
         F.col("rn").cast("long").alias("rn"),
@@ -308,7 +310,9 @@ def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-island matched-keyword union (content_matcher.py:493-497)."""
     v, r = _featured_roles(spark, sf_dir)
     best = matching.with_matched_keywords(
-        matching.best_matches(v, matching.match_pages(v, r)), v, r
+        matching.best_matches(
+            v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+        ), v, r
     )
     return merge.merge_page_matches(best, keywords=True).withColumn(
         "island", F.col("island").cast("long")
@@ -321,7 +325,9 @@ def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     v, r = _featured_roles(spark, sf_dir)
-    best = matching.best_matches(v, matching.match_pages(v, r))
+    best = matching.best_matches(
+        v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    )
     # total via an unpartitioned window over the 4 grouped rows (NOT a
     # driver-side .count(), which would execute the match DAG twice);
     # sum(n) over () == count(*) of best, so the frac division sees the
@@ -342,7 +348,9 @@ def q_match_summary_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 as the reference's one-row summary dict
     (content_matcher.py:385-407): per-status totals + match_rate."""
     v, r = _featured_roles(spark, sf_dir)
-    best = matching.best_matches(v, matching.match_pages(v, r))
+    best = matching.best_matches(
+        v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    )
     is_ = lambda s: F.count(F.when(F.col("status") == s, 1))  # noqa: E731
     return best.agg(
         F.count("*").alias("total_pages"),
@@ -509,18 +517,24 @@ def q_project_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("match_cosine_pairs")  # no SQL oracle: T9 is the UDF path
+@register("match_cosine_pairs", oracle=O.match_cosine_pairs_sql(G.DUCK))
 def q_match_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T9 cosine similarity (vectorized pandas UDF over Arrow batches)
-    on the blocked candidate pairs — rows-only driver check; the pytest
-    suite pins values against a pure-python oracle."""
+    """T9 cosine similarity as the vectorized pandas-UDF surface (Arrow
+    batches, functions/similarity.py) on the rn<=2 ranked candidate
+    pairs, scored over the RAW page text (the UDF's bigram tokenizer
+    handles CJK natively — no fold). Oracled: the DuckDB side
+    replicates tokenize_py in SQL; integer dot/norms make the doubles
+    bit-exact cross-engine."""
     from .functions import similarity as S
 
     v, r = _featured_roles(spark, sf_dir)
-    ranked = matching.match_pages(v, r)
+    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
     pairs = ranked.filter(F.col("rn") <= 2).select("doc_id", "page_num", "t_doc", "t_page")
-    vt = v.select("doc_id", "page_num", F.col("text").alias("v_text"))
-    rt = r.select(
+    pages = synth.pages_df(spark, sf_dir)
+    vt = pages.filter(F.col("role") == "voucher").select(
+        "doc_id", "page_num", F.col("text").alias("v_text")
+    )
+    rt = pages.filter(F.col("role") == "reference").select(
         F.col("doc_id").alias("t_doc"),
         F.col("page_num").alias("t_page"),
         F.col("text").alias("r_text"),
@@ -530,7 +544,7 @@ def q_match_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rt, ["t_doc", "t_page"])
         .select(
             "doc_id", "page_num", "t_doc", "t_page",
-            F.round(S.cosine_udf("v_text", "r_text"), 6).alias("cosine"),
+            S.cosine_udf("v_text", "r_text").alias("cosine"),
         )
     )
 
@@ -556,6 +570,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     withsig = dedup.with_minhash(docs).cache()
     pairs = dedup.lsh_candidate_pairs(withsig)
     return dedup.verified_near_dups(withsig, pairs)
+
+
+@register("dedup_clusters", oracle=O.dedup_clusters_sql(G.DUCK))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation — the missing last stage of a real
+    dedup job: connected components (iterative min-label propagation)
+    over the verified MinHash-LSH pairs, emitting (doc_id, cluster_id,
+    keep) with keep = doc_id == min(cluster) — what a 100 TB pipeline
+    keys its drop decisions on."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    withsig = dedup.with_minhash(docs).cache()
+    pairs = dedup.lsh_candidate_pairs(withsig)
+    verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
+    return dedup.connected_components(verified)
 
 
 @register("dedup_winnow", oracle=O.winnow_sql(G.DUCK))

@@ -12,6 +12,9 @@ from pdf_ocr_comparison_tool_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_001 = "/root/testdata/sf0.001"
 SF_DIR_01 = "/root/testdata/sf0.01"
+# The external driver gates at sf0.01; the parity suite must run at the
+# SAME scale so any divergence it would flag fails locally first.
+PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", SF_DIR_01)
 
 
 @pytest.fixture(scope="session")
@@ -30,16 +33,29 @@ def _release_plan_caches(request):
         request.getfixturevalue("spark").catalog.clearCache()
 
 
-@pytest.fixture(scope="session")
-def duck():
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck_con(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in _TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    yield con
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    yield _duck_con(SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def duck_parity():
+    """DuckDB views at the driver's gate scale (sf0.01)."""
+    yield _duck_con(PARITY_SF_DIR)

@@ -54,6 +54,22 @@ def test_match_fallback_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_join_broadcasts_via_aqe_without_hint(spark):
+    """match_pages no longer hard-codes F.broadcast on the unbounded
+    reference side (a 100×-scale OOM); at test SF the FINAL adaptive
+    plan must still pick a broadcast hash join for the exact-hash
+    equi-join — AQE's runtime size stats, not a hint, make the call."""
+    from pdf_ocr_comparison_tool_spark.operators import matching
+    from pdf_ocr_comparison_tool_spark.queries import _featured_roles
+
+    v, r = _featured_roles(spark, SF_DIR)
+    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    ranked.count()  # execute so AQE finalizes the plan
+    final = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+
+
 def test_full_text_no_shuffle(spark):
     ft = extraction.full_text(synth.spans_df(spark, SF_DIR))
     assert "Exchange" not in _plan(ft)
@@ -81,7 +97,7 @@ def test_blocking_cap_has_no_global_window(spark):
     from pdf_ocr_comparison_tool_spark.queries import _featured_roles
 
     v, r = _featured_roles(spark, SF_DIR)
-    ranked = matching.match_pages(v, r)
+    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     # exactly one Window remains: the per-probe top-k (partitioned by
     # doc_id, page_num); none partitioned by the blocking key bk
