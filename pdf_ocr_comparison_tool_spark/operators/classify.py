@@ -26,8 +26,11 @@ _SENTINEL = "\x01"  # never appears in document text
 
 def findall_count(text_col, pattern: str) -> "F.Column":
     """len(re.findall(pattern, text)): replace every non-overlapping
-    match with one sentinel char and count sentinels."""
-    r = F.regexp_replace(text_col, F.lit(pattern), F.lit(_SENTINEL))
+    match with one sentinel char and count sentinels. Pre-strips any
+    literal chr(1) from the text so adversarial input can't inflate the
+    sentinel count (the oracle does the same)."""
+    clean = F.replace(text_col, F.lit(_SENTINEL), F.lit(""))
+    r = F.regexp_replace(clean, F.lit(pattern), F.lit(_SENTINEL))
     return (
         F.length(r) - F.length(F.replace(r, F.lit(_SENTINEL), F.lit("")))
     ).cast("long")

@@ -173,14 +173,19 @@ def winnow_candidate_pairs(
     )
 
 
-def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup: hash-groupBy on normalized content (T1 hash)."""
-    h = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", "")))
+def exact_dup_groups(
+    docs: DataFrame, text_col: str = "text", count_alias: str = "n_docs"
+) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content — the SINGLE
+    home of the T1 hash spec (features.text_hash); the docs- and
+    pages-level queries both go through here."""
+    from .features import text_hash
+
     return (
-        docs.select(F.col("doc_id"), h.alias("text_hash"))
+        docs.select(F.col("doc_id"), text_hash(F.col(text_col)).alias("text_hash"))
         .groupBy("text_hash")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
-        .filter(F.col("n_docs") > 1)
+        .agg(F.count("*").alias(count_alias), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col(count_alias) > 1)
     )
 
 

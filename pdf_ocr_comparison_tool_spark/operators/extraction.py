@@ -108,7 +108,12 @@ def parse_grounded(df: DataFrame, blob_col: str = "grounded") -> DataFrame:
         grp(2).alias("y1s"),
         grp(3).alias("x2s"),
         grp(4).alias("y2s"),
-        F.trim(F.regexp_extract("piece", G.GR_BODY_RE, 1)).alias("txt"),
+        # full whitespace strip (not trim(): ASCII-space-only) — the
+        # reference strips all whitespace (deepseek_ocr2_engine.py:277
+        # text.strip()), incl. the trailing '\n' join separator
+        F.regexp_replace(
+            F.regexp_extract("piece", G.GR_BODY_RE, 1), r"^\s+|\s+$", ""
+        ).alias("txt"),
     ).filter((F.col("x1s") != "") & (F.col("txt") != ""))
     kept = parsed.select(
         "doc_id",

@@ -24,10 +24,13 @@ def ntz_epoch(col: str) -> "F.Column":
     """tz-independent epoch seconds: timestampdiff on TIMESTAMP_NTZ is
     pure calendar arithmetic (unix_timestamp would shift with the
     session timezone). The parquet ``ts`` columns read as NTZ under
-    Spark 4's inferTimestampNTZ default; the explicit cast makes the
-    expression NTZ even in a driver-owned session that disables the
-    inference (an LTZ column would otherwise coerce the literal and
-    reintroduce session-tz dependence)."""
+    Spark 4's inferTimestampNTZ default, making this fully
+    tz-independent. CAVEAT for driver-owned sessions that disable the
+    inference: casting the then-LTZ column to NTZ goes through the
+    SESSION timezone, so this expression assumes a UTC session in that
+    configuration (get_spark sets UTC; a non-UTC session with inference
+    off would shift epochs relative to the DuckDB oracle — convert via
+    to_utc_timestamp first if that configuration ever matters)."""
     return F.expr(
         f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
         f" CAST({col} AS TIMESTAMP_NTZ))"

@@ -76,10 +76,12 @@ def classify_sql(d: str, docs: str = "documents") -> str:
     semantics in Python re, Java regex and RE2)."""
     entries = []
     for t, p, pat in C.doc_type_patterns():
+        # pre-strip literal chr(1) — mirror of classify.findall_count
+        txt = "replace(p.text, chr(1), '')"
         if d == SPARK:
-            r = f"regexp_replace(p.text, {G.rx(pat, d)}, chr(1))"
+            r = f"regexp_replace({txt}, {G.rx(pat, d)}, chr(1))"
         else:
-            r = f"regexp_replace(p.text, {G.rx(pat, d)}, chr(1), 'g')"
+            r = f"regexp_replace({txt}, {G.rx(pat, d)}, chr(1), 'g')"
         m = f"CAST(length({r}) - length(replace({r}, chr(1), '')) AS BIGINT)"
         if d == SPARK:
             entries.append(

@@ -465,13 +465,7 @@ def q_dedup_exact_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (the documents-table variant, dedup_exact, legitimately
     returns zero groups on the driver data)."""
     pages = synth.pages_df(spark, sf_dir)
-    h = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", "")))
-    return (
-        pages.select("doc_id", h.alias("text_hash"))
-        .groupBy("text_hash")
-        .agg(F.count("*").alias("n_pages"), F.min("doc_id").alias("keep_doc"))
-        .filter(F.col("n_pages") > 1)
-    )
+    return dedup.exact_dup_groups(pages, count_alias="n_pages")
 
 
 @register("events_topk", oracle=O.events_topk_sql(G.DUCK))

@@ -97,9 +97,13 @@ def write_parts_batch(
         F.count("*").alias("n_docs"),
         F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
     )
+    # one lineage row for EVERY part in the batch — a part whose data
+    # yields zero output rows still counts as committed (stats default
+    # to 0/0), or it would be re-selected on every resume forever
+    stat_map = {r["part"]: (r["n_docs"], r["n_spans"]) for r in stats.collect()}
     rows = [
-        (r["part"], n_parts, r["n_docs"], r["n_spans"], wall_ms, run_id)
-        for r in stats.collect()
+        (p, n_parts, *stat_map.get(p, (0, 0)), wall_ms, run_id)
+        for p in parts
     ]
     spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
         os.path.join(out_dir, "_lineage")

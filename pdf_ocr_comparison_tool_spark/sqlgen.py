@@ -230,7 +230,10 @@ def grounded_parse_sql(d: str, docs: str = "documents") -> str:
     else:
         pieces = f"regexp_split_to_array(grounded, {rx(GR_REF_SPLIT_RE, d)})"
     grp = lambda g: f"regexp_extract(piece, {rx(GR_HDR_RE, d)}, {g})"  # noqa: E731
-    body = f"trim(regexp_extract(piece, {rx(GR_BODY_RE, d)}, 1))"
+    # full whitespace strip, mirroring the operator (reference strip())
+    body = replace_all(
+        f"regexp_extract(piece, {rx(GR_BODY_RE, d)}, 1)", r"^\s+|\s+$", "", d
+    )
     if d == SPARK:
         k_piece = f"posexplode({pieces}) AS (k, piece)"
         unn = f"SELECT doc_id, {k_piece} FROM gr_blob"
