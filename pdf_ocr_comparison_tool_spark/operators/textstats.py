@@ -85,6 +85,80 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition signals (Rae et al. 2021, §A1 filter
+    suite) — the standard boilerplate/repetition pre-training filters:
+
+    * ``top_1gram_char_frac`` / ``top_2gram_char_frac`` — fraction of
+      token characters covered by the most frequent token / word
+      2-gram (ties → lexicographically smallest gram; overlapping
+      2-gram occurrences share tokens, so the 2-gram fraction can
+      exceed 1.0 on degenerate "b b b" runs — kept as-defined);
+    * ``dup_3gram_frac`` — fraction of 3-gram occurrences that are
+      duplicates of another occurrence.
+
+    All narrow array/HOF expressions over the shared tokenizer
+    (tokens_col): positional grams via shifted zips, counts via the
+    O(n log n) run-length entries, argmax via struct array_min —
+    shuffle-free per document. Fractions are int/int divisions, so
+    values are bit-identical cross-engine.
+    """
+    from .features import token_count_entries
+
+    t0 = tokens_col(F.col("text"))
+    base = docs.select("doc_id", t0.alias("toks"))
+    t = F.col("toks")
+    n = F.size(t)
+    s1 = F.slice(t, 2, F.greatest(n - 1, F.lit(0)))
+    s2 = F.slice(t, 3, F.greatest(n - 2, F.lit(0)))
+    g2p = F.zip_with(
+        t, s1, lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b))
+    )
+    g2 = F.filter(g2p, lambda x: x.isNotNull())
+    g3 = F.filter(
+        F.zip_with(
+            g2p, s2,
+            lambda ab, c: F.when(
+                ab.isNotNull() & c.isNotNull(), F.concat(ab, F.lit(" "), c)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    total_chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    g = base.select(
+        "doc_id", "toks", g2.alias("g2"), g3.alias("g3"),
+        total_chars.alias("total_chars"),
+    )
+
+    def top_frac(col_name: str, nsep: int) -> "F.Column":
+        entries = token_count_entries(F.col(col_name))
+        top = F.array_min(
+            F.transform(
+                entries,
+                lambda e: F.struct((-e["cnt"]).alias("nc"), e["tok"].alias("g")),
+            )
+        )
+        cnt = -top["nc"]
+        chars = (F.length(top["g"]) - F.lit(nsep)).cast("long")
+        return F.when(F.size(F.col(col_name)) == 0, F.lit(0.0)).otherwise(
+            (cnt * chars).cast("double") / F.col("total_chars").cast("double")
+        )
+
+    n3, d3 = F.size("g3"), F.size(F.array_distinct("g3"))
+    dup3 = F.when(n3 == 0, F.lit(0.0)).otherwise(
+        (n3 - d3).cast("double") / n3.cast("double")
+    )
+    return g.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        top_frac("toks", 0).alias("top_1gram_char_frac"),
+        top_frac("g2", 1).alias("top_2gram_char_frac"),
+        dup3.alias("dup_3gram_frac"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (chars/4,
     the common heuristic) as exact integer arithmetic."""

@@ -1361,6 +1361,62 @@ SELECT *,
 FROM tq2"""
 
 
+def text_repetition_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.text_repetition (Gopher-style
+    repetition signals): positional 2/3-grams by index transform,
+    top-gram selection via the lpad(10^7 − count)||gram encode (count
+    desc, gram asc — the same order as the operator's struct
+    array_min), int/int divisions throughout."""
+    n = _arr_size("toks", d)
+
+    def grams(k: int) -> str:
+        if d == SPARK:
+            rng, empty = f"sequence(0, {n} - {k})", "CAST(array() AS ARRAY<STRING>)"
+        else:
+            rng, empty = f"range(({n}) - {k - 1})", "CAST([] AS VARCHAR[])"
+        parts = " || ' ' || ".join(_elem("toks", f"i + {j}", d) for j in range(k))
+        arr = G.ltransform(rng, f"i -> {parts}", d)
+        return f"CASE WHEN {n} < {k} THEN {empty} ELSE {arr} END"
+
+    if d == SPARK:
+        total = "aggregate(toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+    else:
+        total = "coalesce(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0)"
+
+    def top_frac(col: str, nsep: int) -> str:
+        u = P._arr_distinct(col, d)
+        cntw = _arr_size(_lfilter(col, "x -> x = w", d), d)
+        enc = G.ltransform(
+            u, f"w -> lpad({G.cast_str(f'10000000 - {cntw}', d)}, 8, '0') || w", d
+        )
+        top = _arr_min(enc, d)
+        cnt = f"(10000000 - CAST(substr({top}, 1, 8) AS BIGINT))"
+        chars = f"CAST(length(substr({top}, 9)) - {nsep} AS BIGINT)"
+        return (
+            f"CASE WHEN {_arr_size(col, d)} = 0 THEN CAST(0.0 AS DOUBLE)\n"
+            f"            ELSE CAST({cnt} * {chars} AS DOUBLE)"
+            f" / CAST(total_chars AS DOUBLE) END"
+        )
+
+    n3, d3 = _arr_size("g3", d), _arr_size(P._arr_distinct("g3", d), d)
+    dup3 = (
+        f"CASE WHEN {n3} = 0 THEN CAST(0.0 AS DOUBLE)\n"
+        f"            ELSE CAST({n3} - {d3} AS DOUBLE) / CAST({n3} AS DOUBLE) END"
+    )
+    return f"""WITH {_tok_cte(d, docs)},
+tr_g AS (
+  SELECT doc_id, toks, {grams(2)} AS g2, {grams(3)} AS g3,
+         {total} AS total_chars
+  FROM dd_tok
+)
+SELECT doc_id,
+       CAST({n} AS BIGINT) AS n_tokens,
+       {top_frac('toks', 0)} AS top_1gram_char_frac,
+       {top_frac('g2', 1)} AS top_2gram_char_frac,
+       {dup3} AS dup_3gram_frac
+FROM tr_g"""
+
+
 def token_counts_sql(d: str, docs: str = "documents") -> str:
     ws = _lfilter(split_rx("text", r"\s+", d), "t -> t <> ''", d)
     bpe = P.idiv("(length(text) + 3)", "4", d)

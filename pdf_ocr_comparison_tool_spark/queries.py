@@ -758,6 +758,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_quality(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("text_repetition", oracle=O.text_repetition_sql(G.DUCK))
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals: top-1/2-gram character
+    share + duplicate-3-gram occurrence fraction — the standard
+    boilerplate filters a pre-training pipeline runs before dedup."""
+    return textstats.text_repetition(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("token_counts", oracle=O.token_counts_sql(G.DUCK))
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-estimate token counting."""
