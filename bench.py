@@ -37,6 +37,8 @@ HEADLINE = [
     "match_merged",
     "classify_pages",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "text_repetition",
     "ann_brute_topk",
     "ann_lsh_search",
     "ann_ivf_search",

@@ -776,15 +776,14 @@ JOIN dd_sh sb ON sb.doc_id = p.b
 WHERE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE) >= {threshold}"""
 
 
-def dedup_clusters_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
-    """Connected components over the verified near-dup pairs
-    (near_dup_pairs_sql): the recursive reachability closure's
-    min-reachable doc_id per node is the cluster id — the same fixpoint
-    operators.dedup.connected_components iterates distributively.
-    DuckDB's recursive UNION dedups rows, so the closure terminates on
-    cyclic components."""
+def _cc_closure_sql(pairs_sql: str, id_alias: str = "doc_id") -> str:
+    """Connected components over a (a, b) pair query: the recursive
+    reachability closure's min-reachable id per node is the cluster id
+    — the same fixpoint operators.dedup.connected_components iterates
+    distributively. DuckDB's recursive UNION dedups rows, so the
+    closure terminates on cyclic components."""
     return f"""WITH RECURSIVE np AS (
-{near_dup_pairs_sql(d, docs, threshold)}
+{pairs_sql}
 ),
 cc_edges AS (
   SELECT a AS src, b AS dst FROM np
@@ -796,9 +795,20 @@ cc_reach(node, lbl) AS (
   UNION
   SELECT r.node, e.dst FROM cc_reach r JOIN cc_edges e ON e.src = r.lbl
 )
-SELECT node AS doc_id, min(lbl) AS cluster_id,
+SELECT node AS {id_alias}, min(lbl) AS cluster_id,
        (node = min(lbl)) AS keep
 FROM cc_reach GROUP BY node"""
+
+
+def dedup_clusters_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
+    """Cluster formation over the verified MinHash-LSH near-dup pairs."""
+    return _cc_closure_sql(near_dup_pairs_sql(d, docs, threshold))
+
+
+def emb_dup_clusters_sql(d: str, threshold: float = 0.35) -> str:
+    """Cluster formation over the LSH-bucketed embedding near-dup
+    pairs — the same keep-policy stage on the embedding modality."""
+    return _cc_closure_sql(lsh_near_dups_sql(d, threshold), id_alias="vec_id")
 
 
 def winnow_sql(d: str, docs: str = "documents", w: int = 4) -> str:

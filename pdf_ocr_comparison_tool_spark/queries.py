@@ -682,6 +682,17 @@ def q_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_search.lsh_near_dups(emb)
 
 
+@register("emb_dup_clusters", oracle=O.emb_dup_clusters_sql(G.DUCK))
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster formation on the embedding modality: connected
+    components over the LSH-bucketed cosine near-dup pairs — the same
+    keep-one-per-cluster drop policy as dedup_clusters, proving the CC
+    operator is pair-source agnostic."""
+    emb = synth.load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_search.lsh_near_dups(emb).select("a", "b")
+    return dedup.connected_components(pairs).withColumnRenamed("doc_id", "vec_id")
+
+
 @register("events_window", oracle=O.events_window_sql(G.DUCK))
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch tumbling-window rollup (the bounded twin of the streaming
