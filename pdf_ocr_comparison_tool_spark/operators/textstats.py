@@ -98,16 +98,16 @@ def text_repetition(docs: DataFrame) -> DataFrame:
       duplicates of another occurrence.
 
     All narrow array/HOF expressions over the shared tokenizer
-    (tokens_col): positional grams via shifted zips, counts via the
-    O(n log n) run-length entries, argmax via struct array_min —
-    shuffle-free per document. Fractions are int/int divisions, so
-    values are bit-identical cross-engine.
+    (tokens_col): positional grams via shifted zips; the argmax is ONE
+    array_sort + ONE fold per gram order, with the fraction computed in
+    the fold's finish lambda so every expensive array is the input of
+    exactly one HOF (Spark HOFs are interpreted and re-evaluate any
+    derived array referenced more than once — the run-length-entries
+    form of this operator measured ~4× slower). Shuffle-free per
+    document; fractions are int/int divisions, so values are
+    bit-identical cross-engine.
     """
-    from .features import token_count_entries
-
-    t0 = tokens_col(F.col("text"))
-    base = docs.select("doc_id", t0.alias("toks"))
-    t = F.col("toks")
+    t = tokens_col(F.col("text"))
     n = F.size(t)
     s1 = F.slice(t, 2, F.greatest(n - 1, F.lit(0)))
     s2 = F.slice(t, 3, F.greatest(n - 2, F.lit(0)))
@@ -127,34 +127,50 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     total_chars = F.aggregate(
         t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
     )
-    g = base.select(
-        "doc_id", "toks", g2.alias("g2"), g3.alias("g3"),
-        total_chars.alias("total_chars"),
-    )
 
-    def top_frac(col_name: str, nsep: int) -> "F.Column":
-        entries = token_count_entries(F.col(col_name))
-        top = F.array_min(
-            F.transform(
-                entries,
-                lambda e: F.struct((-e["cnt"]).alias("nc"), e["tok"].alias("g")),
+    def top_gram_frac(arr, nsep: int) -> "F.Column":
+        """count(top gram) · chars(top gram) / total token chars, in one
+        sort + one fold: runs are contiguous in the sorted array, the
+        fold tracks (current run, best count, best gram); a strict >
+        update keeps the lexicographically smallest gram on count ties
+        (first-in-sorted-order)."""
+        s = F.array_sort(arr)
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("bc"),
+            F.lit("").alias("bg"),
+        )
+
+        def step(acc, x):
+            run = F.when(
+                acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+            ).otherwise(F.lit(1).cast("long"))
+            better = run > acc["bc"]
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+                F.when(better, x).otherwise(acc["bg"]).alias("bg"),
             )
-        )
-        cnt = -top["nc"]
-        chars = (F.length(top["g"]) - F.lit(nsep)).cast("long")
-        return F.when(F.size(F.col(col_name)) == 0, F.lit(0.0)).otherwise(
-            (cnt * chars).cast("double") / F.col("total_chars").cast("double")
-        )
 
-    n3, d3 = F.size("g3"), F.size(F.array_distinct("g3"))
+        def fin(acc):
+            chars = (F.length(acc["bg"]) - F.lit(nsep)).cast("long")
+            return F.when(acc["bc"] == 0, F.lit(0.0)).otherwise(
+                (acc["bc"] * chars).cast("double") / total_chars.cast("double")
+            )
+
+        return F.aggregate(s, init, step, fin)
+
+    n3, d3 = F.size(g3), F.size(F.array_distinct(g3))
     dup3 = F.when(n3 == 0, F.lit(0.0)).otherwise(
         (n3 - d3).cast("double") / n3.cast("double")
     )
-    return g.select(
+    return docs.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        top_frac("toks", 0).alias("top_1gram_char_frac"),
-        top_frac("g2", 1).alias("top_2gram_char_frac"),
+        n.cast("long").alias("n_tokens"),
+        top_gram_frac(t, 0).alias("top_1gram_char_frac"),
+        top_gram_frac(g2, 1).alias("top_2gram_char_frac"),
         dup3.alias("dup_3gram_frac"),
     )
 
