@@ -119,72 +119,81 @@ def cosine_sim_expr(t1, t2) -> "F.Column":
     )
 
 
-def tf_map_expr(text_col) -> "F.Column":
-    """token → count map of the CJK-folded lowercase text. Built ONCE
-    per page (the build-once index shape) via the O(n log n) sort +
-    run-length construction (features.token_count_entries); the cosine
-    pair scoring then explodes these maps into the relational sparse
-    dot product."""
+def cosine_token_rows(
+    df: DataFrame, keys: list[str], text_col: str = "text", cnt_alias: str = "cnt"
+) -> DataFrame:
+    """(keys…, tok, cnt) term-frequency ROWS of the CJK-folded lowercase
+    text — the per-page TF "vector" in relational form, built entirely
+    inside whole-stage codegen (explode → filter → partial-agg count).
+
+    This replaced a per-page token→count MAP column built with an
+    interpreted HOF fold (sort + run-length via F.aggregate): the map
+    was only ever exploded back into rows by the sparse dot, and the
+    fold is CodegenFallback — the row build measured ~2× faster end to
+    end at sf0.1. All tokens of a page sit in one input row, so the
+    map-side partial aggregation collapses each (page, tok) group
+    before the exchange — the shuffle moves compact counts, never raw
+    tokens, and that holds at any corpus scale."""
     from .. import sqlgen as G
-    from .features import token_count_entries
 
-    folded = F.lower(F.translate(text_col, G.CJK_FOLD_SRC, G.CJK_FOLD_DST))
-    toks = F.filter(F.split(folded, r"[^a-z0-9@#$%&*]+"), lambda x: x != "")
-    return F.map_from_entries(token_count_entries(toks))
-
-
-def tf_nsq_expr(tf_map) -> "F.Column":
-    """Squared L2 norm of a TF map — integer, pair-independent, so it is
-    precomputed per page, not per pair."""
-    return F.aggregate(
-        F.transform(F.map_values(tf_map), lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    folded = F.lower(F.translate(F.col(text_col), G.CJK_FOLD_SRC, G.CJK_FOLD_DST))
+    return (
+        df.select(
+            *keys, F.explode(F.split(folded, r"[^a-z0-9@#$%&*]+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(*keys, "tok")
+        .agg(F.count("*").alias(cnt_alias))
     )
 
 
-def cosine_pair_scores(
-    pairs: DataFrame, vouchers: DataFrame, refs: DataFrame
-) -> DataFrame:
-    """TF-cosine for a pair set, RELATIONALLY: explode the per-page
-    token→count maps, equi-join voucher and reference counts on
-    (target page, token), aggregate Σ cnt_v·cnt_r per pair — every
-    operator whole-stage-codegen'd, no interpreted lambda in the
-    per-pair path (a per-pair HOF expression measured 117 s at sf0.1;
-    this shape runs in seconds and is the sparse-vector dot product a
-    1000-executor cluster wants: token joins carry the page key, so a
-    hot token cannot blow up beyond tokens-per-page × pairs).
+def cosine_scorer(vt: DataFrame, rt: DataFrame):
+    """pair_scorer over precomputed TF row tables: ``vt`` (doc_id,
+    page_num, tok, cnt_v), ``rt`` (t_doc, t_page, tok, cnt_r) — build
+    them once with :func:`cosine_token_rows` and cache (each is read
+    twice: norms + dot).
+
+    Scoring is the RELATIONAL sparse dot product: equi-join voucher and
+    reference counts on (target page, token), aggregate Σ cnt_v·cnt_r
+    per pair — every operator whole-stage-codegen'd, no interpreted
+    lambda in the per-pair path (a per-pair HOF expression measured
+    117 s at sf0.1; this shape runs in seconds and is the sparse-vector
+    dot a 1000-executor cluster wants: token joins carry the page key,
+    so a hot token cannot blow up beyond tokens-per-page × pairs).
 
     Values are bit-identical to :func:`cosine_sim_expr`: the dot and
     squared norms are the same integers (order-free sums), the final
-    sqrt/divide the same double ops. Pairs sharing no token get dot 0.
-    """
-    vt = vouchers.select(*_PROBE, F.explode(F.map_entries("tf")).alias("e")).select(
-        *_PROBE, F.col("e.key").alias("tok"), F.col("e.value").alias("cnt_v")
+    sqrt/divide the same double ops. Pairs sharing no token get dot 0;
+    a page with no tokens has no TF rows, so its norm left-joins to
+    NULL → 0 → sim 0.0, exactly the zero-norm guard."""
+    vn = vt.groupBy(*_PROBE).agg(
+        F.sum(F.col("cnt_v") * F.col("cnt_v")).alias("v_nsq")
     )
-    rt = refs.select(
-        "t_doc", "t_page", F.explode(F.map_entries("t_tf")).alias("e")
-    ).select(
-        "t_doc", "t_page", F.col("e.key").alias("tok"), F.col("e.value").alias("cnt_r")
+    rn = rt.groupBy("t_doc", "t_page").agg(
+        F.sum(F.col("cnt_r") * F.col("cnt_r")).alias("r_nsq")
     )
-    dots = (
-        pairs.join(vt, _PROBE)
-        .join(rt, ["t_doc", "t_page", "tok"])
-        .groupBy(*_PROBE, "t_doc", "t_page")
-        .agg(F.sum(F.col("cnt_v") * F.col("cnt_r")).alias("dot"))
-    )
-    vn = vouchers.select(*_PROBE, F.col("nsq").alias("v_nsq"))
-    rn = refs.select("t_doc", "t_page", F.col("t_nsq").alias("r_nsq"))
-    sim = F.when((F.col("v_nsq") == 0) | (F.col("r_nsq") == 0), F.lit(0.0)).otherwise(
-        F.coalesce(F.col("dot"), F.lit(0).cast("long")).cast("double")
-        / (F.sqrt(F.col("v_nsq").cast("double")) * F.sqrt(F.col("r_nsq").cast("double")))
-    )
-    return (
-        pairs.join(dots, _PROBE + ["t_doc", "t_page"], "left")
-        .join(vn, _PROBE)
-        .join(rn, ["t_doc", "t_page"])
-        .select(*_PROBE, "t_doc", "t_page", sim.alias("sim"))
-    )
+
+    def scorer(pairs: DataFrame, vouchers: DataFrame, refs: DataFrame) -> DataFrame:
+        dots = (
+            pairs.join(vt, _PROBE)
+            .join(rt, ["t_doc", "t_page", "tok"])
+            .groupBy(*_PROBE, "t_doc", "t_page")
+            .agg(F.sum(F.col("cnt_v") * F.col("cnt_r")).alias("dot"))
+        )
+        v_nsq = F.coalesce(F.col("v_nsq"), F.lit(0).cast("long"))
+        r_nsq = F.coalesce(F.col("r_nsq"), F.lit(0).cast("long"))
+        sim = F.when((v_nsq == 0) | (r_nsq == 0), F.lit(0.0)).otherwise(
+            F.coalesce(F.col("dot"), F.lit(0).cast("long")).cast("double")
+            / (F.sqrt(v_nsq.cast("double")) * F.sqrt(r_nsq.cast("double")))
+        )
+        return (
+            pairs.join(dots, _PROBE + ["t_doc", "t_page"], "left")
+            .join(vn, _PROBE, "left")
+            .join(rn, ["t_doc", "t_page"], "left")
+            .select(*_PROBE, "t_doc", "t_page", sim.alias("sim"))
+        )
+
+    return scorer
 
 
 def match_pages(

@@ -264,30 +264,31 @@ def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — TF cosine (config.yaml:154) — fully native and oracled
     (the pandas-UDF variant remains as the documented UDF surface).
 
-    TF maps + squared norms are precomputed per page
-    (matching.tf_map_expr); pair scoring is the RELATIONAL sparse dot
-    product (matching.cosine_pair_scores) — explode counts, equi-join
-    on token, aggregate — fully codegen'd, no per-pair lambda."""
+    TF row tables (matching.cosine_token_rows) are precomputed per page
+    and cached (read twice: norms + dot); pair scoring is the
+    RELATIONAL sparse dot product (matching.cosine_scorer) — equi-join
+    on (page, token), aggregate — fully codegen'd, no per-pair lambda
+    and no interpreted map build."""
     v, r = _featured_roles(spark, sf_dir)
-
-    def aug(df):
-        # cache: the TF map build is the expensive narrow projection
-        # and the match DAG reads each side from several branches
-        return (
-            df.withColumn("tf", matching.tf_map_expr(F.col("text")))
-            .withColumn("nsq", matching.tf_nsq_expr(F.col("tf")))
-            .cache()
-        )
-
-    v2, r2 = aug(v), aug(r)
+    vt = matching.cosine_token_rows(
+        v, ["doc_id", "page_num"], cnt_alias="cnt_v"
+    ).cache()
+    rt = matching.cosine_token_rows(
+        r.select(
+            F.col("doc_id").alias("t_doc"),
+            F.col("page_num").alias("t_page"),
+            "text",
+        ),
+        ["t_doc", "t_page"],
+        cnt_alias="cnt_r",
+    ).cache()
     ranked = matching.match_pages(
-        v2,
-        r2,
-        pair_scorer=matching.cosine_pair_scores,
-        feature_cols=("tf", "nsq"),
+        v,
+        r,
+        pair_scorer=matching.cosine_scorer(vt, rt),
         ref_per_key_cap=matching.REF_PER_KEY_CAP,
     )
-    best = matching.best_matches(v2, ranked)
+    best = matching.best_matches(v, ranked)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
 
 

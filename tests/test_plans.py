@@ -129,15 +129,20 @@ def test_cosine_pair_scoring_has_no_cartesian(spark):
     from pdf_ocr_comparison_tool_spark.queries import _featured_roles
 
     v, r = _featured_roles(spark, SF_DIR)
-
-    def aug(df):
-        return df.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
-            "nsq", matching.tf_nsq_expr(F.col("tf"))
-        )
-
+    vtr = matching.cosine_token_rows(
+        v, ["doc_id", "page_num"], cnt_alias="cnt_v"
+    )
+    rtr = matching.cosine_token_rows(
+        r.select(
+            F.col("doc_id").alias("t_doc"),
+            F.col("page_num").alias("t_page"),
+            "text",
+        ),
+        ["t_doc", "t_page"],
+        cnt_alias="cnt_r",
+    )
     ranked = matching.match_pages(
-        aug(v), aug(r),
-        pair_scorer=matching.cosine_pair_scores, feature_cols=("tf", "nsq"),
+        v, r, pair_scorer=matching.cosine_scorer(vtr, rtr),
     )
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan

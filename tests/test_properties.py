@@ -111,17 +111,23 @@ def test_merge_islands_invariants(spark, seq):
 def test_keywords_and_quality_bounded(spark, text):
     """Per-page keyword/tokenizer operators never crash on arbitrary
     text and respect their contracts: ≤10 keywords, each of length ≥ 2,
-    non-digit; TF-map counts are positive and nsq = Σ cnt²."""
+    non-digit; relational TF rows have positive counts whose total
+    equals an independent (HOF-expression) tokenization of the text."""
+    from pdf_ocr_comparison_tool_spark import sqlgen as G
     from pdf_ocr_comparison_tool_spark.operators import features, matching
 
-    df = spark.createDataFrame([(text,)], "text string")
-    row = df.select(
-        features.page_keywords_expr(F.col("text")).alias("kw"),
-        matching.tf_map_expr(F.col("text")).alias("tf"),
-        matching.tf_nsq_expr(matching.tf_map_expr(F.col("text"))).alias("nsq"),
-    ).collect()[0]
+    df = spark.createDataFrame([(1, 1, text)], "doc_id long, page_num int, text string")
+    row = df.select(features.page_keywords_expr(F.col("text")).alias("kw")).collect()[0]
     assert len(row["kw"]) <= 10
     for k in row["kw"]:
         assert len(k) >= 2 and not k.isdigit()
-    assert all(c > 0 for c in row["tf"].values())
-    assert row["nsq"] == sum(c * c for c in row["tf"].values())
+    tf_rows = matching.cosine_token_rows(df, ["doc_id", "page_num"]).collect()
+    assert all(r["cnt"] > 0 for r in tf_rows)
+    assert len({r["tok"] for r in tf_rows}) == len(tf_rows)
+    folded = F.lower(F.translate(F.col("text"), G.CJK_FOLD_SRC, G.CJK_FOLD_DST))
+    n_toks = df.select(
+        F.size(
+            F.filter(F.split(folded, r"[^a-z0-9@#$%&*]+"), lambda x: x != "")
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert sum(r["cnt"] for r in tf_rows) == n_toks

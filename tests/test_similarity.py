@@ -95,7 +95,7 @@ def test_ann_search_recall_vs_brute(spark):
 def test_cosine_scalar_equals_relational(spark):
     """Triangle check: the direct scalar TF-cosine expression (the spec
     form, matching.cosine_sim_expr) and the relational sparse-dot
-    scorer (matching.cosine_pair_scores, the production shape) must be
+    scorer (matching.cosine_scorer, the production shape) must be
     bit-identical on the staged match's candidate pairs."""
     from pyspark.sql import functions as F
 
@@ -104,15 +104,20 @@ def test_cosine_scalar_equals_relational(spark):
     from tests.conftest import SF_DIR_001
 
     v, r = _featured_roles(spark, SF_DIR_001)
-    v2 = v.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
-        "nsq", matching.tf_nsq_expr(F.col("tf"))
+    vtr = matching.cosine_token_rows(
+        v, ["doc_id", "page_num"], cnt_alias="cnt_v"
     )
-    r2 = r.withColumn("tf", matching.tf_map_expr(F.col("text"))).withColumn(
-        "nsq", matching.tf_nsq_expr(F.col("tf"))
+    rtr = matching.cosine_token_rows(
+        r.select(
+            F.col("doc_id").alias("t_doc"),
+            F.col("page_num").alias("t_page"),
+            "text",
+        ),
+        ["t_doc", "t_page"],
+        cnt_alias="cnt_r",
     )
     ranked = matching.match_pages(
-        v2, r2, pair_scorer=matching.cosine_pair_scores,
-        feature_cols=("tf", "nsq"),
+        v, r, pair_scorer=matching.cosine_scorer(vtr, rtr),
     )
     # exclude the exact-hash short-circuit rows (sim := 1.0 by J1)
     rel = {
