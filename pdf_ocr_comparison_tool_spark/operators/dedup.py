@@ -348,3 +348,57 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for c in bit_cols[1:]:
         fp = fp + c
     return docs.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+SIMHASH_BAND_BITS = 4
+SIMHASH_HAM_MAX = 3
+
+
+def simhash_candidate_pairs(
+    fps: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    ham_max: int = SIMHASH_HAM_MAX,
+) -> DataFrame:
+    """Banded SimHash near-dup pairs — the Manku/Jain/Das Sarma web-dedup
+    shape (WWW'07): split the fingerprint into bands, equi-join docs that
+    share any band verbatim, verify candidates by full hamming distance.
+
+    Completeness by pigeonhole: 16 bits in 4 bands — a pair within
+    hamming distance ham_max ≤ 3 has at most 3 differing bits, which
+    cannot touch all 4 bands, so at least one band matches exactly and
+    the banded equi-join (never an all-pairs join) finds EVERY such
+    pair. Hot-band guard as in the MinHash-LSH path: a band value
+    shared by more than ``max_bucket`` docs is boilerplate — dropped
+    (those members collapse via the exact-hash path instead).
+
+    Emits (a, b, hamming) with a < b, hamming = popcount(fp_a XOR fp_b)
+    ≤ ham_max."""
+    nb = SIMHASH_BITS // SIMHASH_BAND_BITS
+    band_vals = F.array(
+        *[
+            (
+                F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b)
+                % (1 << SIMHASH_BAND_BITS)
+            ).cast("int")
+            for b in range(nb)
+        ]
+    )
+    bands = fps.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "val")
+    )
+    sizes = bands.groupBy("band", "val").agg(F.count("*").alias("_n"))
+    small = bands.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("band", "val"),
+        ["band", "val"],
+    )
+    a = small.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band", "val")
+    b = small.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "band", "val")
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+        .filter(ham <= ham_max)
+        .select("a", "b", ham.cast("long").alias("hamming"))
+    )

@@ -1,0 +1,133 @@
+"""End-to-end training-corpus admission filter — the composed keep/drop
+decision an LLM data pipeline actually keys on (C4 / Gopher style:
+Raffel et al. 2020 §2.2, Rae et al. 2021 §A1): exact dedup, near-dup
+cluster keep-policy, length, quality band, and repetition signals, each
+already an oracled operator here, joined into one verdict per document.
+
+Output: one row per doc — the signal columns, a ``drop_reason`` (first
+failing stage in the fixed precedence below, NULL if admitted) and
+``keep = drop_reason IS NULL``.
+
+Precedence (mirrors the order a production pipeline applies the
+stages — dedup first so a near-identical copy of a GOOD page is
+dropped as a dup, not double-counted by the quality stages):
+
+  1. exact_dup         — not the min doc_id of an identical-text group
+  2. near_dup          — not the kept representative of its MinHash-LSH
+                         cluster (connected components keep-policy)
+  3. too_short         — fewer than MIN_TOKENS tokens
+  4. low_quality       — 'low' quality band (textstats.text_quality)
+  5. repetitive_2gram  — top word-2-gram covers > MAX_TOP2_FRAC of chars
+  6. repetitive_3gram  — duplicate 3-gram fraction > MAX_DUP3_FRAC
+
+Scale: every stage is the already-audited distributed shape (hash
+groupBy, banded LSH + bounded verify, iterative min-label CC, narrow
+array exprs); the final assembly is doc_id equi-joins of per-doc
+single-row outputs — no new shuffle risk at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup, textstats
+from .features import text_hash
+
+# MIN_TOKENS deliberately below the 'low' quality band's 5-token edge:
+# at 5 the low_quality stage would be fully shadowed by too_short
+# (band 'low' ⇔ n_tokens < 5) — with 3, docs of 3-4 tokens reach the
+# quality stage and the band check is live (test_pipeline asserts both)
+MIN_TOKENS = 3
+MAX_TOP2_FRAC = 0.20
+MAX_DUP3_FRAC = 0.30
+
+
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN = 900  # buckets [0, 900) → train
+SPLIT_VALID = 950  # buckets [900, 950) → valid; rest → test
+
+
+def data_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/valid/test assignment — the standard
+    content-free holdout split of a training pipeline: bucket = first
+    8 md5 hex chars of the id, mod SPLIT_BUCKETS. Pure function of the
+    id — stable across engines, runs, partitionings and corpus growth
+    (a doc never migrates between splits when new data arrives), unlike
+    ``df.randomSplit`` whose assignment depends on partition layout.
+    Narrow (no shuffle) at any scale."""
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(SPLIT_BUCKETS),
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN, F.lit("train"))
+        .when(b < SPLIT_VALID, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        id_col,
+        "source",
+        b.cast("long").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def split_summary(assigned: DataFrame) -> DataFrame:
+    """Stratification report over :func:`data_split` output — doc
+    counts per (source, split), the mixture table a training job reads
+    to weight its samplers. Tiny aggregate of an already-narrow input."""
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def corpus_filter(docs: DataFrame) -> DataFrame:
+    """Compose the admission verdict for a ``documents``-shaped frame
+    (doc_id, text). See module docstring for stages and precedence."""
+    quality = textstats.text_quality(docs).select("doc_id", "quality")
+    rep = textstats.text_repetition(docs).select(
+        "doc_id", "n_tokens", "top_2gram_char_frac", "dup_3gram_frac"
+    )
+    exact = docs.select(
+        "doc_id", text_hash(F.col("text")).alias("h")
+    ).select(
+        "doc_id",
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))
+        ).alias("exact_keep"),
+    )
+    withsig = dedup.with_minhash(docs).cache()
+    pairs = dedup.lsh_candidate_pairs(withsig)
+    verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
+    clusters = dedup.connected_components(verified).select(
+        "doc_id", F.col("keep").alias("nd_keep")
+    )
+    joined = (
+        rep.join(quality, "doc_id")
+        .join(exact, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("neardup_keep", F.coalesce("nd_keep", F.lit(True)))
+        .drop("nd_keep")
+    )
+    reason = (
+        F.when(~F.col("exact_keep"), F.lit("exact_dup"))
+        .when(~F.col("neardup_keep"), F.lit("near_dup"))
+        .when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("quality") == "low", F.lit("low_quality"))
+        .when(F.col("top_2gram_char_frac") > MAX_TOP2_FRAC, F.lit("repetitive_2gram"))
+        .when(F.col("dup_3gram_frac") > MAX_DUP3_FRAC, F.lit("repetitive_3gram"))
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "top_2gram_char_frac",
+        "dup_3gram_frac",
+        "exact_keep",
+        "neardup_keep",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )

@@ -913,6 +913,51 @@ def _list_sum_dec_int(arr: str, d: str) -> str:
     return f"list_sum({arr})"
 
 
+def simhash_pairs_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.simhash_candidate_pairs: banded SimHash
+    equi-join (4 bands × 4 bits) + hot-band guard + hamming verify."""
+    from .operators.dedup import (
+        MAX_BUCKET,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BITS,
+        SIMHASH_HAM_MAX,
+    )
+
+    nb = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+
+    def band_val(b: int) -> str:
+        sh = SIMHASH_BAND_BITS * b
+        if d == SPARK:
+            return f"shiftright(simhash, {sh}) % {mask + 1}"
+        return f"(simhash >> {sh}) % {mask + 1}"
+
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, {band_val(b)} AS val FROM sp_f"
+        for b in range(nb)
+    )
+    xor = "xor(fa, fb)" if d == DUCK else "fa ^ fb"
+    ham = f"bit_count({xor})"
+    return f"""WITH sp_f AS ({simhash_sql(d, docs)}),
+sp_bands AS (
+{bands}
+),
+sp_small AS (
+  SELECT band, val FROM sp_bands GROUP BY band, val HAVING count(*) <= {MAX_BUCKET}
+),
+sp_bs AS (
+  SELECT x.* FROM sp_bands x JOIN sp_small s ON x.band = s.band AND x.val = s.val
+),
+sp_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS fa, y.simhash AS fb
+  FROM sp_bs x JOIN sp_bs y ON x.band = y.band AND x.val = y.val
+    AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST({ham} AS BIGINT) AS hamming
+FROM sp_pairs WHERE {ham} <= {SIMHASH_HAM_MAX}"""
+
+
 # ------------------------------------------------------------------- ANN
 def _fold_double(arr: str, d: str) -> str:
     """Left-to-right double sum with a 0.0 seed — the exact fold Spark's
@@ -1435,3 +1480,65 @@ def token_counts_sql(d: str, docs: str = "documents") -> str:
        CAST({_arr_size(ws, d)} AS BIGINT) AS n_ws_tokens,
        CAST({bpe} AS BIGINT) AS n_bpe_est
 FROM {docs}"""
+
+
+def data_split_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.data_split: bucket = hexint(md5(id))
+    mod SPLIT_BUCKETS (nonnegative, so % ≡ pmod in both engines)."""
+    from .operators.pipeline import SPLIT_BUCKETS, SPLIT_TRAIN, SPLIT_VALID
+
+    h = G.hexint(G.cast_str("doc_id", d), d)
+    return f"""WITH ds AS (
+  SELECT doc_id, source, ({h}) % {SPLIT_BUCKETS} AS bucket FROM {docs}
+)
+SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {SPLIT_VALID} THEN 'valid'
+            ELSE 'test' END AS split
+FROM ds"""
+
+
+def split_summary_sql(d: str, docs: str = "documents") -> str:
+    return f"""SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({data_split_sql(d, docs)}) GROUP BY source, split"""
+
+
+def corpus_filter_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.corpus_filter: the composed C4/
+    Gopher-style corpus admission verdict. Each stage's SQL is the
+    already-parity-green oracle of that operator, nested as a CTE; the
+    drop_reason precedence is identical on both sides."""
+    from .operators.pipeline import MAX_DUP3_FRAC, MAX_TOP2_FRAC, MIN_TOKENS
+
+    ws = G.replace_all("text", r"\s+", "", d)
+    reason = f"""CASE WHEN NOT exact_keep THEN 'exact_dup'
+            WHEN NOT neardup_keep THEN 'near_dup'
+            WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+            WHEN quality = 'low' THEN 'low_quality'
+            WHEN top_2gram_char_frac > {MAX_TOP2_FRAC} THEN 'repetitive_2gram'
+            WHEN dup_3gram_frac > {MAX_DUP3_FRAC} THEN 'repetitive_3gram'
+       END"""
+    return f"""WITH cf_q AS ({text_quality_sql(d, docs)}),
+cf_r AS ({text_repetition_sql(d, docs)}),
+cf_h AS (SELECT doc_id, md5(lower({ws})) AS h FROM {docs}),
+cf_e AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY h)) AS exact_keep
+  FROM cf_h
+),
+cf_c AS ({dedup_clusters_sql(d, docs)}),
+cf_j AS (
+  SELECT r.doc_id, r.n_tokens, q.quality,
+         r.top_2gram_char_frac, r.dup_3gram_frac,
+         e.exact_keep,
+         coalesce(c.keep, TRUE) AS neardup_keep
+  FROM cf_r r
+  JOIN cf_q q ON r.doc_id = q.doc_id
+  JOIN cf_e e ON r.doc_id = e.doc_id
+  LEFT JOIN cf_c c ON r.doc_id = c.doc_id
+)
+SELECT doc_id, n_tokens, quality, top_2gram_char_frac, dup_3gram_frac,
+       exact_keep, neardup_keep,
+       {reason} AS drop_reason,
+       ({reason} IS NULL) AS keep
+FROM cf_j"""

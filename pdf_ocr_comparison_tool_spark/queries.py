@@ -29,6 +29,7 @@ from .operators import (
     features,
     matching,
     merge,
+    pipeline,
     project,
     reports,
     similarity_search,
@@ -607,6 +608,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_simhash_pairs", oracle=O.simhash_pairs_sql(G.DUCK))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (Manku et al., WWW'07): any pair
+    within hamming distance 3 of the 16-bit fingerprint shares at least
+    one of the 4 bands exactly (pigeonhole), so a banded equi-join +
+    hamming verify finds all of them with no all-pairs join."""
+    fps = dedup.simhash(synth.load_table(spark, sf_dir, "documents")).cache()
+    return dedup.simhash_candidate_pairs(fps)
+
+
 # ------------------------------------------------------------------- ANN
 @register("ann_brute_topk", oracle=O.ann_topk_sql(G.DUCK))
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +787,34 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     share + duplicate-3-gram occurrence fraction — the standard
     boilerplate filters a pre-training pipeline runs before dedup."""
     return textstats.text_repetition(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("data_split", oracle=O.data_split_sql(G.DUCK))
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/valid/test split: a pure function
+    of doc_id, so assignment is stable under corpus growth and any
+    partitioning — what a pipeline uses instead of randomSplit."""
+    return pipeline.data_split(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("split_summary", oracle=O.split_summary_sql(G.DUCK))
+def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification report: doc counts per (source, split) — the
+    mixture table a training job weights its samplers with."""
+    return pipeline.split_summary(
+        pipeline.data_split(synth.load_table(spark, sf_dir, "documents"))
+    )
+
+
+@register("corpus_filter", oracle=O.corpus_filter_sql(G.DUCK))
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus admission verdict (C4/Gopher-style):
+    exact dedup → near-dup cluster keep → length → quality band →
+    repetition, one keep/drop_reason row per document — the decision
+    column a 100 TB ingestion job actually writes."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return pipeline.corpus_filter(docs)
 
 
 @register("token_counts", oracle=O.token_counts_sql(G.DUCK))

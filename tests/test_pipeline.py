@@ -1,0 +1,56 @@
+"""corpus_filter: every drop_reason branch fires, precedence holds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_comparison_tool_spark.operators import pipeline
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the dog sleeps "
+    "while many other animals of the forest watch it is a calm day"
+)
+
+
+def test_all_reasons_fire_and_precedence(spark):
+    near_a = "alpha beta gamma delta epsilon zeta eta theta " * 6 + "iota"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta " * 6 + "kappa"
+    rows = [
+        (1, GOOD),                         # keep
+        (2, GOOD),                         # exact dup of 1 -> exact_dup
+        (3, "it is"),                      # 2 tokens -> too_short
+        (4, "tiny"),                       # 1 token -> too_short
+        (5, "spam " * 40),                 # top-2gram share -> repetitive_2gram
+        (6, near_a),                       # cluster min -> keep (repetitive caught first?)
+        (7, near_b),                       # near-dup of 6 -> near_dup
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pipeline.corpus_filter(_docs(spark, rows)).collect()
+    }
+    assert out[1]["keep"] and out[1]["drop_reason"] is None
+    assert out[2]["drop_reason"] == "exact_dup"
+    assert out[3]["drop_reason"] == "too_short"
+    # precedence: too_short (stage 3) fires before low_quality (stage 4)
+    assert out[4]["drop_reason"] == "too_short"
+    assert out[5]["drop_reason"] == "repetitive_2gram"
+    # 6 is its cluster's min doc_id: survives dedup; 7 is dropped as its dup
+    assert out[7]["drop_reason"] == "near_dup"
+    assert not out[7]["keep"]
+    # the kept representative's verdict must not depend on its dup's text
+    assert out[6]["neardup_keep"]
+
+
+def test_low_quality_branch(spark):
+    # 3-4 tokens: past too_short (MIN_TOKENS=3) but inside the 'low'
+    # quality band (< 5 tokens) — the branch MIN_TOKENS=3 keeps live
+    assert pipeline.MIN_TOKENS < 5
+    out = pipeline.corpus_filter(
+        _docs(spark, [(1, "aa bb cc dd")])
+    ).collect()[0]
+    assert out["quality"] == "low" and out["drop_reason"] == "low_quality"
