@@ -38,6 +38,8 @@ HEADLINE = [
     "classify_pages",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_simhash_pairs",
+    "corpus_filter",
     "text_repetition",
     "ann_brute_topk",
     "ann_lsh_search",

@@ -84,6 +84,63 @@ def split_summary(assigned: DataFrame) -> DataFrame:
     )
 
 
+SOURCE_CAP = 20
+_CAP_SALTS = 16
+
+
+def source_cap_sample(docs: DataFrame, cap: int = SOURCE_CAP) -> DataFrame:
+    """Per-source document cap — the per-domain downsampling step of a
+    training mixture (keep at most ``cap`` docs per source): rank docs
+    within each source by (md5(doc_id), doc_id) — a deterministic
+    uniform shuffle, stable across runs and corpus growth for the docs
+    already present — and keep rank ≤ cap.
+
+    Scale shape: two-phase salted ranking, same pattern as the blocking
+    cap in matching.match_pages — a single per-source window would sort
+    a billion-doc source on one reducer. Phase 1 ranks within (source,
+    salt) cells (16-way spread), keeping ≤ cap per cell; phase 2 ranks
+    the ≤ 16·cap survivors per source. Any global top-cap row is
+    top-cap within its cell, so the result is identical."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(_CAP_SALTS))
+    w1 = Window.partitionBy("source", salt).orderBy(h.asc(), F.col("doc_id").asc())
+    phase1 = (
+        docs.select("doc_id", "source")
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= cap)
+    )
+    w2 = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-based source mixture weights at α = 0.5 (the
+    standard multilingual/multi-domain rebalancing, e.g. mT5's
+    p^α sampling): a source with corpus share p gets relative sampling
+    weight p^(α−1) = 1/√p — rare sources up-weighted, dominant ones
+    down. α is fixed at 0.5 because √ is the one power IEEE rounds
+    correctly, keeping the output bit-identical cross-engine (int/int
+    share, one sqrt, one divide). Normalization to an actual
+    probability is the consumer's step (it depends on which sources
+    are admitted downstream)."""
+    total = docs.groupBy().agg(F.count("*").alias("n_total"))
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    frac = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            frac.alias("corpus_frac"),
+            (F.lit(1.0) / F.sqrt(frac)).alias("weight_rel"),
+        )
+    )
+
+
 def corpus_filter(docs: DataFrame) -> DataFrame:
     """Compose the admission verdict for a ``documents``-shaped frame
     (doc_id, text). See module docstring for stages and precedence."""

@@ -1503,6 +1503,34 @@ def split_summary_sql(d: str, docs: str = "documents") -> str:
 FROM ({data_split_sql(d, docs)}) GROUP BY source, split"""
 
 
+def source_cap_sample_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.source_cap_sample; the operator's
+    two-phase salted ranking is semantically a single per-source
+    row_number by (md5(id), id) — the oracle states it directly."""
+    from .operators.pipeline import SOURCE_CAP
+
+    h = f"md5({G.cast_str('doc_id', d)})"
+    return f"""WITH scs AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY {h} ASC, doc_id ASC
+         ) AS rk
+  FROM {docs}
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM scs WHERE rk <= {SOURCE_CAP}"""
+
+
+def mixture_weights_sql(d: str, docs: str = "documents") -> str:
+    frac = "CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)"
+    return f"""WITH mw AS (SELECT source, count(*) AS n_docs FROM {docs} GROUP BY source),
+mt AS (SELECT count(*) AS n_total FROM {docs})
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       {frac} AS corpus_frac,
+       1.0 / sqrt({frac}) AS weight_rel
+FROM mw, mt"""
+
+
 def corpus_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.corpus_filter: the composed C4/
     Gopher-style corpus admission verdict. Each stage's SQL is the

@@ -806,6 +806,23 @@ def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("source_cap_sample", oracle=O.source_cap_sample_sql(G.DUCK))
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (per-domain downsampling): deterministic
+    md5-order rank within source, keep ≤ cap — two-phase salted ranking
+    so no reducer ever sorts a whole hot source."""
+    return pipeline.source_cap_sample(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register("mixture_weights", oracle=O.mixture_weights_sql(G.DUCK))
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature mixture weights per source (1/√share) — the
+    rebalancing table a multi-domain sampler consumes."""
+    return pipeline.mixture_weights(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_filter", oracle=O.corpus_filter_sql(G.DUCK))
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus admission verdict (C4/Gopher-style):

@@ -146,3 +146,17 @@ def test_cosine_pair_scoring_has_no_cartesian(spark):
     )
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_ops_stay_equijoin_shaped(spark):
+    """The new training-pipeline composites must never degrade to an
+    all-pairs join: simhash banded pairs and the corpus_filter DAG are
+    equi-joins end to end; data_split stays narrow (zero Exchange)."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup, pipeline
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    pairs = dedup.simhash_candidate_pairs(dedup.simhash(docs))
+    assert "CartesianProduct" not in _plan(pairs)
+    assert "CartesianProduct" not in _plan(pipeline.corpus_filter(docs))
+    split_plan = _plan(pipeline.data_split(docs))
+    assert "Exchange" not in split_plan, "data_split must not shuffle"
