@@ -52,3 +52,49 @@ def test_exactly_one_keep_per_cluster(spark):
     for cl, members in clusters.items():
         keeps = [d for d, k in members if k]
         assert keeps == [cl] == [min(d for d, _ in members)]
+
+
+def test_simhash_banded_join_matches_guarded_bruteforce(spark):
+    """The banded equi-join must equal a brute-force O(n²) hamming scan
+    under the documented guard semantics: a pair within distance 3 is
+    emitted iff at least one band on which the two fingerprints agree
+    verbatim is NOT a hot bucket (> MAX_BUCKET members, boilerplate).
+    Also asserts the pigeonhole completeness claim on the guard-free
+    subset: every ≤3 pair agrees on ≥1 band."""
+    from collections import Counter
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    nb = dedup.SIMHASH_BITS // dedup.SIMHASH_BAND_BITS
+
+    def band_vals(fp):
+        return [
+            (b, (fp >> (dedup.SIMHASH_BAND_BITS * b)) % (1 << dedup.SIMHASH_BAND_BITS))
+            for b in range(nb)
+        ]
+
+    buckets = Counter(bv for fp in fps.values() for bv in band_vals(fp))
+    small = {bv for bv, n in buckets.items() if n <= dedup.MAX_BUCKET}
+    ids = sorted(fps)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham > dedup.SIMHASH_HAM_MAX:
+                continue
+            shared = [
+                bv for bv in band_vals(fps[a]) if bv in set(band_vals(fps[b]))
+            ]
+            assert shared, "pigeonhole violated: a ≤3 pair sharing no band"
+            if any(bv in small for bv in shared):
+                expected[(a, b)] = ham
+    banded = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(dedup.simhash(docs)).collect()
+    }
+    assert banded == expected
+    assert expected, "fixture produced no guarded pairs at all"
