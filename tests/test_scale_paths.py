@@ -152,3 +152,55 @@ def test_streaming_session_windows_match_batch(spark):
     got = {(r["user_id"], r["s_start"]): (r["s_end"], r["n_events"]) for r in out.collect()}
     exp = {(r["user_id"], r["s_start"]): (r["s_end"], r["n_events"]) for r in expected.collect()}
     assert got and got == exp
+
+
+def test_streaming_first_seen_dedup_matches_batch(spark):
+    """The stateful streaming dedup admits exactly the batch keep set
+    (min doc_id per content hash) when ingestion order follows doc_id —
+    enforced here via file modification times, one file per trigger."""
+    import os
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark.operators.features import text_hash
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    rows1 = [(i, f"text {i % 4}") for i in range(1, 9)]       # dupes inside
+    rows2 = [(i, f"text {i % 6}") for i in range(9, 17)]      # dupes across
+    with tempfile.TemporaryDirectory() as tdir:
+        for j, rows in ((1, rows1), (2, rows2)):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{tdir}/f{j}")
+            for root, _, files in os.walk(f"{tdir}/f{j}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (j * 1000, j * 1000))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tdir}/f*")
+        )
+        out = stateful.streaming_first_seen_dedup(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dedup")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["text_hash"], r["doc_id"])
+            for r in spark.sql("SELECT * FROM stream_dedup").collect()
+        }
+    batch = (
+        spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+        .select("doc_id", text_hash(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    exp = {(r["text_hash"], r["doc_id"]) for r in batch.collect()}
+    assert got == exp
+    assert len(got) == 6  # 4 hashes from f1 + 2 new in f2
