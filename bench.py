@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_simhash_pairs",
     "corpus_filter",
+    "seq_packing",
     "text_repetition",
     "ann_brute_topk",
     "ann_lsh_search",
@@ -87,6 +88,9 @@ def _run_headline(cores: str) -> dict:
         "sf_dir": SF_DIR,
         "n_docs": n_docs,
         "total_sec": total,
+        # shared sandbox host: concurrent tenants swing join-heavy
+        # queries 2-10x; the 1-minute load average contextualizes a run
+        "host_load_1m": round(os.getloadavg()[0], 2),
         "queries": timings,
         "extract_docs_per_sec": round(n_docs / timings["extract_spans"], 1)
         if timings.get("extract_spans")
@@ -204,6 +208,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cores": r["cores"],
         "n_docs": r["n_docs"],
+        "host_load_1m": r["host_load_1m"],
         "extract_docs_per_sec": r["extract_docs_per_sec"],
     }))
 

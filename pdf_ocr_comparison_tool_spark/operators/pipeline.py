@@ -141,6 +141,56 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+CTX_TOKENS = 512
+_PACK_BUCKET = 64  # docs per prefix-sum bucket (tune to partition size)
+
+
+def seq_packing(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
+    """Concat-and-split sequence packing — the pretraining batch-prep
+    step: lay all documents out on one token tape in doc_id order and
+    cut it every ``ctx`` tokens. Emits per doc its global token offset,
+    the pack (context window) its first token lands in, and the offset
+    within that pack.
+
+    The global running offset is a prefix sum. A naive window
+    ``SUM() OVER (ORDER BY doc_id)`` sorts the whole corpus on ONE
+    reducer — the classic scale-killer — so this is the two-phase
+    distributed prefix sum instead: cumsum within explicit doc_id
+    buckets (parallel windows), plus a running offset OVER the tiny
+    per-bucket totals table (cardinality = n_docs / _PACK_BUCKET —
+    itself windowed, but 64× smaller; at true 100 TB scale the same
+    two-phase step recurses). Values are identical to the single
+    global window, which is exactly what the DuckDB oracle states."""
+    toks = dedup.tokens_col(F.col("text"))
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    ).withColumn("bkt", (F.col("doc_id") / _PACK_BUCKET).cast("long"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = base.withColumn(
+        "off_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = base.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "bkt_off", F.coalesce(F.sum("bkt_tokens").over(w_b), F.lit(0))
+    ).select("bkt", "bkt_off")
+    g_off = F.col("off_in") + F.col("bkt_off")
+    return (
+        within.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            g_off.alias("tok_offset"),
+            F.floor(g_off / ctx).cast("long").alias("pack_id"),
+            F.pmod(g_off, F.lit(ctx)).cast("long").alias("pack_offset"),
+        )
+    )
+
+
 def corpus_filter(docs: DataFrame) -> DataFrame:
     """Compose the admission verdict for a ``documents``-shaped frame
     (doc_id, text). See module docstring for stages and precedence."""

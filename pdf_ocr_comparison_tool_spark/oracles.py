@@ -1531,6 +1531,30 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
 FROM mw, mt"""
 
 
+def seq_packing_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.seq_packing; the operator's
+    two-phase bucketed prefix sum is semantically ONE global running
+    sum over doc_id order — the oracle states it directly. The window
+    SUM is decimal-family in DuckDB (HUGEINT): cast before it leaves."""
+    from .operators.pipeline import CTX_TOKENS
+
+    off = (
+        "coalesce(SUM(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""WITH {_tok_cte(d, docs)},
+sq_n AS (
+  SELECT doc_id, CAST({_arr_size('toks', d)} AS BIGINT) AS n_tokens FROM dd_tok
+),
+sq_o AS (
+  SELECT doc_id, n_tokens, CAST({off} AS BIGINT) AS tok_offset FROM sq_n
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST({P.idiv('tok_offset', str(CTX_TOKENS), d)} AS BIGINT) AS pack_id,
+       CAST(tok_offset % {CTX_TOKENS} AS BIGINT) AS pack_offset
+FROM sq_o"""
+
+
 def corpus_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.corpus_filter: the composed C4/
     Gopher-style corpus admission verdict. Each stage's SQL is the

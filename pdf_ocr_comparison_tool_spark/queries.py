@@ -806,6 +806,15 @@ def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("seq_packing", oracle=O.seq_packing_sql(G.DUCK))
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: global token offsets in
+    doc_id order, pack (context window) ids and intra-pack offsets —
+    computed as a two-phase distributed prefix sum, never a
+    whole-corpus single-reducer window."""
+    return pipeline.seq_packing(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("source_cap_sample", oracle=O.source_cap_sample_sql(G.DUCK))
 def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (per-domain downsampling): deterministic
