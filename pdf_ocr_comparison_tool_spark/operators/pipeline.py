@@ -141,6 +141,35 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+
+
+def doc_chunks(docs: DataFrame, chunk: int = CHUNK_TOKENS) -> DataFrame:
+    """Fixed-size token-window chunking — the long-document splitting
+    step (context prep / RAG indexing): cut each doc's token stream
+    every ``chunk`` tokens, emit (doc_id, chunk_idx, n_tokens,
+    chunk_text).
+
+    Shape: posexplode tokens → groupBy (doc, chunk_idx) → ordered
+    reassembly of the ≤chunk-token group. The group key carries doc_id,
+    so a hot document cannot concentrate on one reducer beyond its own
+    chunk count, and the per-group arrays are bounded by ``chunk`` —
+    safe at any corpus scale. (A per-doc HOF-slice formulation would
+    re-evaluate the tokenizer once per chunk — the lambda-body
+    re-evaluation rule — and is why this is relational.)"""
+    toks = dedup.tokens_col(F.col("text"))
+    pos = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    ).withColumn("chunk_idx", (F.col("pos") / chunk).cast("long"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    return pos.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_join(ordered, " ").alias("chunk_text"),
+    )
+
+
 CTX_TOKENS = 512
 _PACK_BUCKET = 64  # docs per prefix-sum bucket (tune to partition size)
 

@@ -1531,6 +1531,33 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
 FROM mw, mt"""
 
 
+def doc_chunks_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.doc_chunks: positional explode of
+    the shared tokenizer, chunk_idx = pos0 // chunk, ordered per-chunk
+    reassembly."""
+    from .operators.pipeline import CHUNK_TOKENS
+
+    if d == SPARK:
+        pos_rows = "posexplode(toks) AS (pos, tok)"
+        agg = "array_join(transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok), ' ')"
+    else:
+        # parallel unnests zip (Postgres semantics); subscripts are 1-based
+        pos_rows = (
+            "generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok"
+        )
+        agg = "string_agg(tok, ' ' ORDER BY pos ASC)"
+    return f"""WITH {_tok_cte(d, docs)},
+dc_p AS (
+  SELECT doc_id, {pos_rows} FROM dd_tok
+)
+SELECT doc_id,
+       CAST({P.idiv('pos', str(CHUNK_TOKENS), d)} AS BIGINT) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {agg} AS chunk_text
+FROM dc_p
+GROUP BY doc_id, {P.idiv('pos', str(CHUNK_TOKENS), d)}"""
+
+
 def seq_packing_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.seq_packing; the operator's
     two-phase bucketed prefix sum is semantically ONE global running

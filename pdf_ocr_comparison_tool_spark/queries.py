@@ -806,6 +806,14 @@ def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_chunks", oracle=O.doc_chunks_sql(G.DUCK))
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking (context prep / RAG indexing):
+    relational posexplode → (doc, chunk) groupBy, per-group arrays
+    bounded by the chunk size."""
+    return pipeline.doc_chunks(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("seq_packing", oracle=O.seq_packing_sql(G.DUCK))
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: global token offsets in
