@@ -170,6 +170,33 @@ def doc_chunks(docs: DataFrame, chunk: int = CHUNK_TOKENS) -> DataFrame:
     )
 
 
+def corpus_stats(docs: DataFrame, lang_dim: DataFrame) -> DataFrame:
+    """The dataset-card rollup: per (source, predicted language) —
+    doc count, admitted count (corpus_filter verdict), and total
+    whitespace tokens of the admitted docs. This is the table a
+    training run publishes next to its data mix. One narrow join
+    fan-in (all inputs keyed by doc_id) plus one small aggregate."""
+    from . import textstats
+
+    verdict = corpus_filter(docs).select("doc_id", "keep")
+    lang = textstats.lang_id(docs, lang_dim).select("doc_id", "pred_lang")
+    toks = textstats.token_counts(docs).select("doc_id", "n_ws_tokens")
+    return (
+        docs.select("doc_id", "source")
+        .join(verdict, "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("source", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_ws_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
 CTX_TOKENS = 512
 _PACK_BUCKET = 64  # docs per prefix-sum bucket (tune to partition size)
 

@@ -1558,6 +1558,26 @@ FROM dc_p
 GROUP BY doc_id, {P.idiv('pos', str(CHUNK_TOKENS), d)}"""
 
 
+def corpus_stats_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.corpus_stats: the (source,
+    pred_lang) dataset-card rollup over the composed admission verdict,
+    language ID and whitespace token counts — each its own
+    parity-green oracle, nested as CTEs."""
+    return f"""WITH cs_v AS ({corpus_filter_sql(d, docs)}),
+cs_l AS ({lang_id_sql(d, docs)}),
+cs_t AS ({token_counts_sql(d, docs)})
+SELECT dd.source, l.pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE v.keep) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN v.keep THEN t.n_ws_tokens ELSE 0 END), 0) AS BIGINT)
+         AS kept_tokens
+FROM {docs} dd
+JOIN cs_v v ON dd.doc_id = v.doc_id
+JOIN cs_l l ON dd.doc_id = l.doc_id
+JOIN cs_t t ON dd.doc_id = t.doc_id
+GROUP BY dd.source, l.pred_lang"""
+
+
 def seq_packing_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.seq_packing; the operator's
     two-phase bucketed prefix sum is semantically ONE global running

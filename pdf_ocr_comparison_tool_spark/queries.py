@@ -806,6 +806,16 @@ def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_stats", oracle=O.corpus_stats_sql(G.DUCK))
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per (source, predicted language): doc count,
+    admitted count, kept whitespace tokens — the table a training run
+    publishes next to its data mix."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return pipeline.corpus_stats(docs, textstats.lang_dim(spark))
+
+
 @register("doc_chunks", oracle=O.doc_chunks_sql(G.DUCK))
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token-window chunking (context prep / RAG indexing):

@@ -54,3 +54,42 @@ def test_low_quality_branch(spark):
         _docs(spark, [(1, "aa bb cc dd")])
     ).collect()[0]
     assert out["quality"] == "low" and out["drop_reason"] == "low_quality"
+
+
+def test_seq_packing_invariants(spark):
+    """Offsets are the exclusive prefix sum in doc_id order; pack ids
+    are consistent derivations of them."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    out = pipeline.seq_packing(
+        synth.load_table(spark, SF_DIR, "documents")
+    ).orderBy("doc_id").collect()
+    assert out
+    run = 0
+    for r in out:
+        assert r["tok_offset"] == run
+        assert r["pack_id"] == r["tok_offset"] // pipeline.CTX_TOKENS
+        assert r["pack_offset"] == r["tok_offset"] % pipeline.CTX_TOKENS
+        run += r["n_tokens"]
+
+
+def test_data_split_fractions_and_stability(spark):
+    """Buckets in range; split fractions near the configured shares;
+    assignment is a pure function of doc_id (stable across calls and
+    under input reordering)."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in pipeline.data_split(docs).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in pipeline.data_split(docs.orderBy(F.desc("doc_id"))).collect()}
+    assert a == b
+    n = len(a)
+    assert all(0 <= v[0] < pipeline.SPLIT_BUCKETS for v in a.values())
+    train = sum(1 for v in a.values() if v[1] == "train") / n
+    assert abs(train - pipeline.SPLIT_TRAIN / pipeline.SPLIT_BUCKETS) < 0.03
