@@ -326,3 +326,110 @@ def embedding_near_dups(
         .select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ----------------------------------------------------------- product quant
+PQ_M = 8        # subspaces (EMB_DIM / PQ_SUB_DIM)
+PQ_SUB_DIM = 8
+PQ_K = 16       # codes per subspace
+PQ_N_QUERIES = 8
+PQ_TOPK = 10
+
+
+def _subvecs(col) -> "F.Column":
+    """Array of the vector's PQ_M contiguous subvectors."""
+    return F.array(
+        *[F.slice(col, m * PQ_SUB_DIM + 1, PQ_SUB_DIM) for m in range(PQ_M)]
+    )
+
+
+def _sqdist(a, b) -> "F.Column":
+    """Squared L2 distance as an order-fixed left fold: float32 inputs
+    subtract exactly in double, so the only roundings are the square
+    and the running sum — identical in both engines."""
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """(sub_id, code_id, code_vec): the m-th subvector of each of the
+    first PQ_K vectors — the deterministic stand-in for the offline
+    per-subspace k-means fit, exactly as ivf_assign models its
+    centroids: at 10^12 rows the fit runs offline and its output is a
+    tiny broadcast table (M·K rows)."""
+    return embeddings.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code_id"),
+        F.posexplode(_subvecs(F.col("embedding"))).alias("sub_id", "code_vec"),
+    ).select("sub_id", "code_id", "code_vec")
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """Product-quantization encoding — the FAISS-style 64×-compression
+    step: per vector and subspace, the id of the nearest codebook entry
+    (squared-L2 argmin, ties → smallest code_id). Emits one row per
+    (vec_id, sub_id): the relational form of the M-byte PQ code.
+
+    Shape: subvector rows × broadcast codebook (M·K entries) → argmin
+    window keyed by (vec_id, sub_id) — narrow scan, tiny broadcast, the
+    window partitions by the row's own key so no hot reducer exists."""
+    rows = embeddings.select(
+        "vec_id", F.posexplode(_subvecs(F.col("embedding"))).alias("sub_id", "sv")
+    )
+    pairs = rows.join(F.broadcast(pq_codebook(embeddings)), "sub_id").select(
+        "vec_id", "sub_id", "code_id", _sqdist("sv", "code_vec").alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.asc("dist"), F.asc("code_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub_id", "code_id", "dist")
+    )
+
+
+def pq_search(
+    embeddings: DataFrame, n_queries: int = PQ_N_QUERIES, k: int = PQ_TOPK
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: per query, a lookup table of
+    partial squared distances to every codebook entry (M·K doubles,
+    broadcast); a candidate's approximate distance is the sum of its M
+    code lookups. The corpus side touches only the ENCODED table — the
+    point of PQ: at 10^12 rows the raw vectors never stream through the
+    search, only M small ints per vector + one equi-join on
+    (sub_id, code_id).
+
+    The per-candidate sum folds the M partials in sub_id order
+    (array_sort → left fold), keeping the result bit-identical across
+    engines and partitionings. Emits (q_id, rank, c_id, adc_dist)."""
+    enc = pq_encode(embeddings).select("vec_id", "sub_id", "code_id")
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(_subvecs(F.col("embedding"))).alias("sub_id", "qsv"),
+    )
+    lut = q.join(F.broadcast(pq_codebook(embeddings)), "sub_id").select(
+        "q_id", "sub_id", "code_id", _sqdist("qsv", "code_vec").alias("pd")
+    )
+    parts = enc.join(
+        F.broadcast(lut), ["sub_id", "code_id"]
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("sub_id", "pd"))), lambda s: s["pd"]
+    )
+    adc = F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+    dists = parts.groupBy("q_id", F.col("vec_id").alias("c_id")).agg(
+        adc.alias("adc_dist"), F.count("*").alias("_m")
+    )
+    # a candidate missing any subspace row would silently rank high;
+    # the encode emits all M rows, assert via filter (no-op at runtime)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        dists.filter(F.col("_m") == PQ_M)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "c_id", "adc_dist")
+    )

@@ -1108,6 +1108,91 @@ _CONF_A = "CAST((doc_id * 131 + page_num * 17 + 5) % 101 AS DOUBLE) / CAST(100.0
 _CONF_B = "(70 + (doc_id * 37 + page_num * 11 + 3) % 31) / CAST(100.0 AS DOUBLE)"
 
 
+def _pq_consts():
+    from .operators.similarity_search import PQ_K, PQ_M, PQ_N_QUERIES, PQ_SUB_DIM, PQ_TOPK
+
+    return PQ_M, PQ_SUB_DIM, PQ_K, PQ_N_QUERIES, PQ_TOPK
+
+
+def _pq_sqdist(a: str, b: str, d: str, dim: int) -> str:
+    diff = f"(CAST({_elem(a, 'i', d)} AS DOUBLE) - CAST({_elem(b, 'i', d)} AS DOUBLE))"
+    arr = G.ltransform(_seq_range(dim, d), f"i -> {diff} * {diff}", d)
+    return _fold_double(arr, d)
+
+
+def _pq_base_cte(d: str) -> str:
+    """pq_s: one row per (vec_id, sub_id) subvector; pq_cb: the
+    codebook (subvectors of the first PQ_K vectors); pq_enc: nearest
+    code per subvector — mirrors similarity_search.pq_encode."""
+    m, sub, k, _, _ = _pq_consts()
+    subs = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {i} AS sub_id,"
+        f" {_arr_slice('embedding', i * sub + 1, sub, d)} AS sv FROM embeddings"
+        for i in range(m)
+    )
+    return f"""pq_s AS (
+{subs}
+),
+pq_cb AS (
+  SELECT sub_id, vec_id AS code_id, sv AS code_vec FROM pq_s WHERE vec_id < {k}
+),
+pq_d AS (
+  SELECT s.vec_id, s.sub_id, c.code_id,
+         {_pq_sqdist('s.sv', 'c.code_vec', d, sub)} AS dist
+  FROM pq_s s JOIN pq_cb c ON s.sub_id = c.sub_id
+),
+pq_enc AS (
+  SELECT vec_id, sub_id, code_id, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, sub_id ORDER BY dist ASC, code_id ASC
+    ) AS rn FROM pq_d
+  ) WHERE rn = 1
+)"""
+
+
+def pq_encode_sql(d: str) -> str:
+    return f"""WITH {_pq_base_cte(d)}
+SELECT vec_id, sub_id, code_id, dist FROM pq_enc"""
+
+
+def pq_search_sql(d: str) -> str:
+    m, sub, _, n_q, topk = _pq_consts()
+    if d == SPARK:
+        adc = (
+            "aggregate(transform(array_sort(collect_list(struct(sub_id, pd))),"
+            " s -> s.pd), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    else:
+        adc = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            " list(pd ORDER BY sub_id ASC)), (acc, x) -> acc + x)"
+        )
+    return f"""WITH {_pq_base_cte(d)},
+pq_q AS (
+  SELECT vec_id AS q_id, sub_id, sv AS qsv FROM pq_s WHERE vec_id < {n_q}
+),
+pq_lut AS (
+  SELECT q.q_id, q.sub_id, c.code_id,
+         {_pq_sqdist('q.qsv', 'c.code_vec', d, sub)} AS pd
+  FROM pq_q q JOIN pq_cb c ON q.sub_id = c.sub_id
+),
+pq_p AS (
+  SELECT l.q_id, e.vec_id AS c_id, e.sub_id, l.pd
+  FROM pq_enc e JOIN pq_lut l
+    ON e.sub_id = l.sub_id AND e.code_id = l.code_id
+  WHERE e.vec_id <> l.q_id
+),
+pq_a AS (
+  SELECT q_id, c_id, {adc} AS adc_dist
+  FROM pq_p GROUP BY q_id, c_id HAVING count(*) = {m}
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, adc_dist FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY adc_dist ASC, c_id ASC
+  ) AS rank FROM pq_a
+) WHERE rank <= {topk}"""
+
+
 def cascade_sql(d: str, docs: str = "documents", threshold: float = 0.85) -> str:
     return f"""WITH {P.pages_cte(d, docs)}
 SELECT doc_id, role, page_num,

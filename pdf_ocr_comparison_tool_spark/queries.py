@@ -643,6 +643,28 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_encode", oracle=O.pq_encode_sql(G.DUCK))
+def q_ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (FAISS-style 64× compression):
+    per (vector, subspace) the nearest codebook entry — narrow scan ×
+    tiny broadcast codebook, argmin keyed by the row's own key."""
+    return similarity_search.pq_encode(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("ann_pq_search", oracle=O.pq_search_sql(G.DUCK))
+def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC product-quantization search: broadcast per-query lookup
+    tables over the ENCODED corpus only (M small ints per vector) —
+    the 10^12-row shape where raw vectors never stream through the
+    search; per-candidate sums fold in fixed subspace order for
+    cross-engine bit-exactness."""
+    return similarity_search.pq_search(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("ann_lsh_search", oracle=O.lsh_search_sql(G.DUCK))
 def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LSH ANN search: probe bucket → bucket equi-join →

@@ -148,3 +148,32 @@ def test_cosine_scalar_equals_relational(spark):
     for row in scalar:
         k = (row["doc_id"], row["page_num"], row["t_doc"], row["t_page"])
         assert rel[k] == row["s"], k
+
+
+def test_pq_search_recall_vs_exact_l2(spark):
+    """ADC product-quantization ranks by approximate squared L2; pin a
+    recall floor against the EXACT L2 top-k (computed in-test) so the
+    codebook/encode/ADC chain can't silently degrade. 0.31 measured
+    with the deterministic stand-in codebook; floor well under that."""
+    import numpy as np
+
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+    from tests.conftest import SF_DIR_001
+
+    emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(rows)
+    V = np.stack([rows[i] for i in ids])
+    k = 10
+    exact = {}
+    for q in range(SS.PQ_N_QUERIES):
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        order = sorted((dd, i) for i, dd in zip(ids, d) if i != q)
+        exact[q] = {i for _, i in order[:k]}
+    approx = {}
+    for r in SS.pq_search(emb).collect():
+        approx.setdefault(r["q_id"], set()).add(r["c_id"])
+    assert all(len(v) == k for v in approx.values())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    assert hits / (SS.PQ_N_QUERIES * k) >= 0.15
