@@ -265,18 +265,18 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     cluster_id = min(doc_id in component) and keep = (doc_id ==
     cluster_id) — the canonical keep-one-per-cluster drop policy.
 
-    Algorithm: iterative min-label propagation. Each round every node
-    takes the min of its own label and its neighbors' labels; converges
-    in O(component diameter) rounds. Near-dup components are shallow
-    (dupes of a common source), so the diameter bound is small in
-    practice; the hot-bucket guards upstream cap the degree. (For
-    adversarially long chains the alternating large-star/small-star
-    construction [Kiveris et al., "Connected Components in MapReduce"]
-    converges in O(log n) rounds — same join/groupBy primitives, drop-in
-    replacement here.)
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    every node takes the min over {its label, its neighbors' labels,
+    its label's label}. The extra label-chasing hop halves label-chain
+    depth per round (Shiloach-Vishkin shortcutting), so convergence is
+    O(log diameter): 25 rounds cover a diameter-2^25 chain, far past
+    anything a dedup graph produces. A non-converged exit RAISES
+    instead of returning fragmented clusters — truncated labels would
+    silently disagree with the exact recursive-closure oracle and
+    corrupt downstream keep decisions.
 
     The driver-side loop is a CONVERGENCE loop, not a data loop: per
-    round one join + one groupBy-min, all distributed; the driver only
+    round two joins + one groupBy-min, all distributed; the driver only
     sees the scalar changed-count. ``localCheckpoint`` truncates the
     lineage each round so the plan doesn't grow with iterations.
     """
@@ -292,17 +292,28 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         msgs = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_min"))
         )
+        # pointer jumping: chase one hop through the label table itself
+        # (lbl -> lbl's lbl), halving chain depth every round
+        hop = labels.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
         new_labels = (
             labels.join(msgs, "node", "left")
+            .join(hop, "lbl", "left")
             .select(
                 "node",
-                F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce("nbr_min", F.col("lbl")),
+                    F.coalesce("lbl2", F.col("lbl")),
+                ).alias("lbl"),
             )
             .localCheckpoint()
         )
@@ -314,7 +325,13 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "— refusing to emit truncated cluster labels"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),

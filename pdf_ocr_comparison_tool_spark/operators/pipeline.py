@@ -48,14 +48,20 @@ SPLIT_TRAIN = 900  # buckets [0, 900) → train
 SPLIT_VALID = 950  # buckets [900, 950) → valid; rest → test
 
 
-def data_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def data_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = ("source",),
+) -> DataFrame:
     """Deterministic train/valid/test assignment — the standard
     content-free holdout split of a training pipeline: bucket = first
     8 md5 hex chars of the id, mod SPLIT_BUCKETS. Pure function of the
     id — stable across engines, runs, partitionings and corpus growth
     (a doc never migrates between splits when new data arrives), unlike
     ``df.randomSplit`` whose assignment depends on partition layout.
-    Narrow (no shuffle) at any scale."""
+    Narrow (no shuffle) at any scale. ``passthrough`` names extra
+    columns to carry (default the documents table's ``source``; pass
+    ``()`` for frames that don't have it)."""
     b = F.pmod(
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
@@ -69,7 +75,7 @@ def data_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     return docs.select(
         id_col,
-        "source",
+        *passthrough,
         b.cast("long").alias("bucket"),
         split.alias("split"),
     )
@@ -249,7 +255,14 @@ def seq_packing(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
 
 def corpus_filter(docs: DataFrame) -> DataFrame:
     """Compose the admission verdict for a ``documents``-shaped frame
-    (doc_id, text). See module docstring for stages and precedence."""
+    (doc_id, text). See module docstring for stages and precedence.
+
+    Cache LIFETIME is owned by the caller (same contract as
+    matching.match_pages): the MinHash signature frame below is cached
+    because three branches read it (banding, and both sides of the
+    Jaccard verify); a long-lived session should
+    ``spark.catalog.clearCache()`` after materializing the result —
+    library code cannot know when the returned lazy frame is done."""
     quality = textstats.text_quality(docs).select("doc_id", "quality")
     rep = textstats.text_repetition(docs).select(
         "doc_id", "n_tokens", "top_2gram_char_frac", "dup_3gram_frac"

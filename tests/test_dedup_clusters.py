@@ -98,3 +98,19 @@ def test_simhash_banded_join_matches_guarded_bruteforce(spark):
     }
     assert banded == expected
     assert expected, "fixture produced no guarded pairs at all"
+
+
+def test_connected_components_long_chain(spark):
+    """The review scenario that motivated pointer jumping: a 30-node
+    path graph (diameter 29, beyond plain min-propagation's practical
+    round budget) must resolve to a single cluster labeled by its min
+    node — and shortcutting must get there well inside CC_MAX_ITERS."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 129)], "a long, b long"
+    )
+    out = dedup.connected_components(pairs).collect()
+    assert len(out) == 30
+    assert all(r["cluster_id"] == 100 for r in out)
+    assert sorted(r["doc_id"] for r in out if r["keep"]) == [100]

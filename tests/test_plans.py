@@ -62,12 +62,21 @@ def test_exact_join_broadcasts_via_aqe_without_hint(spark):
     from pdf_ocr_comparison_tool_spark.operators import matching
     from pdf_ocr_comparison_tool_spark.queries import _featured_roles
 
+    import re
+
     v, r = _featured_roles(spark, SF_DIR)
     ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
     ranked.count()  # execute so AQE finalizes the plan
     final = ranked._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
-    assert "BroadcastHashJoin" in final
+    # anchor on the J1 join itself (its condition references text_hash):
+    # other equi-joins in the DAG also broadcast at test SF, so a bare
+    # "BroadcastHashJoin in plan" would pass even if J1 regressed to SMJ
+    j1 = [
+        ln for ln in final.splitlines()
+        if re.search(r"BroadcastHashJoin \[.*text_hash", ln)
+    ]
+    assert j1, f"exact-hash join is not a broadcast join:\n{final[:4000]}"
 
 
 def test_full_text_no_shuffle(spark):
