@@ -60,3 +60,49 @@ def test_part_assignment_stable(spark):
     assert {(r["doc_id"], r["p"]) for r in a.collect()} == {
         (r["doc_id"], r["p"]) for r in b.collect()
     }
+
+
+def test_training_shard_sink_roundtrip(spark):
+    """The shard sink writes Hive-pruned split/source partitions with
+    bounded files, and the read-back manifest matches the input
+    exactly; a split filter on the read path prunes to the train
+    directories only."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import pipeline
+    from pdf_ocr_comparison_tool_spark.sources import training_sink as TS
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    assigned = pipeline.data_split(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    with tempfile.TemporaryDirectory() as tdir:
+        out = f"{tdir}/corpus"
+        TS.write_training_shards(assigned, out, max_records_per_file=50)
+        man = {
+            (r["split"], r["source"]): (r["n_docs"], r["n_shards"])
+            for r in TS.shard_manifest(spark, out).collect()
+        }
+        exp = {
+            (r["split"], r["source"]): r["n"]
+            for r in assigned.groupBy("split", "source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert set(man) == set(exp)
+        for k, (n_docs, n_shards) in man.items():
+            assert n_docs == exp[k]
+            # bounded shards: ceil(n/50) files
+            assert n_shards == (n_docs + 49) // 50
+        dirs = TS.list_partition_dirs(out)
+        assert any(d.startswith("split=train/") for d in dirs)
+        # partition pruning: a split filter must not scan other splits
+        pruned = spark.read.parquet(out).filter(F.col("split") == "train")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(split" in plan
+        n_train = pruned.count()
+        assert n_train == sum(v for (s, _), (v, _2) in man.items() if s == "train")
