@@ -82,20 +82,44 @@ def write_parts_batch(
     """
     from ..operators.extraction import extract_ordered_spans
 
-    t0 = time.perf_counter()
     out = extract_ordered_spans(with_part.filter(F.col("part").isin(parts)))
+    commit_transformed_parts(spark, out, parts, out_dir, run_id, n_parts)
+
+
+def commit_transformed_parts(
+    spark: SparkSession,
+    transformed: DataFrame,
+    parts: list[int],
+    out_dir: str,
+    run_id: str,
+    n_parts: int,
+) -> None:
+    """Commit an already-transformed, part-keyed frame for the given
+    parts (dynamic partition overwrite + lineage append). Shared by the
+    extraction job (whose narrow transform commutes with the part
+    filter, so it pre-filters) and the corpus job (whose dedup verdict
+    is GLOBAL — it must transform the full corpus and only then filter
+    to the batch, or a resumed run would compute cluster keeps against
+    a partial corpus and disagree with the original run)."""
+    t0 = time.perf_counter()
     data_path = os.path.join(out_dir, "data")
     (
-        out.write.mode("overwrite")
+        transformed.filter(F.col("part").isin(parts))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part")
         .parquet(data_path)
     )
     wall_ms = int((time.perf_counter() - t0) * 1000)
     written = spark.read.parquet(data_path).filter(F.col("part").isin(parts))
+    n_spans = (
+        F.coalesce(F.sum(F.size("spans")), F.lit(0))
+        if "spans" in written.columns
+        else F.lit(0).cast("long")
+    )
     stats = written.groupBy("part").agg(
         F.count("*").alias("n_docs"),
-        F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+        n_spans.alias("n_spans"),
     )
     # one lineage row for EVERY part in the batch — a part whose data
     # yields zero output rows still counts as committed (stats default
@@ -151,3 +175,69 @@ def run_extraction_job(
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def run_corpus_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_parts: int = 8,
+    fail_after_parts: int | None = None,
+) -> int:
+    """Resumable corpus-build job: admission verdict (exact dedup →
+    near-dup cluster keep → length/quality/repetition) + deterministic
+    split over the FULL corpus, committed in content-keyed part batches
+    with anti-join resume — the LLM-ingest twin of run_extraction_job.
+
+    The verdict is recomputed over the whole input on every run (never
+    just the remaining parts): a doc's near-dup keep depends on OTHER
+    docs, so a partial-corpus verdict would disagree with the original
+    run after a crash. Recomputation is safe because every stage is
+    deterministic; only the WRITES are incremental. Output rows:
+    (doc_id, source, text, split, part) for admitted docs only.
+    """
+    from ..operators.pipeline import corpus_filter, data_split
+
+    existing = committed_parts(spark, out_dir)
+    first = existing.select("n_parts").limit(1).collect()
+    if first:
+        n_parts = first[0]["n_parts"]
+
+    verdict = corpus_filter(docs).filter(F.col("keep")).select("doc_id")
+    admitted = (
+        docs.select("doc_id", "source", "text")
+        .join(verdict, "doc_id")
+        .join(data_split(docs).select("doc_id", "split"), "doc_id")
+        .withColumn("part", part_col(F.col("doc_id"), n_parts))
+    )
+    todo = [
+        r["part"]
+        for r in remaining_parts(
+            admitted.select("part").distinct(), committed_parts(spark, out_dir)
+        )
+        .orderBy("part")
+        .collect()
+    ]
+    batch = todo if fail_after_parts is None else todo[:fail_after_parts]
+    if batch:
+        commit_transformed_parts(
+            spark, admitted, batch, out_dir, run_id, n_parts
+        )
+    if fail_after_parts is not None:
+        raise RuntimeError(f"simulated failure after {len(batch)} parts")
+    return len(batch)
+
+
+def publish_training_shards(
+    spark: SparkSession, out_dir: str, final_dir: str
+) -> DataFrame:
+    """Stage 2 of the corpus build: re-lay the committed (part-keyed)
+    corpus into sampler-facing split/source shard partitions via the
+    training sink, returning the read-back manifest. Pure layout — runs
+    only after every part is committed."""
+    from .training_sink import shard_manifest, write_training_shards
+
+    data = read_output(spark, out_dir).drop("part")
+    write_training_shards(data, final_dir)
+    return shard_manifest(spark, final_dir)

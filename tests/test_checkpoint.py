@@ -106,3 +106,47 @@ def test_training_shard_sink_roundtrip(spark):
         assert "PartitionFilters: [isnotnull(split" in plan
         n_train = pruned.count()
         assert n_train == sum(v for (s, _), (v, _2) in man.items() if s == "train")
+
+
+def test_corpus_job_kill_rerun_exactly_once(spark):
+    """The resumable corpus-build job: a killed first run commits only
+    some parts; the rerun completes the rest; the final output equals a
+    single uninterrupted run exactly (the global dedup verdict is
+    recomputed over the FULL corpus on resume, so cluster keep
+    decisions cannot drift), and publishing yields pruned shards."""
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.sources import checkpoint as cp
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents").repartition(8)
+
+    def rows(out_dir):
+        return {
+            (r["doc_id"], r["source"], r["split"])
+            for r in cp.read_output(spark, out_dir).collect()
+        }
+
+    with tempfile.TemporaryDirectory() as tdir:
+        clean, resumed = f"{tdir}/clean", f"{tdir}/resumed"
+        n = cp.run_corpus_job(spark, docs, clean, run_id="one", n_parts=6)
+        assert n == 6
+        spark.catalog.clearCache()  # corpus_filter cache contract
+        try:
+            cp.run_corpus_job(
+                spark, docs, resumed, run_id="killed", n_parts=6,
+                fail_after_parts=2,
+            )
+            raise AssertionError("simulated kill did not raise")
+        except RuntimeError:
+            pass
+        spark.catalog.clearCache()
+        assert cp.committed_parts(spark, resumed).count() == 2
+        n2 = cp.run_corpus_job(spark, docs, resumed, run_id="two", n_parts=6)
+        assert n2 == 4
+        spark.catalog.clearCache()
+        assert rows(clean) == rows(resumed)
+        man = cp.publish_training_shards(spark, resumed, f"{tdir}/final")
+        got = man.agg({"n_docs": "sum"}).collect()[0][0]
+        assert got == len(rows(clean))
