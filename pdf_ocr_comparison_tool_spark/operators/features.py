@@ -27,6 +27,19 @@ def text_hash(col: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(col, r"\s+", "")))
 
 
+def hash_bucket(col: Column, n: int) -> Column:
+    """Deterministic id → bucket in [0, n): first 8 md5 hex chars as an
+    integer, mod n (the Python twin of sqlgen.hexint). Pure function of
+    the value — stable across engines, runs and partitionings; shared
+    by the checkpoint part keying and the train/valid/test split."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n),
+    )
+
+
 def normalize_amount(col: Column) -> Column:
     """Strip [,，space] from amount strings (T5, content_matcher.py:188)."""
     return F.regexp_replace(col, r"[,，\s]", "")

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup, textstats
-from .features import text_hash
+from .features import hash_bucket, text_hash
 
 # MIN_TOKENS deliberately below the 'low' quality band's 5-token edge:
 # at 5 the low_quality stage would be fully shadowed by too_short
@@ -62,12 +62,7 @@ def data_split(
     Narrow (no shuffle) at any scale. ``passthrough`` names extra
     columns to carry (default the documents table's ``source``; pass
     ``()`` for frames that don't have it)."""
-    b = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long"),
-        F.lit(SPLIT_BUCKETS),
-    )
+    b = hash_bucket(F.col(id_col), SPLIT_BUCKETS)
     split = (
         F.when(b < SPLIT_TRAIN, F.lit("train"))
         .when(b < SPLIT_VALID, F.lit("valid"))
@@ -182,8 +177,6 @@ def corpus_stats(docs: DataFrame, lang_dim: DataFrame) -> DataFrame:
     whitespace tokens of the admitted docs. This is the table a
     training run publishes next to its data mix. One narrow join
     fan-in (all inputs keyed by doc_id) plus one small aggregate."""
-    from . import textstats
-
     verdict = corpus_filter(docs).select("doc_id", "keep")
     lang = textstats.lang_id(docs, lang_dim).select("doc_id", "pred_lang")
     toks = textstats.token_counts(docs).select("doc_id", "n_ws_tokens")

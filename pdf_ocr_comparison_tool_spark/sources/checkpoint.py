@@ -38,10 +38,9 @@ LINEAGE_SCHEMA = (
 def part_col(doc_id_col, n_parts: int) -> "F.Column":
     """Deterministic content-keyed partition id (stable across runs,
     engines and cluster sizes — unlike Spark's task partition ids)."""
-    return (
-        F.conv(F.substring(F.md5(doc_id_col.cast("string")), 1, 8), 16, 10)
-        .cast("long") % n_parts
-    ).cast("int")
+    from ..operators.features import hash_bucket
+
+    return hash_bucket(doc_id_col, n_parts).cast("int")
 
 
 def committed_parts(spark: SparkSession, out_dir: str) -> DataFrame:
