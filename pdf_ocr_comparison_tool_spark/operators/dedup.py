@@ -152,6 +152,10 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 WINNOW_MAX_FP_DOCS = 64
+# pairs sharing at least this many winnow fingerprints are near-dup
+# edges for cluster formation (1 shared fp is too weak a signal —
+# boilerplate below the hot-fp guard still produces singles)
+WINNOW_MIN_SHARED = 2
 
 
 def winnow_candidate_pairs(

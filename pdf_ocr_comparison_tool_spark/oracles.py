@@ -872,6 +872,24 @@ wn_f AS (
 SELECT doc_id, {fp_sel} FROM wn_f"""
 
 
+def winnow_clusters_sql(d: str, docs: str = "documents") -> str:
+    """Cluster formation over winnowing candidate pairs with the
+    min-shared-fingerprint edge threshold."""
+    from .operators.dedup import WINNOW_MIN_SHARED
+
+    edges = (
+        f"SELECT a, b FROM ({winnow_pairs_sql(d, docs)}) wpe"
+        f" WHERE n_shared >= {WINNOW_MIN_SHARED}"
+    )
+    return _cc_closure_sql(edges)
+
+
+def simhash_clusters_sql(d: str, docs: str = "documents") -> str:
+    """Cluster formation over the hamming-verified banded SimHash
+    pairs — every pair is already a verified edge."""
+    return _cc_closure_sql(f"SELECT a, b FROM ({simhash_pairs_sql(d, docs)}) spe")
+
+
 def winnow_pairs_sql(d: str, docs: str = "documents", max_fp_docs: int = 64) -> str:
     return f"""WITH wp_f AS ({winnow_sql(d, docs)}),
 wp_small AS (

@@ -602,6 +602,32 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_candidate_pairs(fps)
 
 
+@register("dedup_winnow_clusters", oracle=O.winnow_clusters_sql(G.DUCK))
+def q_dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster formation on the winnowing modality: pairs sharing ≥ 2
+    fingerprints become edges, connected components emit the keep
+    policy — the same last-stage as the MinHash and embedding paths."""
+    fps = dedup.winnow_fingerprints(
+        synth.load_table(spark, sf_dir, "documents")
+    ).cache()
+    edges = (
+        dedup.winnow_candidate_pairs(fps)
+        .filter(F.col("n_shared") >= dedup.WINNOW_MIN_SHARED)
+        .select("a", "b")
+    )
+    return dedup.connected_components(edges)
+
+
+@register("dedup_simhash_clusters", oracle=O.simhash_clusters_sql(G.DUCK))
+def q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster formation on the SimHash modality: every hamming-verified
+    banded pair is an edge; connected components emit the keep policy."""
+    fps = dedup.simhash(synth.load_table(spark, sf_dir, "documents")).cache()
+    return dedup.connected_components(
+        dedup.simhash_candidate_pairs(fps).select("a", "b")
+    )
+
+
 @register("dedup_simhash", oracle=O.simhash_sql(G.DUCK))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash document fingerprints."""
