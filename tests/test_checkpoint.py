@@ -150,3 +150,29 @@ def test_corpus_job_kill_rerun_exactly_once(spark):
         man = cp.publish_training_shards(spark, resumed, f"{tdir}/final")
         got = man.agg({"n_docs": "sum"}).collect()[0][0]
         assert got == len(rows(clean))
+
+
+def test_corpus_job_partitioning_invariant(spark):
+    """The corpus verdict and committed output are pure functions of
+    the data — identical under different input partition layouts (the
+    cluster-topology independence the checkpoint contract claims)."""
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.sources import checkpoint as cp
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+
+    def run(layout, out_dir):
+        cp.run_corpus_job(spark, layout, out_dir, run_id="x", n_parts=4)
+        spark.catalog.clearCache()
+        return {
+            (r["doc_id"], r["source"], r["split"], r["part"])
+            for r in cp.read_output(spark, out_dir).collect()
+        }
+
+    with tempfile.TemporaryDirectory() as tdir:
+        a = run(docs.repartition(3), f"{tdir}/a")
+        b = run(docs.repartition(11).sortWithinPartitions("text"), f"{tdir}/b")
+    assert a == b and a
