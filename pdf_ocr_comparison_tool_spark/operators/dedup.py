@@ -261,6 +261,20 @@ def verified_near_dups(
 CC_MAX_ITERS = 25
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor storage blocks of a superseded localCheckpoint
+    frame. ``DataFrame.unpersist()`` only covers cache-manager entries;
+    a localCheckpoint persists its internal RDD directly, which stays
+    in executor storage until driver GC collects the frame — across
+    CC rounds those superseded blocks accumulate. Best-effort: if the
+    internal accessor moves in a future Spark, GC-based cleanup still
+    applies."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Near-dup cluster formation — the stage every candidate-pair
     generator (LSH / winnowing / embedding buckets) feeds at 100 TB:
@@ -327,10 +341,16 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # the changed-count was the last reader of the previous round's
+        # checkpoint — release its blocks before they accumulate
+        _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             converged = True
             break
+    # the result frame derives only from the final (already
+    # materialized) labels checkpoint; the edge table is done
+    _release_local_checkpoint(sym)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "

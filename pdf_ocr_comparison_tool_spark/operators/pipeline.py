@@ -246,29 +246,37 @@ def seq_packing(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
     )
 
 
-def corpus_filter(docs: DataFrame) -> DataFrame:
+def corpus_filter(
+    docs: DataFrame, cache_registry: list | None = None
+) -> DataFrame:
     """Compose the admission verdict for a ``documents``-shaped frame
     (doc_id, text). See module docstring for stages and precedence.
 
     Cache LIFETIME is owned by the caller (same contract as
     matching.match_pages): the MinHash signature frame below is cached
     because three branches read it (banding, and both sides of the
-    Jaccard verify); a long-lived session should
-    ``spark.catalog.clearCache()`` after materializing the result —
-    library code cannot know when the returned lazy frame is done."""
+    Jaccard verify); library code cannot know when the returned lazy
+    frame is done. Callers that materialize the result inside a
+    long-lived session (e.g. checkpoint.run_corpus_job) pass a
+    ``cache_registry`` list — every frame this function caches is
+    appended to it so the caller can ``unpersist()`` after its action,
+    instead of nuking the whole session cache with clearCache()."""
     quality = textstats.text_quality(docs).select("doc_id", "quality")
     rep = textstats.text_repetition(docs).select(
         "doc_id", "n_tokens", "top_2gram_char_frac", "dup_3gram_frac"
     )
-    exact = docs.select(
-        "doc_id", text_hash(F.col("text")).alias("h")
-    ).select(
-        "doc_id",
-        (
-            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))
-        ).alias("exact_keep"),
+    # per-hash min via groupBy + join-back, NOT a window: WindowExec has
+    # no map-side partial aggregation, so a heavily duplicated
+    # boilerplate page would funnel every copy through one reducer; the
+    # groupBy combines map-side and the join fans the min back out
+    hashed = docs.select("doc_id", text_hash(F.col("text")).alias("h"))
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_doc"))
+    exact = hashed.join(keepers, "h").select(
+        "doc_id", (F.col("doc_id") == F.col("keep_doc")).alias("exact_keep")
     )
     withsig = dedup.with_minhash(docs).cache()
+    if cache_registry is not None:
+        cache_registry.append(withsig)
     pairs = dedup.lsh_candidate_pairs(withsig)
     verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
     clusters = dedup.connected_components(verified).select(

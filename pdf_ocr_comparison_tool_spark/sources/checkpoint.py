@@ -203,29 +203,42 @@ def run_corpus_job(
     if first:
         n_parts = first[0]["n_parts"]
 
-    verdict = corpus_filter(docs).filter(F.col("keep")).select("doc_id")
-    admitted = (
-        docs.select("doc_id", "source", "text")
-        .join(verdict, "doc_id")
-        .join(data_split(docs).select("doc_id", "split"), "doc_id")
-        .withColumn("part", part_col(F.col("doc_id"), n_parts))
-    )
-    todo = [
-        r["part"]
-        for r in remaining_parts(
-            admitted.select("part").distinct(), committed_parts(spark, out_dir)
+    cached: list[DataFrame] = []
+    try:
+        verdict = (
+            corpus_filter(docs, cache_registry=cached)
+            .filter(F.col("keep"))
+            .select("doc_id")
         )
-        .orderBy("part")
-        .collect()
-    ]
-    batch = todo if fail_after_parts is None else todo[:fail_after_parts]
-    if batch:
-        commit_transformed_parts(
-            spark, admitted, batch, out_dir, run_id, n_parts
+        admitted = (
+            docs.select("doc_id", "source", "text")
+            .join(verdict, "doc_id")
+            .join(data_split(docs).select("doc_id", "split"), "doc_id")
+            .withColumn("part", part_col(F.col("doc_id"), n_parts))
         )
-    if fail_after_parts is not None:
-        raise RuntimeError(f"simulated failure after {len(batch)} parts")
-    return len(batch)
+        todo = [
+            r["part"]
+            for r in remaining_parts(
+                admitted.select("part").distinct(),
+                committed_parts(spark, out_dir),
+            )
+            .orderBy("part")
+            .collect()
+        ]
+        batch = todo if fail_after_parts is None else todo[:fail_after_parts]
+        if batch:
+            commit_transformed_parts(
+                spark, admitted, batch, out_dir, run_id, n_parts
+            )
+        if fail_after_parts is not None:
+            raise RuntimeError(f"simulated failure after {len(batch)} parts")
+        return len(batch)
+    finally:
+        # release the verdict's cached frames even on the simulated-kill
+        # path — a resume loop in one long-lived session must not
+        # accumulate cached blocks across invocations
+        for c in cached:
+            c.unpersist()
 
 
 def publish_training_shards(

@@ -96,8 +96,20 @@ def test_training_shard_sink_roundtrip(spark):
         assert set(man) == set(exp)
         for k, (n_docs, n_shards) in man.items():
             assert n_docs == exp[k]
-            # bounded shards: ceil(n/50) files
-            assert n_shards == (n_docs + 49) // 50
+            # bounded shards: at least ceil(n/50) files (exact equality
+            # only holds when one task writes the whole group —
+            # maxRecordsPerFile splits PER TASK, so shuffle-partition /
+            # AQE layout changes may spread a group over more files)
+            assert n_shards >= (n_docs + 49) // 50
+        # the real invariant: no shard file exceeds the record cap
+        per_file = (
+            spark.read.parquet(out)
+            .groupBy(F.input_file_name())
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert per_file <= 50
         dirs = TS.list_partition_dirs(out)
         assert any(d.startswith("split=train/") for d in dirs)
         # partition pruning: a split filter must not scan other splits

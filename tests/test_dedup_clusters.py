@@ -100,6 +100,23 @@ def test_simhash_banded_join_matches_guarded_bruteforce(spark):
     assert expected, "fixture produced no guarded pairs at all"
 
 
+def test_cc_releases_superseded_checkpoints(spark):
+    """Multi-round CC must not accumulate executor storage: every
+    superseded round's localCheckpoint blocks are released once the
+    changed-count has read them, leaving at most the final labels
+    frame persisted after the result is collected."""
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 220)], "a long, b long"
+    )
+    out = dedup.connected_components(pairs)
+    assert out.count() == 21  # multi-round convergence (path graph)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # only the final labels checkpoint (still referenced by `out`) may
+    # remain beyond whatever was persisted before the call
+    assert after - before <= 1
+
+
 def test_connected_components_long_chain(spark):
     """The review scenario that motivated pointer jumping: a 30-node
     path graph (diameter 29, beyond plain min-propagation's practical
