@@ -197,49 +197,153 @@ def corpus_stats(docs: DataFrame, lang_dim: DataFrame) -> DataFrame:
 
 
 CTX_TOKENS = 512
-_PACK_BUCKET = 64  # docs per prefix-sum bucket (tune to partition size)
+PACK_HASH_BITS = 48          # tape hash width (12 md5 hex chars)
+PACK_TARGET_BUCKET_DOCS = 64  # expected docs per phase-1 bucket
+PACK_CUMSUM_THRESHOLD = 4096  # max rows ANY unpartitioned window sees
+PACK_FANIN_BITS = 10          # buckets folded per super-bucket level
 
 
-def seq_packing(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
+def pack_tape_hash(id_col) -> "F.Column":
+    """The tape-order hash (Spark twin of sqlgen.hexint48): 48-bit
+    uniform BIGINT from md5 of the STRING form of the id — id-type
+    safe (a numeric division of the raw id would NULL out on string
+    ids, the engine's own documents contract, and silently collapse
+    the prefix sum to one bucket)."""
+    return F.conv(
+        F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def pack_shift(n_docs: int, target: int = PACK_TARGET_BUCKET_DOCS) -> int:
+    """Right-shift applied to the 48-bit tape hash so the expected
+    bucket occupancy is ≈ ``target`` docs: 2^(48-shift) buckets."""
+    import math
+
+    want_buckets = max(1, n_docs // target)
+    bits = min(PACK_HASH_BITS, math.ceil(math.log2(want_buckets))) if want_buckets > 1 else 0
+    return PACK_HASH_BITS - bits
+
+
+def _bucketed_cumsum(
+    totals: DataFrame,
+    key: str,
+    val: str,
+    out: str,
+    threshold: int = PACK_CUMSUM_THRESHOLD,
+    fanin_bits: int = PACK_FANIN_BITS,
+    _levels: list | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``val`` over ascending non-negative
+    integer ``key``, recursing so that **no unpartitioned window ever
+    sees more than ``threshold`` rows at any input size**:
+
+    * ≤ threshold keys → one ordered window (the base case);
+    * else fold 2^fanin_bits consecutive keys into a super-bucket
+      (``key >> fanin_bits`` — contiguous by construction), cumsum
+      within each super-bucket (a PARTITIONED window, ≤ 2^fanin_bits
+      rows per partition), and recurse on the super-bucket totals,
+      whose cardinality shrank 2^fanin_bits-fold. Depth is
+      log_fanin(n): 3 levels cover 4096·1024² ≈ 4·10⁹ buckets.
+
+    The driver-side ``count()`` per level is a convergence-style scalar
+    (one tiny job per level, O(log n) levels), same pattern as the CC
+    loop. ``_levels`` (tests) records each level's cardinality."""
+    if (1 << fanin_bits) > threshold:
+        raise ValueError("fanin 2^fanin_bits must not exceed threshold")
+    n = totals.count()
+    if _levels is not None:
+        _levels.append(n)
+    if n <= threshold:
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        return totals.withColumn(
+            out, F.coalesce(F.sum(val).over(w), F.lit(0)).cast("long")
+        )
+    # temp names derive from the key so recursion levels never collide
+    # (the child's key IS this level's sup column)
+    sup_key, sup_val, sup_out, off_in = (
+        f"_sup_{key}", f"_supval_{key}", f"_supoff_{key}", f"_offin_{key}",
+    )
+    sup = totals.withColumn(sup_key, F.shiftright(F.col(key), fanin_bits))
+    w_in = (
+        Window.partitionBy(sup_key)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = sup.withColumn(
+        off_in, F.coalesce(F.sum(val).over(w_in), F.lit(0)).cast("long")
+    )
+    sup_totals = sup.groupBy(sup_key).agg(F.sum(val).alias(sup_val))
+    sup_off = _bucketed_cumsum(
+        sup_totals, sup_key, sup_val, sup_out,
+        threshold, fanin_bits, _levels,
+    ).select(sup_key, sup_out)
+    return (
+        within.join(sup_off, sup_key)
+        .withColumn(out, (F.col(off_in) + F.col(sup_out)).cast("long"))
+        .drop(sup_key, off_in, sup_out)
+    )
+
+
+def seq_packing(
+    docs: DataFrame,
+    ctx: int = CTX_TOKENS,
+    target_bucket_docs: int = PACK_TARGET_BUCKET_DOCS,
+    cumsum_threshold: int = PACK_CUMSUM_THRESHOLD,
+    fanin_bits: int = PACK_FANIN_BITS,
+) -> DataFrame:
     """Concat-and-split sequence packing — the pretraining batch-prep
-    step: lay all documents out on one token tape in doc_id order and
-    cut it every ``ctx`` tokens. Emits per doc its global token offset,
-    the pack (context window) its first token lands in, and the offset
-    within that pack.
+    step: lay all documents out on one token tape and cut it every
+    ``ctx`` tokens. Emits per doc its global token offset, the pack
+    (context window) its first token lands in, and the offset within
+    that pack.
 
-    The global running offset is a prefix sum. A naive window
-    ``SUM() OVER (ORDER BY doc_id)`` sorts the whole corpus on ONE
-    reducer — the classic scale-killer — so this is the two-phase
-    distributed prefix sum instead: cumsum within explicit doc_id
-    buckets (parallel windows), plus a running offset OVER the tiny
-    per-bucket totals table (cardinality = n_docs / _PACK_BUCKET —
-    itself windowed, but 64× smaller; at true 100 TB scale the same
-    two-phase step recurses). Values are identical to the single
-    global window, which is exactly what the DuckDB oracle states."""
+    Tape order is ``(pack_tape_hash(doc_id), doc_id)`` — content-free,
+    deterministic, and id-type safe (string ids hash the same way
+    numeric ids do). A hash order is exactly as valid as doc_id order
+    for packing (the tape order is arbitrary by construction) and it
+    makes bucketing trivially uniform.
+
+    The global running offset is a prefix sum. A naive
+    ``SUM() OVER (ORDER BY ...)`` sorts the whole corpus on ONE
+    reducer — the classic scale-killer — so: phase 1 cumsums within
+    hash-contiguous buckets sized to ≈``target_bucket_docs`` docs
+    (parallel partitioned windows), then the per-bucket totals go
+    through :func:`_bucketed_cumsum`, which RECURSES until no
+    unpartitioned window sees more than ``cumsum_threshold`` rows —
+    at 10⁹+ docs the totals table is no longer a single-reducer
+    window either. Values are identical to the single global window
+    over the same tape order, which is what the DuckDB oracle
+    states."""
     toks = dedup.tokens_col(F.col("text"))
     base = docs.select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens")
-    ).withColumn("bkt", (F.col("doc_id") / _PACK_BUCKET).cast("long"))
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        pack_tape_hash(F.col("doc_id")).alias("h"),
+    )
+    # scalar corpus count → bucket granularity (one count job; at real
+    # scale this is parquet-metadata cheap and amortized per run)
+    shift = pack_shift(docs.count(), target_bucket_docs)
+    base = base.withColumn("bkt", F.shiftright("h", shift))
     w_in = (
         Window.partitionBy("bkt")
-        .orderBy("doc_id")
+        .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = base.withColumn(
         "off_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
     )
     totals = base.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
-    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "bkt_off", F.coalesce(F.sum("bkt_tokens").over(w_b), F.lit(0))
+    offsets = _bucketed_cumsum(
+        totals, "bkt", "bkt_tokens", "bkt_off",
+        cumsum_threshold, fanin_bits,
     ).select("bkt", "bkt_off")
     g_off = F.col("off_in") + F.col("bkt_off")
     return (
-        within.join(F.broadcast(offsets), "bkt")
+        within.join(offsets, "bkt")
         .select(
             "doc_id",
             "n_tokens",
-            g_off.alias("tok_offset"),
+            g_off.cast("long").alias("tok_offset"),
             F.floor(g_off / ctx).cast("long").alias("pack_id"),
             F.pmod(g_off, F.lit(ctx)).cast("long").alias("pack_offset"),
         )

@@ -1683,18 +1683,21 @@ GROUP BY dd.source, l.pred_lang"""
 
 def seq_packing_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.seq_packing; the operator's
-    two-phase bucketed prefix sum is semantically ONE global running
-    sum over doc_id order — the oracle states it directly. The window
-    SUM is decimal-family in DuckDB (HUGEINT): cast before it leaves."""
+    recursive bucketed prefix sum is semantically ONE global running
+    sum over the tape order (hexint48(doc_id), doc_id) — the oracle
+    states it directly. The window SUM is decimal-family in DuckDB
+    (HUGEINT): cast before it leaves."""
     from .operators.pipeline import CTX_TOKENS
 
     off = (
-        "coalesce(SUM(n_tokens) OVER (ORDER BY doc_id "
+        "coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
     )
     return f"""WITH {_tok_cte(d, docs)},
 sq_n AS (
-  SELECT doc_id, CAST({_arr_size('toks', d)} AS BIGINT) AS n_tokens FROM dd_tok
+  SELECT doc_id, CAST({_arr_size('toks', d)} AS BIGINT) AS n_tokens,
+         {G.hexint48('doc_id', d)} AS h
+  FROM dd_tok
 ),
 sq_o AS (
   SELECT doc_id, n_tokens, CAST({off} AS BIGINT) AS tok_offset FROM sq_n

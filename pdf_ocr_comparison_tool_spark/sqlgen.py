@@ -138,6 +138,18 @@ def hexint(expr: str, d: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
 
 
+def hexint48(expr: str, d: str) -> str:
+    """48-bit content-free id hash: first 12 hex chars of
+    md5(CAST(expr AS STRING)) → BIGINT. The tape-order hash shared by
+    pipeline.seq_packing (Spark twin: pipeline.pack_tape_hash) and its
+    oracle — works for string AND numeric ids (the string cast is what
+    makes it id-type safe)."""
+    s = cast_str(expr, d)
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({s}), 1, 12), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr(md5({s}), 1, 12) AS BIGINT)"
+
+
 def array_join(arr: str, sep: str, d: str) -> str:
     if d == SPARK:
         return f"array_join({arr}, {sep})"

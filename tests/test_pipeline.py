@@ -56,22 +56,87 @@ def test_low_quality_branch(spark):
     assert out["quality"] == "low" and out["drop_reason"] == "low_quality"
 
 
+def _tape_h(doc_id) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+
+
 def test_seq_packing_invariants(spark):
-    """Offsets are the exclusive prefix sum in doc_id order; pack ids
-    are consistent derivations of them."""
+    """Offsets are the exclusive prefix sum in tape order
+    (hash(doc_id), doc_id); pack ids are consistent derivations."""
     from pdf_ocr_comparison_tool_spark import synth
     from tests.conftest import SF_DIR
 
     out = pipeline.seq_packing(
         synth.load_table(spark, SF_DIR, "documents")
-    ).orderBy("doc_id").collect()
+    ).collect()
     assert out
     run = 0
-    for r in out:
+    for r in sorted(out, key=lambda r: (_tape_h(r["doc_id"]), r["doc_id"])):
         assert r["tok_offset"] == run
         assert r["pack_id"] == r["tok_offset"] // pipeline.CTX_TOKENS
         assert r["pack_offset"] == r["tok_offset"] % pipeline.CTX_TOKENS
         run += r["n_tokens"]
+
+
+def test_seq_packing_string_ids_spread_buckets(spark):
+    """The round-3 hazard: string doc_ids (the engine's own documents
+    contract) must NOT collapse the prefix sum into one bucket — the
+    tape hash is computed over the STRING form of the id, so the
+    bucketing spreads regardless of id type, and offsets still form an
+    exact exclusive prefix sum."""
+    rows = [(f"doc-{i:04d}", f"tok{i} " * ((i % 7) + 1)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    n_buckets = (
+        docs.select(
+            F.shiftright(
+                pipeline.pack_tape_hash(F.col("doc_id")),
+                pipeline.pack_shift(len(rows)),
+            ).alias("bkt")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1, "string ids collapsed into a single bucket"
+    out = pipeline.seq_packing(docs).collect()
+    assert len(out) == len(rows)
+    run = 0
+    for r in sorted(out, key=lambda r: (_tape_h(r["doc_id"]), r["doc_id"])):
+        assert r["tok_offset"] == run
+        run += r["n_tokens"]
+
+
+def test_bucketed_cumsum_recursion_bounds_window_size(spark):
+    """The third-level guarantee: with a totals table far above the
+    threshold, _bucketed_cumsum must recurse (multiple levels), every
+    level's cardinality must shrink by the fan-in, only the final
+    level (≤ threshold rows) takes an unpartitioned window, and the
+    values must equal the naive single-window prefix sum."""
+    n = 5000
+    totals = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(n)], "bkt long, v long"
+    )
+    levels: list[int] = []
+    got = {
+        r["bkt"]: r["off"]
+        for r in pipeline._bucketed_cumsum(
+            totals, "bkt", "v", "off",
+            threshold=64, fanin_bits=4, _levels=levels,
+        ).collect()
+    }
+    # recursion depth: 5000 -> ~313 -> ~20 (3 levels)
+    assert len(levels) >= 3
+    assert levels[0] == n
+    for prev, cur in zip(levels, levels[1:]):
+        assert cur <= (prev >> 4) + 1  # each level folds 2^4 buckets
+    assert levels[-1] <= 64  # only this level ran unpartitioned
+    run = 0
+    expect = {}
+    for i in range(n):
+        expect[i] = run
+        run += (i * 37) % 11 + 1
+    assert got == expect
 
 
 def test_data_split_fractions_and_stability(spark):
