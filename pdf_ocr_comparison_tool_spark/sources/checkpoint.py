@@ -44,10 +44,29 @@ def part_col(doc_id_col, n_parts: int) -> "F.Column":
 
 
 def committed_parts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The checkpoint manifest: ONE authoritative lineage row per part.
+
+    Run fencing: two racing (or zombie) writers can both pass the
+    anti-join before either commits and double-append lineage rows for
+    the same part. The DATA stays byte-identical — every transform is
+    deterministic and the dynamic partition overwrite replaces the same
+    directory — so the race is resolved at read-back: deduplicate by
+    part with deterministic precedence (lowest run_id wins; wall_ms
+    breaks a same-run tie). Every manifest consumer (resume anti-join,
+    stats, n_parts adoption) goes through here, so a duplicated append
+    can never double-count."""
     path = os.path.join(out_dir, "_lineage")
     if not os.path.isdir(path) or not os.listdir(path):
         return spark.createDataFrame([], LINEAGE_SCHEMA)
-    return spark.read.parquet(path)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part").orderBy("run_id", "wall_ms")
+    return (
+        spark.read.parquet(path)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def remaining_parts(

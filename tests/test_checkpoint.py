@@ -164,6 +164,70 @@ def test_corpus_job_kill_rerun_exactly_once(spark):
         assert got == len(rows(clean))
 
 
+def test_corpus_job_racing_writers_fenced(spark):
+    """Run fencing: a zombie writer that passed the anti-join before
+    the live run committed double-appends lineage rows for the same
+    parts. The manifest must resolve to ONE authoritative row per part
+    (lowest run_id precedence), the data must stay byte-identical to a
+    clean single run, and a subsequent resume must find nothing to do."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators.pipeline import (
+        corpus_filter,
+        data_split,
+    )
+    from pdf_ocr_comparison_tool_spark.sources import checkpoint as cp
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents").repartition(8)
+    n_parts = 6
+
+    def rows(out_dir):
+        return {
+            (r["doc_id"], r["source"], r["split"], r["part"])
+            for r in cp.read_output(spark, out_dir).collect()
+        }
+
+    with tempfile.TemporaryDirectory() as tdir:
+        clean, raced = f"{tdir}/clean", f"{tdir}/raced"
+        cp.run_corpus_job(spark, docs, clean, run_id="solo", n_parts=n_parts)
+        spark.catalog.clearCache()
+        cp.run_corpus_job(spark, docs, raced, run_id="runA", n_parts=n_parts)
+        spark.catalog.clearCache()
+        # the zombie: replays the job's commit for ALL parts under a
+        # later run id — exactly a second writer whose anti-join ran
+        # before runA's lineage append
+        admitted = (
+            docs.select("doc_id", "source", "text")
+            .join(corpus_filter(docs).filter(F.col("keep")).select("doc_id"), "doc_id")
+            .join(data_split(docs).select("doc_id", "split"), "doc_id")
+            .withColumn("part", cp.part_col(F.col("doc_id"), n_parts))
+        )
+        cp.commit_transformed_parts(
+            spark, admitted, list(range(n_parts)), raced, "runB", n_parts
+        )
+        spark.catalog.clearCache()
+        # raw lineage really does hold the double append …
+        import os
+
+        raw = spark.read.parquet(os.path.join(raced, "_lineage"))
+        assert raw.count() == 2 * n_parts
+        # … but the manifest fences to one row per part, first run wins
+        man = cp.committed_parts(spark, raced).collect()
+        assert len(man) == n_parts
+        assert {r["part"] for r in man} == set(range(n_parts))
+        assert all(r["run_id"] == "runA" for r in man)
+        # data byte-identical to the un-raced run
+        assert rows(raced) == rows(clean)
+        # resume sees a fully committed job
+        n3 = cp.run_corpus_job(spark, docs, raced, run_id="runC", n_parts=n_parts)
+        spark.catalog.clearCache()
+        assert n3 == 0
+
+
 def test_corpus_job_partitioning_invariant(spark):
     """The corpus verdict and committed output are pure functions of
     the data — identical under different input partition layouts (the
