@@ -101,6 +101,29 @@ def _run_headline(cores: str) -> dict:
 SCALE_REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "512"))
 SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
 
+# Host-contention guard: this is a SHARED box and concurrent tenants
+# swing join-heavy queries 2-10× (r3's driver pass ran at load 10.8 and
+# recorded match_best_cosine at 1.9× the idle-window minimum). Wait for
+# an idle window before the timed pass; the retry trail is reported in
+# the JSON so a loaded run is visible instead of silently misleading.
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "30"))
+LOAD_MAX_WAITS = int(os.environ.get("SPARK_GRAFT_LOAD_MAX_WAITS", "16"))
+
+
+def wait_for_idle_host() -> list[dict]:
+    """Block until host_load_1m < MAX_LOAD or the wait budget runs out
+    (~8 min default — the pass proceeds either way rather than hanging
+    the driver). Returns the retry trail for the output JSON."""
+    trail: list[dict] = []
+    for _ in range(LOAD_MAX_WAITS):
+        load = round(os.getloadavg()[0], 2)
+        if load < MAX_LOAD:
+            break
+        trail.append({"load_1m": load, "waited_sec": LOAD_WAIT_SEC})
+        time.sleep(LOAD_WAIT_SEC)
+    return trail
+
 
 def _run_scaling_child(n_executors: str) -> dict:
     """One timed extraction run on sf0.1 replicated ×SCALE_REPLICATION,
@@ -180,6 +203,7 @@ def main() -> None:
         # efficiency uses the best (least-contended) attempt per size;
         # every attempt + its load average is reported for honesty
         attempts: dict[str, list] = {"1": [], "4": []}
+        load_trail = wait_for_idle_host()
         for _ in range(SCALE_ATTEMPTS):
             for n_exec in ("1", "4"):  # N vs 4N executors
                 out = subprocess.run(
@@ -208,10 +232,13 @@ def main() -> None:
             "replication": SCALE_REPLICATION,
             "attempts_per_size": SCALE_ATTEMPTS,
             "throughput_docs_per_sec": {"n_executors": thr_n, "4n_executors": thr_4n},
+            "load_retries": load_trail,
             "detail": attempts,
         }))
         return
 
+    load_trail = wait_for_idle_host()
+    start_load = round(os.getloadavg()[0], 2)
     r = _run_headline(CPUS)
     print(json.dumps({
         "metric": "headline query wall time",
@@ -221,7 +248,9 @@ def main() -> None:
         "sf": SF_DIR,
         "cores": r["cores"],
         "n_docs": r["n_docs"],
+        "host_load_1m_at_start": start_load,
         "host_load_1m": r["host_load_1m"],
+        "load_retries": load_trail,
         "extract_docs_per_sec": r["extract_docs_per_sec"],
     }))
 
