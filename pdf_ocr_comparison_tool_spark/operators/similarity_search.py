@@ -162,26 +162,37 @@ IVF_N_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_N_CENTROIDS) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_N_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid.
 
-    Centroids are the first ``n_centroids`` vectors (deterministic
-    stand-in for a k-means fit — at 10^12 rows the fit runs offline and
-    its output is just another small broadcast table, which is exactly
-    what this models). Distances use the order-fixed double-fold dot
-    construction so assignments are engine/partitioning invariant,
-    including ties (broken by centroid id).
+    Centroids default to the first ``n_centroids`` vectors — the
+    deterministic stand-in for the offline fit — or pass ``centroids``
+    (centroid_id, cv), e.g. the output of :func:`kmeans_fit`, to use a
+    trained quantizer: the fit's output is just another small broadcast
+    table, which is exactly what this consumes. Distances use the
+    order-fixed double-fold dot construction so assignments are
+    engine/partitioning invariant, including ties (broken by centroid
+    id).
 
     The inverted lists this produces turn ANN into: probe the
     ``IVF_NPROBE`` nearest centroids, equi-join on centroid_id, rerank
     within — a bucket equi-join instead of a cross join, same shape as
     :func:`lsh_bucket` but data-adaptive.
     """
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cv"),
-        _dot("embedding", "embedding").alias("c_nsq"),
-    )
+    if centroids is None:
+        cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+            _dot("embedding", "embedding").alias("c_nsq"),
+        )
+    else:
+        cents = centroids.select(
+            "centroid_id", "cv", _dot("cv", "cv").alias("c_nsq")
+        )
     vecs = embeddings.select(
         "vec_id", "embedding", _dot("embedding", "embedding").alias("v_nsq")
     )
@@ -208,19 +219,31 @@ def ivf_search(
     k: int = 10,
     n_centroids: int = IVF_N_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end IVF ANN search: nprobe nearest centroids per query →
     equi-join on centroid_id against the inverted lists → exact-cosine
     rerank → top-k. Scans 1/(n_centroids/nprobe) of the corpus per
     query instead of all of it; candidate generation is an equi-join.
+    ``centroids`` (centroid_id, cv) swaps in a trained quantizer (e.g.
+    :func:`kmeans_fit`) for the first-N stand-in.
 
     Emits (q_id, rank, c_id, sim)."""
-    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("cv0"),
-        _dot("embedding", "embedding").alias("c0_nsq"),
+    assign = ivf_assign(embeddings, n_centroids, centroids=centroids).select(
+        "vec_id", "centroid_id"
     )
+    if centroids is None:
+        cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv0"),
+            _dot("embedding", "embedding").alias("c0_nsq"),
+        )
+    else:
+        cents = centroids.select(
+            "centroid_id",
+            F.col("cv").alias("cv0"),
+            _dot("cv", "cv").alias("c0_nsq"),
+        )
     norms = embeddings.select(
         "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
     )
@@ -326,6 +349,96 @@ def embedding_near_dups(
         .select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------ k-means fit
+KMEANS_ITERS = 2
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = IVF_N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Bounded-iteration distributed Lloyd — the quantizer TRAINING step
+    the IVF/PQ stand-ins model as 'offline': at 100 TB a training-data
+    pipeline fits its coarse quantizer on its own corpus, and the fit is
+    itself a natural DataFrame job. Returns the fitted centroids as a
+    small table (centroid_id, cv: array<double>) — exactly the
+    broadcast shape :func:`ivf_assign`/:func:`ivf_search` consume.
+
+    Deterministic + cross-engine exact by construction:
+
+    * init — the first ``k`` vectors (the same deterministic seed the
+      stand-in used), elements cast to double;
+    * assign — squared-L2 argmin via the order-fixed left fold
+      (:func:`_sqdist`), ties to the smaller centroid_id: the existing
+      ``ivf_assign`` shape (narrow scan × broadcast centroids);
+    * update — per (centroid, dim) mean where the sum folds member
+      values in vec_id order (array_sort → left fold, the pq_search
+      pattern) and the division is one double op over identical
+      operands: bit-identical to the DuckDB oracle. At production
+      scale the ordered fold relaxes to a plain float sum (k-means is
+      stochastic in data order anyway); the fold is the oracle-
+      exactness mode, same trade as the DECIMAL sums elsewhere.
+    * empty cluster — keeps its previous centroid (deterministic;
+      mirrored in SQL via LEFT JOIN + coalesce).
+
+    Exactly ``iters`` Lloyd iterations (fixed, so the oracle can state
+    the same unrolled computation); convergence is not checked — the
+    fit is a preprocessing artifact, not a fixpoint contract."""
+    dcast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = embeddings.select("vec_id", dcast.alias("v"))
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        pairs = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "centroid_id", _sqdist("v", "cv").alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("dist"), F.asc("centroid_id")
+        )
+        assign = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id")
+        )
+        members = assign.join(vecs, "vec_id").select(
+            "centroid_id", "vec_id", F.posexplode("v").alias("pos", "val")
+        )
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+            lambda s: s["val"],
+        )
+        means = members.groupBy("centroid_id", "pos").agg(
+            (
+                F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+                / F.count("*").cast("double")
+            ).alias("val")
+        )
+        new_cv = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("new_cv")
+        )
+        cents = (
+            cents.join(new_cv, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("new_cv", "cv").alias("cv"),
+            )
+        )
+    return cents
+
+
+def kmeans_centroid_rows(embeddings: DataFrame, k: int = IVF_N_CENTROIDS) -> DataFrame:
+    """Fitted centroids flattened to oracle-comparable rows
+    (centroid_id, pos, val)."""
+    return kmeans_fit(embeddings, k).select(
+        "centroid_id", F.posexplode("cv").alias("pos", "val")
+    ).select("centroid_id", F.col("pos").cast("long").alias("pos"), "val")
 
 
 # ----------------------------------------------------------- product quant

@@ -1354,6 +1354,88 @@ iv_r AS (
 SELECT vec_id, centroid_id, dist FROM iv_r WHERE rn = 1"""
 
 
+def _ordered_fold(val: str, order: str, d: str) -> str:
+    """Sum of grouped double values folded in a FIXED order (the
+    kmeans/pq cross-engine exactness pattern): collect in ``order``,
+    left-fold with a 0.0 seed."""
+    if d == SPARK:
+        arr = (
+            f"transform(array_sort(collect_list(named_struct("
+            f"'o', {order}, 'x', {val}))), s -> s.x)"
+        )
+    else:
+        arr = f"list({val} ORDER BY {order} ASC)"
+    return _fold_double(arr, d)
+
+
+def _pos_table(dim: int, d: str) -> str:
+    """A (pos) table of [0, dim) for per-dimension explosion."""
+    if d == SPARK:
+        return f"(SELECT explode(sequence(0, {dim - 1})) AS pos)"
+    return f"(SELECT unnest(range({dim})) AS pos)"
+
+
+def kmeans_fit_sql(d: str, k: int | None = None, iters: int | None = None,
+                   dim: int = 64) -> str:
+    """Mirror of similarity_search.kmeans_centroid_rows: ``iters``
+    unrolled Lloyd iterations, each an assign CTE (squared-L2 argmin,
+    ties to the smaller centroid_id) + an update CTE (per-(centroid,
+    dim) mean whose sum folds member values in vec_id order) + an
+    empty-cluster coalesce; init = first-k vectors cast to double.
+    Output: (centroid_id, pos, val) rows of the final centroids."""
+    from .operators.similarity_search import IVF_N_CENTROIDS, KMEANS_ITERS
+
+    k = IVF_N_CENTROIDS if k is None else k
+    iters = KMEANS_ITERS if iters is None else iters
+    dcast = G.ltransform("embedding", "x -> CAST(x AS DOUBLE)", d)
+    mean = (
+        f"{_ordered_fold(_elem('v.v', 'p.pos', d), 'v.vec_id', d)}"
+        f" / CAST(count(*) AS DOUBLE)"
+    )
+    cv_list = (
+        "transform(array_sort(collect_list(named_struct('o', pos, 'x', val))), s -> s.x)"
+        if d == SPARK
+        else "list(val ORDER BY pos ASC)"
+    )
+    ctes = [
+        f"km_v AS (SELECT vec_id, {dcast} AS v FROM embeddings)",
+        f"""km_c0 AS (
+  SELECT vec_id AS centroid_id, {dcast} AS cv
+  FROM embeddings WHERE vec_id < {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"km_c{i - 1}"
+        sqd = _pq_sqdist("v.v", "c.cv", d, dim)
+        ctes.append(f"""km_a{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id ORDER BY {sqd} ASC, c.centroid_id ASC
+           ) AS rn
+    FROM km_v v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""km_m{i} AS (
+  SELECT a.centroid_id, p.pos, {mean} AS val
+  FROM km_a{i} a
+  JOIN km_v v ON a.vec_id = v.vec_id
+  CROSS JOIN {_pos_table(dim, d)} p
+  GROUP BY a.centroid_id, p.pos
+)""")
+        ctes.append(f"""km_c{i} AS (
+  SELECT c.centroid_id, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT centroid_id, {cv_list} AS cv FROM km_m{i} GROUP BY centroid_id
+  ) m ON c.centroid_id = m.centroid_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT c.centroid_id, CAST(p.pos AS BIGINT) AS pos,
+       {_elem('c.cv', 'p.pos', d)} AS val
+FROM km_c{iters} c CROSS JOIN {_pos_table(dim, d)} p"""
+
+
 def emb_near_dups_sql(d: str, threshold: float = 0.35, n_limit: int = 500) -> str:
     return f"""WITH en_n AS (
   SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq

@@ -700,6 +700,18 @@ def q_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_kmeans_fit", oracle=O.kmeans_fit_sql(G.DUCK))
+def q_ann_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer TRAINING: bounded-iteration distributed Lloyd (assign =
+    the ivf_assign equi-join shape, update = groupBy means with
+    vec_id-ordered folds), replacing the first-N 'offline fit' stand-in
+    with an actual fit the 100 TB pipeline can run on its own corpus.
+    Emits the fitted centroids as (centroid_id, pos, val) rows."""
+    return similarity_search.kmeans_centroid_rows(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("ann_ivf_search", oracle=O.ivf_search_sql(G.DUCK))
 def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF ANN search: nprobe nearest centroids →
@@ -949,9 +961,10 @@ _QUERY_ORDER = [
     "token_counts",
     "lang_id",
     "text_quality",
-    # embedding dedup (never / displaced)
+    # embedding dedup (never / displaced) + quantizer training (new r4)
     "emb_dup_clusters",
     "emb_near_dups_lsh",
+    "ann_kmeans_fit",
     # displaced in r3: re-verify
     "events_window",
     "source_rollup",
@@ -985,11 +998,11 @@ _QUERY_ORDER = [
     "dedup_clusters",
     "dedup_winnow_pairs",
     "dedup_simhash_pairs",
-    "dedup_winnow_clusters",
     "dedup_simhash_clusters",
     # ANN
     "ann_pq_search",
     # ---- tail: stable rows awaiting rotation (green r1-r3) ----
+    "dedup_winnow_clusters",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

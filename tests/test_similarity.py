@@ -91,6 +91,45 @@ def test_ann_search_recall_vs_brute(spark):
     assert r_ivf >= 0.2, f"IVF recall@{k} collapsed: {r_ivf}"
     assert r_lsh >= 0.05, f"LSH recall@{k} collapsed: {r_lsh}"
 
+    # trained quantizer: recall is NOT the objective Lloyd optimizes —
+    # balanced fitted cells can scan fewer candidates at fixed nprobe
+    # and trade an individual neighbor (measured 0.85 vs first-N's 0.90
+    # on this fixture, where unbalanced first-N cells make nprobe=4
+    # cover more of the corpus). Floor: within 80% of the stand-in,
+    # and never collapsed; the companion objective test asserts the
+    # fit strictly improves what k-means actually optimizes.
+    fitted = SS.kmeans_fit(emb)
+    r_fit = recall(SS.ivf_search(emb, n_queries=8, k=k, centroids=fitted))
+    assert r_fit >= 0.8 * r_ivf, f"fitted recall {r_fit} vs first-N {r_ivf}"
+    assert r_fit >= 0.2, f"fitted-IVF recall@{k} collapsed: {r_fit}"
+
+
+def test_kmeans_fit_tightens_objective(spark):
+    """Each Lloyd iteration must not increase the k-means objective
+    (sum of min squared distances) — 2 fitted iterations score no worse
+    than the first-N init, and the fitted centroids still number k."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+    from tests.conftest import SF_DIR_001
+
+    emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+
+    def objective(centroids):
+        return (
+            SS.ivf_assign(emb, centroids=centroids)
+            .agg(F.sum("dist"))
+            .collect()[0][0]
+        )
+
+    init = SS.kmeans_fit(emb, iters=0)
+    fit1 = SS.kmeans_fit(emb, iters=1)
+    fit2 = SS.kmeans_fit(emb, iters=2)
+    assert fit2.count() == SS.IVF_N_CENTROIDS
+    o0, o1, o2 = objective(init), objective(fit1), objective(fit2)
+    assert o1 <= o0 + 1e-9, f"iteration 1 worsened the objective: {o0} -> {o1}"
+    assert o2 <= o1 + 1e-9, f"iteration 2 worsened the objective: {o1} -> {o2}"
+
 
 def test_cosine_scalar_equals_relational(spark):
     """Triangle check: the direct scalar TF-cosine expression (the spec
