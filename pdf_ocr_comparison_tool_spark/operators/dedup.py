@@ -363,6 +363,75 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     )
 
 
+LINE_SEG_TOKENS = 16
+
+
+def line_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line/segment rows: split on newlines, normalize each
+    line (lowercase, whitespace-collapsed, trimmed, empties dropped),
+    then sub-chunk every ``LINE_SEG_TOKENS`` whitespace tokens so
+    over-long unpunctuated lines — the common shape of scraped web
+    text — still segment. Emits (doc_id, line_no, seg_idx, seg).
+
+    Shape: the doc_chunks relational pattern — posexplode tokens →
+    groupBy (doc, line, seg) → bounded ordered reassembly. The group
+    key carries doc_id, so a hot document can't concentrate a reducer,
+    and per-group arrays are bounded by the segment size."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col("line"), r"\s+", " "))
+    )
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "line_no", "line"
+            ),
+        )
+        .withColumn("norm", norm)
+        .filter(F.col("norm") != "")
+    )
+    pos = lines.select(
+        "doc_id",
+        "line_no",
+        F.posexplode(F.split("norm", " ")).alias("pos", "tok"),
+    ).withColumn("seg_idx", (F.col("pos") / LINE_SEG_TOKENS).cast("long"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    return pos.groupBy("doc_id", "line_no", "seg_idx").agg(
+        F.array_join(ordered, " ").alias("seg")
+    )
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level dedup verdict — the boilerplate killer
+    (Raffel et al. 2020 §2.2 deduplicate repeated spans corpus-wide,
+    keeping ONE occurrence): per segment row, how often its normalized
+    text occurs corpus-wide and whether this row is the kept first
+    occurrence (smallest (doc_id, line_no, seg_idx)).
+
+    Scale shape: groupBy on the segment text (map-side combinable)
+    computing count + min occurrence, joined back on the segment —
+    the exact-dedup shape, never a window over the hot segment. A
+    navigation bar repeated on 10^9 pages is ONE group row."""
+    segs = line_segments(docs, text_col)
+    occ = F.struct("doc_id", "line_no", "seg_idx")
+    firsts = segs.groupBy("seg").agg(
+        F.count("*").alias("n_occ"), F.min(occ).alias("first_occ")
+    )
+    return (
+        segs.join(firsts, "seg")
+        .select(
+            "doc_id",
+            F.col("line_no").cast("long").alias("line_no"),
+            "seg_idx",
+            "seg",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            (occ == F.col("first_occ")).alias("keep"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: per bit, sum ±1 weighted by
     the token-hash bit, sign → bit. Token hash = first 8 md5 hex chars

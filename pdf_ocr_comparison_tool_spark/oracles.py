@@ -976,6 +976,71 @@ SELECT a, b, CAST({ham} AS BIGINT) AS hamming
 FROM sp_pairs WHERE {ham} <= {SIMHASH_HAM_MAX}"""
 
 
+def line_dedup_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.line_dedup: newline-split lines,
+    normalized (lower, ws-collapse, trim, empties dropped), sub-chunked
+    every LINE_SEG_TOKENS whitespace tokens; per segment text the
+    corpus-wide occurrence count and the kept-first-occurrence verdict
+    (C4 keep-one rule). The operator's groupBy-min + join-back equals
+    the window row_number stated here."""
+    from .operators.dedup import LINE_SEG_TOKENS
+
+    norm = f"lower(trim({G.replace_all('line', chr(92) + 's+', ' ', d)}))"
+    if d == SPARK:
+        line_rows = r"LATERAL VIEW posexplode(split(text, '\n')) u AS line_no, line"
+        tok_rows = "LATERAL VIEW posexplode(split(norm, ' ')) v AS pos, tok"
+        from_raw = f"FROM {docs} {line_rows}"
+        from_tok = "FROM ln_f {0}".format(tok_rows)
+        agg = (
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " s -> s.tok), ' ')"
+        )
+        sel_line = f"SELECT doc_id, line_no, {norm} AS norm"
+        sel_tok = "SELECT doc_id, line_no, pos, tok"
+    else:
+        from_raw = (
+            f"FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {docs})"
+        )
+        sel_line = (
+            "SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_no, "
+            f"{norm.replace('line', 'unnest(ls)')} AS norm"
+        )
+        from_tok = (
+            "FROM (SELECT doc_id, line_no, string_split(norm, ' ') AS toks FROM ln_f)"
+        )
+        sel_tok = (
+            "SELECT doc_id, line_no, generate_subscripts(toks, 1) - 1 AS pos, "
+            "unnest(toks) AS tok"
+        )
+        agg = "string_agg(tok, ' ' ORDER BY pos ASC)"
+    seg_idx = P.idiv("pos", str(LINE_SEG_TOKENS), d)
+    return f"""WITH ln_l AS (
+  {sel_line}
+  {from_raw}
+),
+ln_f AS (SELECT * FROM ln_l WHERE norm <> ''),
+ln_p AS (
+  {sel_tok}
+  {from_tok}
+),
+ln_s AS (
+  SELECT doc_id, line_no, CAST({seg_idx} AS BIGINT) AS seg_idx, {agg} AS seg
+  FROM ln_p
+  GROUP BY doc_id, line_no, {seg_idx}
+),
+ln_g AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY seg) AS n_occ,
+         row_number() OVER (
+           PARTITION BY seg ORDER BY doc_id, line_no, seg_idx
+         ) AS rn
+  FROM ln_s
+)
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, seg_idx, seg,
+       CAST(n_occ AS BIGINT) AS n_occ, rn = 1 AS keep
+FROM ln_g"""
+
+
 # ------------------------------------------------------------------- ANN
 def _fold_double(arr: str, d: str) -> str:
     """Left-to-right double sum with a 0.0 seed — the exact fold Spark's

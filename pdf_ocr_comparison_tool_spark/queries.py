@@ -628,6 +628,17 @@ def q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("line_dedup", oracle=O.line_dedup_sql(G.DUCK))
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/segment-level dedup verdict (the boilerplate
+    killer): normalized newline-split lines sub-chunked every 16
+    tokens, corpus-wide occurrence counts, keep = first occurrence —
+    an exploded-hash groupBy, never a window over a hot segment."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.line_dedup(docs)
+
+
 @register("dedup_simhash", oracle=O.simhash_sql(G.DUCK))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash document fingerprints."""
@@ -998,11 +1009,12 @@ _QUERY_ORDER = [
     "dedup_clusters",
     "dedup_winnow_pairs",
     "dedup_simhash_pairs",
-    "dedup_simhash_clusters",
+    "line_dedup",
     # ANN
     "ann_pq_search",
     # ---- tail: stable rows awaiting rotation (green r1-r3) ----
     "dedup_winnow_clusters",
+    "dedup_simhash_clusters",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

@@ -100,6 +100,39 @@ def test_simhash_banded_join_matches_guarded_bruteforce(spark):
     assert expected, "fixture produced no guarded pairs at all"
 
 
+def test_line_dedup_keep_first_and_normalization(spark):
+    """C4 keep-one semantics on a multi-line fixture: a boilerplate
+    line repeated across docs keeps only its first (doc_id, line_no,
+    seg_idx) occurrence; normalization folds case/whitespace; long
+    lines sub-chunk every LINE_SEG_TOKENS tokens; empty lines drop."""
+    nav = "Home | About | Contact"
+    long_line = " ".join(f"w{i}" for i in range(dedup.LINE_SEG_TOKENS + 3))
+    rows = [
+        (1, f"{nav}\nunique first body\n\n{long_line}"),
+        (2, f"  HOME   |  about | CONTACT \nsecond unique body"),
+        (3, nav.lower()),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["line_no"], r["seg_idx"]): r
+        for r in dedup.line_dedup(docs).collect()
+    }
+    norm_nav = "home | about | contact"
+    navs = [k for k, r in out.items() if r["seg"] == norm_nav]
+    assert sorted(navs) == [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    assert all(out[k]["n_occ"] == 3 for k in navs)
+    assert [out[k]["keep"] for k in sorted(navs)] == [True, False, False]
+    # long line chunked into two segments, both unique -> kept
+    longs = [r for r in out.values() if r["doc_id"] == 1 and r["line_no"] == 3]
+    assert sorted(r["seg_idx"] for r in longs) == [0, 1]
+    assert all(r["keep"] and r["n_occ"] == 1 for r in longs)
+    # the empty line (line_no 2 of doc 1) produced no rows
+    assert not any(k[0] == 1 and k[1] == 2 for k in out)
+    # uniques kept
+    assert out[(2, 1, 0)]["seg"] == "second unique body"
+    assert out[(2, 1, 0)]["keep"]
+
+
 def test_cc_releases_superseded_checkpoints(spark):
     """Multi-round CC must not accumulate executor storage: every
     superseded round's localCheckpoint blocks are released once the
