@@ -54,10 +54,12 @@ def lang_id(docs: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
-def text_quality(docs: DataFrame) -> DataFrame:
-    """Length/punctuation/digit/stopword quality heuristics with a CASE
-    band — the standard pre-training quality-filter features."""
-    text = F.col("text")
+def quality_exprs(text) -> dict:
+    """The quality-heuristic expressions as a dict of Columns — shared
+    by :func:`text_quality` (batch, oracled) and the streaming
+    admission twin (streaming.stateful.streaming_corpus_filter), which
+    needs all signal families in ONE narrow projection (a stream can't
+    join two derivations of itself without watermark machinery)."""
     n_chars = F.length(text)
     toks = tokens_col(text)
     n_tokens = F.size(toks)
@@ -74,14 +76,28 @@ def text_quality(docs: DataFrame) -> DataFrame:
         .when(n_tokens >= 5, "medium")
         .otherwise("low")
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": band,
+    }
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/digit/stopword quality heuristics with a CASE
+    band — the standard pre-training quality-filter features."""
+    e = quality_exprs(F.col("text"))
     return docs.select(
         "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        band.alias("quality"),
+        e["n_chars"].cast("long").alias("n_chars"),
+        e["n_tokens"].cast("long").alias("n_tokens"),
+        e["punct_ratio"].alias("punct_ratio"),
+        e["digit_ratio"].alias("digit_ratio"),
+        e["stop_ratio"].alias("stop_ratio"),
+        e["quality"].alias("quality"),
     )
 
 
@@ -107,7 +123,21 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     document; fractions are int/int divisions, so values are
     bit-identical cross-engine.
     """
-    t = tokens_col(F.col("text"))
+    e = repetition_exprs(F.col("text"))
+    return docs.select(
+        "doc_id",
+        e["n_tokens"].cast("long").alias("n_tokens"),
+        e["top_1gram_char_frac"].alias("top_1gram_char_frac"),
+        e["top_2gram_char_frac"].alias("top_2gram_char_frac"),
+        e["dup_3gram_frac"].alias("dup_3gram_frac"),
+    )
+
+
+def repetition_exprs(text) -> dict:
+    """The repetition-signal expressions as a dict of Columns (see
+    :func:`text_repetition`; shared with the streaming admission
+    twin)."""
+    t = tokens_col(text)
     n = F.size(t)
     s1 = F.slice(t, 2, F.greatest(n - 1, F.lit(0)))
     s2 = F.slice(t, 3, F.greatest(n - 2, F.lit(0)))
@@ -166,13 +196,12 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     dup3 = F.when(n3 == 0, F.lit(0.0)).otherwise(
         (n3 - d3).cast("double") / n3.cast("double")
     )
-    return docs.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        top_gram_frac(t, 0).alias("top_1gram_char_frac"),
-        top_gram_frac(g2, 1).alias("top_2gram_char_frac"),
-        dup3.alias("dup_3gram_frac"),
-    )
+    return {
+        "n_tokens": n,
+        "top_1gram_char_frac": top_gram_frac(t, 0),
+        "top_2gram_char_frac": top_gram_frac(g2, 1),
+        "dup_3gram_frac": dup3,
+    }
 
 
 def token_counts(docs: DataFrame) -> DataFrame:

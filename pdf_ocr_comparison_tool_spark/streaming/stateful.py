@@ -85,6 +85,87 @@ def _dedup_update(
         yield pd.DataFrame({"text_hash": [text_hash], "doc_id": [kept]})
 
 
+ADMIT_OUTPUT_SCHEMA = (
+    "doc_id long, n_tokens long, quality string, "
+    "top_2gram_char_frac double, dup_3gram_frac double, exact_keep boolean"
+)
+ADMIT_STATE_SCHEMA = "seen long"
+
+
+def _admit_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    seen = state.exists
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("doc_id")
+        flags = []
+        for _ in range(len(pdf)):
+            flags.append(not seen)
+            seen = True
+        yield pdf.assign(exact_keep=flags).drop(columns=["text_hash"])
+    state.update((1,))
+
+
+def streaming_corpus_filter(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of pipeline.corpus_filter — the admission verdict
+    an ingestion FIREHOSE applies per arriving document:
+
+    * the stateless stages (length, quality band, repetition) are the
+      SAME narrow expressions as the batch operator (textstats
+      quality_exprs / repetition_exprs), computed in one projection —
+      a stream can't join two derivations of itself, which is exactly
+      why those operators expose their expression dicts;
+    * the exact-dup stage is the first-seen state-store pattern of
+      :func:`streaming_first_seen_dedup`: per content hash, the first
+      arrival (min doc_id within its micro-batch) keeps, every later
+      arrival is dropped as ``exact_dup`` — equal to the batch
+      min-doc_id keep when ingestion order follows doc_id;
+    * the near-dup cluster stage is EXCLUDED by design: cluster keep
+      is a global graph property of the whole corpus, and a stream
+      only ever sees a prefix — the batch job (run_corpus_job) owns
+      that stage. The streaming verdict is therefore the same
+      precedence chain with ``near_dup`` removed.
+
+    Emits one verdict row per arriving doc: (doc_id, n_tokens,
+    quality, top_2gram_char_frac, dup_3gram_frac, exact_keep,
+    drop_reason, keep)."""
+    from ..operators import textstats
+    from ..operators.features import text_hash
+    from ..operators.pipeline import MAX_DUP3_FRAC, MAX_TOP2_FRAC, MIN_TOKENS
+
+    q = textstats.quality_exprs(F.col("text"))
+    r = textstats.repetition_exprs(F.col("text"))
+    sig = docs_stream.select(
+        "doc_id",
+        text_hash(F.col("text")).alias("text_hash"),
+        r["n_tokens"].cast("long").alias("n_tokens"),
+        q["quality"].alias("quality"),
+        r["top_2gram_char_frac"].alias("top_2gram_char_frac"),
+        r["dup_3gram_frac"].alias("dup_3gram_frac"),
+    )
+    admitted = sig.groupBy("text_hash").applyInPandasWithState(
+        _admit_update,
+        outputStructType=ADMIT_OUTPUT_SCHEMA,
+        stateStructType=ADMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    reason = (
+        F.when(~F.col("exact_keep"), F.lit("exact_dup"))
+        .when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("quality") == "low", F.lit("low_quality"))
+        .when(F.col("top_2gram_char_frac") > MAX_TOP2_FRAC, F.lit("repetitive_2gram"))
+        .when(F.col("dup_3gram_frac") > MAX_DUP3_FRAC, F.lit("repetitive_3gram"))
+    )
+    return admitted.select(
+        "*", reason.alias("drop_reason"), reason.isNull().alias("keep")
+    )
+
+
 def streaming_first_seen_dedup(docs_stream: DataFrame) -> DataFrame:
     """Streaming exact dedup — the unbounded twin of
     dedup.exact_dup_groups' keep policy: per content hash, admit only

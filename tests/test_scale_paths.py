@@ -204,3 +204,109 @@ def test_streaming_first_seen_dedup_matches_batch(spark):
     exp = {(r["text_hash"], r["doc_id"]) for r in batch.collect()}
     assert got == exp
     assert len(got) == 6  # 4 hashes from f1 + 2 new in f2
+
+
+def test_streaming_corpus_filter_matches_batch(spark):
+    """The streaming admission twin: per-arriving-doc verdicts from the
+    state-store pipeline must equal the batch computation of the same
+    reduced spec (corpus_filter precedence minus the batch-only
+    near-dup cluster stage) when ingestion order follows doc_id — and
+    agree with pipeline.corpus_filter wherever near_dup isn't the
+    batch verdict."""
+    import os
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark.operators import pipeline, textstats
+    from pdf_ocr_comparison_tool_spark.operators.features import text_hash
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps while many other animals of the forest watch it is calm"
+    )
+    rows1 = [
+        (1, good),                      # keep
+        (3, "it is"),                   # too_short
+        (5, "spam " * 40),              # repetitive_2gram
+        (9, "aa bb cc dd ee ff gg hh"), # keep (medium band)
+        (10, "aa bb cc dd ee ff gg hh"),  # same-batch exact dup of 9
+    ]
+    rows2 = [
+        (2, good),                      # cross-batch exact dup of 1
+        (7, "aa bb cc dd"),             # low_quality (3-4 tokens)
+    ]
+    with tempfile.TemporaryDirectory() as tdir:
+        for j, rows in ((1, rows1), (2, rows2)):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{tdir}/f{j}")
+            for root, _, files in os.walk(f"{tdir}/f{j}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (j * 1000, j * 1000))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tdir}/f*")
+        )
+        q = (
+            stateful.streaming_corpus_filter(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_admit")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["doc_id"]: (r["drop_reason"], r["keep"])
+            for r in spark.sql("SELECT * FROM stream_admit").collect()
+        }
+
+    docs = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    qe = textstats.quality_exprs(F.col("text"))
+    re_ = textstats.repetition_exprs(F.col("text"))
+    sig = docs.select(
+        "doc_id",
+        text_hash(F.col("text")).alias("h"),
+        re_["n_tokens"].cast("long").alias("n_tokens"),
+        qe["quality"].alias("quality"),
+        re_["top_2gram_char_frac"].alias("t2"),
+        re_["dup_3gram_frac"].alias("d3"),
+    )
+    keepers = sig.groupBy("h").agg(F.min("doc_id").alias("kd"))
+    reason = (
+        F.when(F.col("doc_id") != F.col("kd"), F.lit("exact_dup"))
+        .when(F.col("n_tokens") < pipeline.MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("quality") == "low", F.lit("low_quality"))
+        .when(F.col("t2") > pipeline.MAX_TOP2_FRAC, F.lit("repetitive_2gram"))
+        .when(F.col("d3") > pipeline.MAX_DUP3_FRAC, F.lit("repetitive_3gram"))
+    )
+    exp = {
+        r["doc_id"]: (r["dr"], r["keep"])
+        for r in sig.join(keepers, "h")
+        .select(
+            "doc_id", reason.alias("dr"), reason.isNull().alias("keep")
+        )
+        .collect()
+    }
+    assert got == exp
+    assert got[1] == (None, True)
+    assert got[2] == ("exact_dup", False)
+    assert got[10] == ("exact_dup", False)  # same-batch dup: min doc_id kept
+    assert got[3] == ("too_short", False)
+    assert got[7] == ("low_quality", False)
+    assert got[5] == ("repetitive_2gram", False)
+
+    # consistency with the full batch operator wherever the excluded
+    # near-dup stage isn't the batch verdict
+    full = {
+        r["doc_id"]: (r["drop_reason"], r["keep"])
+        for r in pipeline.corpus_filter(docs).collect()
+    }
+    spark.catalog.clearCache()
+    for d, (dr, keep) in full.items():
+        if dr != "near_dup":
+            assert got[d] == (dr, keep)
