@@ -388,44 +388,57 @@ def kmeans_fit(
     the same unrolled computation); convergence is not checked — the
     fit is a preprocessing artifact, not a fixpoint contract."""
     dcast = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vecs = embeddings.select("vec_id", dcast.alias("v"))
-    cents = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    rows = embeddings.select(
+        F.lit(0).alias("grp"), "vec_id", dcast.alias("v")
+    )
+    return _kmeans_core(rows, k, iters).drop("grp")
+
+
+def _kmeans_core(rows: DataFrame, k: int, iters: int) -> DataFrame:
+    """Grouped Lloyd core over (grp, vec_id, v: array<double>) rows —
+    every group fits its own k centroids in the SAME jobs (one
+    assignment join, one update aggregate per iteration, all keyed by
+    grp). :func:`kmeans_fit` is the single-group case (IVF);
+    :func:`pq_fit_codebook` fits all PQ subspaces at once (grp =
+    sub_id). Determinism contract as documented on kmeans_fit."""
+    cents = rows.filter(F.col("vec_id") < k).select(
+        "grp", F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
     for _ in range(iters):
-        pairs = vecs.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "centroid_id", _sqdist("v", "cv").alias("dist")
+        pairs = rows.join(F.broadcast(cents), "grp").select(
+            "grp", "vec_id", "centroid_id", _sqdist("v", "cv").alias("dist")
         )
-        w = Window.partitionBy("vec_id").orderBy(
+        w = Window.partitionBy("grp", "vec_id").orderBy(
             F.asc("dist"), F.asc("centroid_id")
         )
         assign = (
             pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("vec_id", "centroid_id")
+            .select("grp", "vec_id", "centroid_id")
         )
-        members = assign.join(vecs, "vec_id").select(
-            "centroid_id", "vec_id", F.posexplode("v").alias("pos", "val")
+        members = assign.join(rows, ["grp", "vec_id"]).select(
+            "grp", "centroid_id", "vec_id", F.posexplode("v").alias("pos", "val")
         )
         ordered = F.transform(
             F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
             lambda s: s["val"],
         )
-        means = members.groupBy("centroid_id", "pos").agg(
+        means = members.groupBy("grp", "centroid_id", "pos").agg(
             (
                 F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
                 / F.count("*").cast("double")
             ).alias("val")
         )
-        new_cv = means.groupBy("centroid_id").agg(
+        new_cv = means.groupBy("grp", "centroid_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "val"))),
                 lambda s: s["val"],
             ).alias("new_cv")
         )
         cents = (
-            cents.join(new_cv, "centroid_id", "left")
+            cents.join(new_cv, ["grp", "centroid_id"], "left")
             .select(
+                "grp",
                 "centroid_id",
                 F.coalesce("new_cv", "cv").alias("cv"),
             )
@@ -480,7 +493,45 @@ def pq_codebook(embeddings: DataFrame) -> DataFrame:
     ).select("sub_id", "code_id", "code_vec")
 
 
-def pq_encode(embeddings: DataFrame) -> DataFrame:
+def pq_fit_codebook(
+    embeddings: DataFrame, k: int = PQ_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Per-subspace PQ codebook TRAINING: every subspace fits its own
+    ``k`` codewords via the grouped Lloyd core (grp = sub_id) — all M
+    subspaces train in the same distributed jobs. Init = the m-th
+    subvectors of the first ``k`` vectors, i.e. exactly the
+    :func:`pq_codebook` stand-in, so ``iters=0`` reproduces it and
+    Lloyd descent guarantees the fitted codebook's quantization error
+    is ≤ the stand-in's (asserted in tests). Returns (sub_id, code_id,
+    code_vec) — the shape :func:`pq_encode`/:func:`pq_search` consume."""
+    rows = embeddings.select(
+        "vec_id",
+        F.posexplode(_subvecs(F.col("embedding"))).alias("grp", "sv"),
+    ).select(
+        "grp",
+        "vec_id",
+        F.transform("sv", lambda x: x.cast("double")).alias("v"),
+    )
+    return _kmeans_core(rows, k, iters).select(
+        F.col("grp").alias("sub_id"),
+        F.col("centroid_id").alias("code_id"),
+        F.col("cv").alias("code_vec"),
+    )
+
+
+def pq_fit_rows(embeddings: DataFrame, k: int = PQ_K) -> DataFrame:
+    """Fitted PQ codebook flattened to oracle-comparable rows
+    (sub_id, code_id, pos, val)."""
+    return pq_fit_codebook(embeddings, k).select(
+        "sub_id",
+        "code_id",
+        F.posexplode("code_vec").alias("pos", "val"),
+    ).select(
+        "sub_id", "code_id", F.col("pos").cast("long").alias("pos"), "val"
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataFrame:
     """Product-quantization encoding — the FAISS-style 64×-compression
     step: per vector and subspace, the id of the nearest codebook entry
     (squared-L2 argmin, ties → smallest code_id). Emits one row per
@@ -489,10 +540,11 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     Shape: subvector rows × broadcast codebook (M·K entries) → argmin
     window keyed by (vec_id, sub_id) — narrow scan, tiny broadcast, the
     window partitions by the row's own key so no hot reducer exists."""
+    cb = pq_codebook(embeddings) if codebook is None else codebook
     rows = embeddings.select(
         "vec_id", F.posexplode(_subvecs(F.col("embedding"))).alias("sub_id", "sv")
     )
-    pairs = rows.join(F.broadcast(pq_codebook(embeddings)), "sub_id").select(
+    pairs = rows.join(F.broadcast(cb), "sub_id").select(
         "vec_id", "sub_id", "code_id", _sqdist("sv", "code_vec").alias("dist")
     )
     w = Window.partitionBy("vec_id", "sub_id").orderBy(
@@ -506,7 +558,10 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
 
 
 def pq_search(
-    embeddings: DataFrame, n_queries: int = PQ_N_QUERIES, k: int = PQ_TOPK
+    embeddings: DataFrame,
+    n_queries: int = PQ_N_QUERIES,
+    k: int = PQ_TOPK,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ search: per query, a lookup table of
     partial squared distances to every codebook entry (M·K doubles,
@@ -519,12 +574,13 @@ def pq_search(
     The per-candidate sum folds the M partials in sub_id order
     (array_sort → left fold), keeping the result bit-identical across
     engines and partitionings. Emits (q_id, rank, c_id, adc_dist)."""
-    enc = pq_encode(embeddings).select("vec_id", "sub_id", "code_id")
+    cb = pq_codebook(embeddings) if codebook is None else codebook
+    enc = pq_encode(embeddings, codebook=cb).select("vec_id", "sub_id", "code_id")
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.posexplode(_subvecs(F.col("embedding"))).alias("sub_id", "qsv"),
     )
-    lut = q.join(F.broadcast(pq_codebook(embeddings)), "sub_id").select(
+    lut = q.join(F.broadcast(cb), "sub_id").select(
         "q_id", "sub_id", "code_id", _sqdist("qsv", "code_vec").alias("pd")
     )
     parts = enc.join(

@@ -1501,6 +1501,77 @@ SELECT c.centroid_id, CAST(p.pos AS BIGINT) AS pos,
 FROM km_c{iters} c CROSS JOIN {_pos_table(dim, d)} p"""
 
 
+def pq_fit_sql(d: str, k: int | None = None, iters: int | None = None) -> str:
+    """Mirror of similarity_search.pq_fit_rows: the GROUPED Lloyd
+    unroll (grp = sub_id — every PQ subspace fits its own codewords in
+    the same dataflow), same determinism contract as kmeans_fit_sql;
+    init = the pq_codebook stand-in (m-th subvectors of the first k
+    vectors). Output: (sub_id, code_id, pos, val)."""
+    from .operators.similarity_search import (
+        KMEANS_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUB_DIM,
+    )
+
+    k = PQ_K if k is None else k
+    iters = KMEANS_ITERS if iters is None else iters
+    dim = PQ_SUB_DIM
+    subs = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS grp, vec_id,"
+        f" {G.ltransform(_arr_slice('embedding', i * dim + 1, dim, d), 'x -> CAST(x AS DOUBLE)', d)} AS v"
+        f" FROM embeddings"
+        for i in range(PQ_M)
+    )
+    mean = (
+        f"{_ordered_fold(_elem('v.v', 'p.pos', d), 'v.vec_id', d)}"
+        f" / CAST(count(*) AS DOUBLE)"
+    )
+    cv_list = (
+        "transform(array_sort(collect_list(named_struct('o', pos, 'x', val))), s -> s.x)"
+        if d == SPARK
+        else "list(val ORDER BY pos ASC)"
+    )
+    ctes = [
+        f"km_v AS (\n{subs}\n)",
+        f"""km_c0 AS (
+  SELECT grp, vec_id AS centroid_id, v AS cv FROM km_v WHERE vec_id < {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"km_c{i - 1}"
+        sqd = _pq_sqdist("v.v", "c.cv", d, dim)
+        ctes.append(f"""km_a{i} AS (
+  SELECT grp, vec_id, centroid_id FROM (
+    SELECT v.grp, v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.grp, v.vec_id
+             ORDER BY {sqd} ASC, c.centroid_id ASC
+           ) AS rn
+    FROM km_v v JOIN {prev} c ON v.grp = c.grp
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""km_m{i} AS (
+  SELECT a.grp, a.centroid_id, p.pos, {mean} AS val
+  FROM km_a{i} a
+  JOIN km_v v ON a.grp = v.grp AND a.vec_id = v.vec_id
+  CROSS JOIN {_pos_table(dim, d)} p
+  GROUP BY a.grp, a.centroid_id, p.pos
+)""")
+        ctes.append(f"""km_c{i} AS (
+  SELECT c.grp, c.centroid_id, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT grp, centroid_id, {cv_list} AS cv
+    FROM km_m{i} GROUP BY grp, centroid_id
+  ) m ON c.grp = m.grp AND c.centroid_id = m.centroid_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT c.grp AS sub_id, c.centroid_id AS code_id,
+       CAST(p.pos AS BIGINT) AS pos, {_elem('c.cv', 'p.pos', d)} AS val
+FROM km_c{iters} c CROSS JOIN {_pos_table(dim, d)} p"""
+
+
 def emb_near_dups_sql(d: str, threshold: float = 0.35, n_limit: int = 500) -> str:
     return f"""WITH en_n AS (
   SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq

@@ -723,6 +723,17 @@ def q_ann_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_fit", oracle=O.pq_fit_sql(G.DUCK))
+def q_ann_pq_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING: per-subspace grouped Lloyd (all M
+    subspaces fit in the same jobs, grp = sub_id), init = the
+    pq_codebook stand-in so descent can only improve quantization
+    error. Emits the fitted codebook as (sub_id, code_id, pos, val)."""
+    return similarity_search.pq_fit_rows(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("ann_ivf_search", oracle=O.ivf_search_sql(G.DUCK))
 def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF ANN search: nprobe nearest centroids →
@@ -976,6 +987,7 @@ _QUERY_ORDER = [
     "emb_dup_clusters",
     "emb_near_dups_lsh",
     "ann_kmeans_fit",
+    "ann_pq_fit",
     # displaced in r3: re-verify
     "events_window",
     "source_rollup",
@@ -983,7 +995,6 @@ _QUERY_ORDER = [
     # pages pipeline
     "page_features",
     "classify_pages",
-    "doc_majority_type",
     # matching (flagship)
     "match_best",
     "match_best_cosine",
@@ -1015,6 +1026,7 @@ _QUERY_ORDER = [
     # ---- tail: stable rows awaiting rotation (green r1-r3) ----
     "dedup_winnow_clusters",
     "dedup_simhash_clusters",
+    "doc_majority_type",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

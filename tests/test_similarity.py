@@ -216,3 +216,29 @@ def test_pq_search_recall_vs_exact_l2(spark):
     assert all(len(v) == k for v in approx.values())
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     assert hits / (SS.PQ_N_QUERIES * k) >= 0.15
+
+
+def test_pq_fit_reduces_quantization_error(spark):
+    """Per-subspace Lloyd: iters=0 reproduces the first-K codebook
+    stand-in exactly (same init), and the fitted codebook's total
+    encode distortion can only descend from it; fitted ADC search still
+    emits complete rankings."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+    from tests.conftest import SF_DIR_001
+
+    emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+
+    def distortion(cb):
+        return SS.pq_encode(emb, codebook=cb).agg(F.sum("dist")).collect()[0][0]
+
+    d_standin = distortion(SS.pq_codebook(emb))
+    d_init = distortion(SS.pq_fit_codebook(emb, iters=0))
+    d_fit = distortion(SS.pq_fit_codebook(emb))
+    assert d_init == d_standin  # double-cast of float32 is exact
+    assert d_fit <= d_init + 1e-9, f"Lloyd worsened distortion: {d_init} -> {d_fit}"
+    fitted = SS.pq_fit_codebook(emb)
+    out = SS.pq_search(emb, codebook=fitted)
+    per_q = {r["q_id"]: r["rank"] for r in out.collect()}
+    assert len(per_q) == SS.PQ_N_QUERIES
