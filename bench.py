@@ -39,12 +39,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash_pairs",
+    "line_dedup",
     "corpus_filter",
     "seq_packing",
     "text_repetition",
     "ann_brute_topk",
     "ann_lsh_search",
     "ann_ivf_search",
+    "ann_kmeans_fit",
+    "ann_pq_fit",
     "events_sessions",
     "lineitem_rollup",
 ]

@@ -169,3 +169,20 @@ def test_pipeline_ops_stay_equijoin_shaped(spark):
     assert "CartesianProduct" not in _plan(pipeline.corpus_filter(docs))
     split_plan = _plan(pipeline.data_split(docs))
     assert "Exchange" not in split_plan, "data_split must not shuffle"
+    # line dedup: groupBy-min + join back, never a window over the hot
+    # segment key and never an all-pairs join
+    ld_plan = _plan(dedup.line_dedup(docs))
+    assert "CartesianProduct" not in ld_plan
+    assert "Window" not in ld_plan, "line_dedup must not window over segments"
+
+
+def test_kmeans_fit_stays_broadcast_shaped(spark):
+    """The Lloyd fits may cross-join ONLY against the broadcast
+    centroid table (k rows): no CartesianProduct, and every
+    nested-loop join is broadcast."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    for df in (SS.kmeans_centroid_rows(emb), SS.pq_fit_rows(emb)):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
