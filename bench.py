@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_simhash_pairs",
     "line_dedup",
+    "decontaminate",
     "corpus_filter",
     "seq_packing",
     "text_repetition",

@@ -363,6 +363,95 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     )
 
 
+DECON_NGRAM = 8
+DECON_EVAL_BUCKETS = 20  # md5 bucket 0 of doc_id → the eval slice (~5%)
+DECON_FRAC = 0.5
+
+
+def _ngrams_col(t, n: int) -> "F.Column":
+    """Positional word n-grams via chained shifted zips (each derived
+    array is the next HOF's INPUT — the single-evaluation rule; an
+    index-lambda slice would re-tokenize per gram). Tails NULL-mask so
+    partial grams never form; docs shorter than n yield []."""
+    g = t
+    for s in range(1, n):
+        sh = _shift(t, s)
+        g = F.zip_with(
+            g,
+            sh,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    return F.filter(g, lambda x: x.isNotNull())
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = DECON_NGRAM,
+    threshold: float = DECON_FRAC,
+    eval_buckets: int = DECON_EVAL_BUCKETS,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the eval-overlap scan every serious
+    pretraining pipeline runs (GPT-3 appendix C / PaLM: flag corpus
+    docs sharing word n-grams with the evaluation set): per corpus doc,
+    how many eval docs it collides with and the maximum fraction of any
+    eval doc's distinct n-grams it contains; ``contaminated`` when that
+    fraction ≥ ``threshold``.
+
+    The eval slice here is the deterministic md5-bucket-0 subset of the
+    corpus itself (self-pairs excluded) — at production scale the eval
+    table is just a different (small) input with the same schema.
+
+    Scale shape: distinct-gram rows on both sides, equi-join on the
+    48-bit gram hash (the eval side is the small one — thousands of
+    benchmark items against 10^12 docs; AQE broadcasts it), per-pair
+    counts via map-side-combinable groupBy, LEFT JOIN back so every
+    corpus doc gets a verdict. Fractions are int/int divisions —
+    bit-exact cross-engine."""
+    from .features import hash_bucket
+
+    toks = tokens_col(F.col("text"))
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),
+    ).select("doc_id", gh.alias("h"))
+    is_eval = hash_bucket(F.col("doc_id"), eval_buckets) == 0
+    egrams = (
+        docs.filter(is_eval)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),
+        )
+        .select("eval_id", gh.alias("h"))
+    )
+    etotals = egrams.groupBy("eval_id").agg(F.count("*").alias("n_eval_grams"))
+    shared = (
+        grams.join(egrams, "h")
+        .filter(F.col("doc_id") != F.col("eval_id"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_eval_grams").cast("double")
+    per_doc = (
+        shared.join(etotals, "eval_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_docs_hit"),
+            F.max(frac).alias("max_overlap_frac"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_eval_docs_hit", F.lit(0)).cast("long").alias("n_eval_docs_hit"),
+        F.coalesce("max_overlap_frac", F.lit(0.0)).alias("max_overlap_frac"),
+        (F.coalesce("max_overlap_frac", F.lit(0.0)) >= threshold).alias(
+            "contaminated"
+        ),
+    )
+
+
 LINE_SEG_TOKENS = 16
 
 

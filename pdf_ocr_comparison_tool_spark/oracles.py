@@ -976,6 +976,71 @@ SELECT a, b, CAST({ham} AS BIGINT) AS hamming
 FROM sp_pairs WHERE {ham} <= {SIMHASH_HAM_MAX}"""
 
 
+def decontaminate_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.decontaminate: distinct word n-gram
+    hashes per doc, eval slice = md5-bucket-0 of doc_id, per-(doc,eval)
+    shared-gram counts (self-pairs excluded), per-doc max eval-gram
+    overlap fraction + contamination flag; LEFT JOIN keeps every doc."""
+    from .operators.dedup import DECON_EVAL_BUCKETS, DECON_FRAC, DECON_NGRAM
+
+    n = DECON_NGRAM
+    if d == SPARK:
+        # sequence(0, -k) would DESCEND in Spark — guard short docs
+        grams = (
+            f"CASE WHEN size(toks) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+    gh = G.hexint48("gram", d)
+    bucket = f"({G.hexint(G.cast_str('doc_id', d), d)}) % {DECON_EVAL_BUCKETS}"
+    if d == SPARK:
+        gram_select = (
+            "SELECT doc_id, explode(array_distinct(grams)) AS gram FROM dc_ga"
+        )
+    else:
+        gram_select = (
+            "SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM dc_ga"
+        )
+    return f"""WITH {_tok_cte(d, docs)},
+dc_ga AS (
+  SELECT doc_id, {grams} AS grams FROM dd_tok
+),
+dc_g AS (
+  SELECT doc_id, {gh} AS h FROM ({gram_select})
+),
+dc_e AS (
+  SELECT doc_id AS eval_id, h FROM dc_g
+  WHERE doc_id IN (SELECT doc_id FROM {docs} WHERE {bucket} = 0)
+),
+dc_t AS (
+  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+  FROM dc_e GROUP BY eval_id
+),
+dc_s AS (
+  SELECT g.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM dc_g g JOIN dc_e e ON g.h = e.h AND g.doc_id <> e.eval_id
+  GROUP BY g.doc_id, e.eval_id
+),
+dc_p AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_eval_docs_hit,
+         max(CAST(s.n_shared AS DOUBLE) / CAST(t.n_eval_grams AS DOUBLE))
+           AS max_overlap_frac
+  FROM dc_s s JOIN dc_t t ON s.eval_id = t.eval_id
+  GROUP BY s.doc_id
+)
+SELECT dd.doc_id,
+       coalesce(p.n_eval_docs_hit, 0) AS n_eval_docs_hit,
+       coalesce(p.max_overlap_frac, 0.0) AS max_overlap_frac,
+       coalesce(p.max_overlap_frac, 0.0) >= {DECON_FRAC} AS contaminated
+FROM {docs} dd LEFT JOIN dc_p p ON dd.doc_id = p.doc_id"""
+
+
 def line_dedup_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.dedup.line_dedup: newline-split lines,
     normalized (lower, ws-collapse, trim, empties dropped), sub-chunked

@@ -628,6 +628,16 @@ def q_dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("decontaminate", oracle=O.decontaminate_sql(G.DUCK))
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM style): per corpus doc,
+    word-8-gram overlap against the deterministic eval slice — eval
+    docs hit, max eval-gram overlap fraction, contamination flag."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.decontaminate(docs)
+
+
 @register("line_dedup", oracle=O.line_dedup_sql(G.DUCK))
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line/segment-level dedup verdict (the boilerplate
@@ -1003,7 +1013,6 @@ _QUERY_ORDER = [
     "match_summary",
     "match_cosine_pairs",
     # reports
-    "page_keywords",
     "page_quality",
     "keyword_top",
     "timeline",
@@ -1021,12 +1030,14 @@ _QUERY_ORDER = [
     "dedup_winnow_pairs",
     "dedup_simhash_pairs",
     "line_dedup",
+    "decontaminate",
     # ANN
     "ann_pq_search",
     # ---- tail: stable rows awaiting rotation (green r1-r3) ----
     "dedup_winnow_clusters",
     "dedup_simhash_clusters",
     "doc_majority_type",
+    "page_keywords",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

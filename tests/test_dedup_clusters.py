@@ -100,6 +100,41 @@ def test_simhash_banded_join_matches_guarded_bruteforce(spark):
     assert expected, "fixture produced no guarded pairs at all"
 
 
+def test_decontaminate_flags_eval_overlap(spark):
+    """A doc containing a full eval item is contaminated (frac 1.0); a
+    doc sharing one 8-gram window scores 1/n_eval_grams and stays below
+    the threshold; unrelated docs get zero hits. Eval membership is the
+    deterministic md5 bucket of the id."""
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % \
+            dedup.DECON_EVAL_BUCKETS
+
+    eval_id = next(i for i in range(1000) if bucket(i) == 0)
+    others = [i for i in range(1000) if bucket(i) != 0][:3]
+    a, b, c = others
+    etoks = [f"ev{j}" for j in range(12)]  # 5 distinct 8-grams
+    rows = [
+        (eval_id, " ".join(etoks)),
+        (a, " ".join(etoks[:8]) + " tail1 tail2"),   # 1 of 5 grams
+        (b, "prefix0 prefix1 " + " ".join(etoks)),   # all 5 grams
+        (c, " ".join(f"zz{j}" for j in range(15))),  # none
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.decontaminate(docs).collect()}
+    assert len(out) == 4
+    assert out[a]["n_eval_docs_hit"] == 1
+    assert abs(out[a]["max_overlap_frac"] - 1 / 5) < 1e-12
+    assert not out[a]["contaminated"]
+    assert out[b]["n_eval_docs_hit"] == 1
+    assert out[b]["max_overlap_frac"] == 1.0
+    assert out[b]["contaminated"]
+    assert out[c]["n_eval_docs_hit"] == 0 and not out[c]["contaminated"]
+    # the eval doc itself: self-pair excluded, and b is not eval
+    assert out[eval_id]["n_eval_docs_hit"] == 0
+
+
 def test_line_dedup_keep_first_and_normalization(spark):
     """C4 keep-one semantics on a multi-line fixture: a boilerplate
     line repeated across docs keeps only its first (doc_id, line_no,
