@@ -142,6 +142,65 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+SAMPLE_TARGET = 300
+_SAMPLE_RES = 1_000_000  # hash resolution for the keep threshold
+
+
+def mixture_sample(docs: DataFrame, target_total: int = SAMPLE_TARGET) -> DataFrame:
+    """Materialize the α=0.5 temperature mixture as an actual sampled
+    corpus — the step between :func:`mixture_weights` and a training
+    run: per source, a deterministic keep-probability
+    ``p_s = min(1, share_s · target_total / n_s)`` where ``share_s ∝
+    √(corpus share)`` (the same 1/√p up-weighting, normalized), applied
+    as a pure hash-threshold test ``md5_bucket(doc_id) < p_s·RES``.
+
+    Deterministic end to end: the keep decision is a function of
+    (doc_id, source counts) only — stable across runs, partitionings
+    and engines (vs ``df.sample`` whose outcome depends on partition
+    layout and seed plumbing), and a doc stays sampled-in as long as
+    its source's rate doesn't drop (monotone under budget growth).
+    Scale shape: two tiny aggregates broadcast back onto a narrow
+    scan — no shuffle of the corpus itself. Emits every doc with its
+    rate and verdict (filter on ``sampled`` to materialize)."""
+    per = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = per.agg(
+        F.sum("n_src").alias("n_total"),
+        # Σ√(n_s) with the sources folded in name order — deterministic
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_src"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_src"].cast("double")),
+        ).alias("sum_sqrt"),
+    )
+    # share_s = √n_s / Σ√n_t  (≡ normalized p^0.5 temperature sampling;
+    # the √(n/N) shares' common 1/√N cancels in the normalization)
+    rate = F.least(
+        F.lit(1.0),
+        (
+            F.sqrt(F.col("n_src").cast("double")) / F.col("sum_sqrt")
+            * F.lit(float(target_total))
+            / F.col("n_src").cast("double")
+        ),
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source", F.col("n_src").cast("long").alias("n_src"), rate.alias("keep_rate")
+    )
+    h = hash_bucket(F.col("doc_id"), _SAMPLE_RES)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_src",
+            "keep_rate",
+            (h.cast("double") < F.col("keep_rate") * _SAMPLE_RES).alias(
+                "sampled"
+            ),
+        )
+    )
+
+
 CHUNK_TOKENS = 64
 
 

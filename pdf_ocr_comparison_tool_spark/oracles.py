@@ -1944,6 +1944,35 @@ FROM dc_p
 GROUP BY doc_id, {P.idiv('pos', str(CHUNK_TOKENS), d)}"""
 
 
+def mixture_sample_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.mixture_sample: per-source
+    keep-rate from the normalized √-share temperature mixture (Σ√n_s
+    folded in source order for cross-engine exactness), applied as a
+    deterministic md5-bucket threshold per doc."""
+    from .operators.pipeline import _SAMPLE_RES, SAMPLE_TARGET
+
+    fold = _ordered_fold("sqrt(CAST(n_src AS DOUBLE))", "source", d)
+    h = f"({G.hexint(G.cast_str('dd.doc_id', d), d)}) % {_SAMPLE_RES}"
+    rate = (
+        f"least(CAST(1.0 AS DOUBLE),"
+        f" sqrt(CAST(n_src AS DOUBLE)) / t.sum_sqrt"
+        f" * CAST({SAMPLE_TARGET} AS DOUBLE) / CAST(n_src AS DOUBLE))"
+    )
+    return f"""WITH ms_p AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM {docs} GROUP BY source
+),
+ms_t AS (
+  SELECT {fold} AS sum_sqrt FROM ms_p
+),
+ms_r AS (
+  SELECT source, n_src, {rate} AS keep_rate
+  FROM ms_p CROSS JOIN ms_t t
+)
+SELECT dd.doc_id, dd.source, r.n_src, r.keep_rate,
+       CAST(({h}) AS DOUBLE) < r.keep_rate * {_SAMPLE_RES} AS sampled
+FROM {docs} dd JOIN ms_r r ON dd.source = r.source"""
+
+
 def corpus_stats_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.corpus_stats: the (source,
     pred_lang) dataset-card rollup over the composed admission verdict,

@@ -942,6 +942,14 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.mixture_weights(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("mixture_sample", oracle=O.mixture_sample_sql(G.DUCK))
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature-mixture SAMPLER — materializes the
+    α=0.5 weights as per-doc keep verdicts via a pure hash threshold
+    (stable across runs/partitionings, unlike df.sample)."""
+    return pipeline.mixture_sample(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_filter", oracle=O.corpus_filter_sql(G.DUCK))
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus admission verdict (C4/Gopher-style):
@@ -988,6 +996,7 @@ _QUERY_ORDER = [
     "doc_chunks",
     "source_cap_sample",
     "mixture_weights",
+    "mixture_sample",
     # textstats (displaced in r3: re-verify)
     "text_repetition",
     "token_counts",
@@ -1016,7 +1025,6 @@ _QUERY_ORDER = [
     "page_quality",
     "keyword_top",
     "timeline",
-    "lineitem_rollup",
     "events_session_window",
     "dedup_exact_pages",
     # cascade / classification composites
@@ -1038,6 +1046,7 @@ _QUERY_ORDER = [
     "dedup_simhash_clusters",
     "doc_majority_type",
     "page_keywords",
+    "lineitem_rollup",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

@@ -139,6 +139,33 @@ def test_bucketed_cumsum_recursion_bounds_window_size(spark):
     assert got == expect
 
 
+def test_mixture_sample_deterministic_and_temperature_shaped(spark):
+    """The sampler is a pure function of (doc_id, source counts):
+    identical under input reordering; rates are capped at 1, MONOTONE
+    down in source size (the 1/√p temperature shape: rarer sources keep
+    a larger fraction), and the realized sample lands near the target."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: (r["keep_rate"], r["sampled"])
+         for r in pipeline.mixture_sample(docs).collect()}
+    b = {r["doc_id"]: (r["keep_rate"], r["sampled"])
+         for r in pipeline.mixture_sample(docs.orderBy(F.desc("doc_id"))).collect()}
+    assert a == b
+    rows = pipeline.mixture_sample(docs).collect()
+    rates = {}
+    for r in rows:
+        assert 0.0 < r["keep_rate"] <= 1.0
+        rates[r["source"]] = (r["n_src"], r["keep_rate"])
+    by_size = sorted(rates.values())
+    for (n1, p1), (n2, p2) in zip(by_size, by_size[1:]):
+        if n1 < n2 and p1 < 1.0:
+            assert p1 >= p2, "smaller source must keep a larger fraction"
+    n_sampled = sum(1 for r in rows if r["sampled"])
+    assert abs(n_sampled - pipeline.SAMPLE_TARGET) < 0.25 * pipeline.SAMPLE_TARGET
+
+
 def test_data_split_fractions_and_stability(spark):
     """Buckets in range; split fractions near the configured shares;
     assignment is a pure function of doc_id (stable across calls and
