@@ -49,6 +49,8 @@ HEADLINE = [
     "ann_ivf_search",
     "ann_kmeans_fit",
     "ann_pq_fit",
+    "emb_knn_join",
+    "mixture_sample",
     "events_sessions",
     "lineitem_rollup",
 ]

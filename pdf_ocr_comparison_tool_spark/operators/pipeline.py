@@ -409,6 +409,22 @@ def seq_packing(
     )
 
 
+def pack_manifest(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
+    """The pack-level view of :func:`seq_packing` — what a dataloader
+    actually indexes: per context-window pack, how many documents START
+    in it, their combined token count, and whether those tokens alone
+    already fill the window (docs spilling in from the previous pack
+    are accounted to their starting pack, the standard manifest
+    convention). One bounded groupBy over the packing output."""
+    sp = seq_packing(docs, ctx)
+    return sp.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("tok_offset").cast("long").alias("first_offset"),
+        (F.sum("n_tokens") >= ctx).alias("fills_window"),
+    )
+
+
 def corpus_filter(
     docs: DataFrame, cache_registry: list | None = None
 ) -> DataFrame:

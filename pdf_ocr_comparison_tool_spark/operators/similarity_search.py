@@ -325,6 +325,52 @@ def lsh_near_dups(
     )
 
 
+KNN_K = 3
+
+
+def knn_join(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    bits: int = LSH_SEARCH_BITS,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """All-corpus approximate kNN SELF-JOIN — every vector gets its
+    top-k cosine neighbors (not just a probe set): the shape semantic
+    dedup / clustering / hard-negative mining runs over the whole
+    corpus. Candidates come from the LSH bucket self-join (equi-join,
+    hot-bucket guarded — never all-pairs); ranking is a per-vector
+    window whose partition key is the vector itself, so fan-in is
+    bounded by the bucket size. Vectors whose bucket holds fewer than
+    k neighbors emit fewer rows (approximate by design, like
+    lsh_search). Emits (vec_id, rank, nbr_id, sim)."""
+    b = lsh_bucket(embeddings, bits)
+    small = b.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
+    bs = b.join(small.select("bucket"), "bucket")
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
+    )
+    x = bs.join(norms, "vec_id").select(
+        "vec_id", "bucket",
+        F.col("embedding").alias("xv"), F.col("nsq").alias("x_nsq"),
+    )
+    y = bs.join(norms, "vec_id").select(
+        F.col("vec_id").alias("nbr_id"), "bucket",
+        F.col("embedding").alias("yv"), F.col("nsq").alias("y_nsq"),
+    )
+    sim = _dot("xv", "yv") / (F.sqrt(F.col("x_nsq")) * F.sqrt(F.col("y_nsq")))
+    pairs = (
+        x.join(y, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", F.col("rank").cast("long").alias("rank"), "nbr_id", "sim")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.95, n_limit: int = 200
 ) -> DataFrame:

@@ -2020,6 +2020,61 @@ SELECT doc_id, n_tokens, tok_offset,
 FROM sq_o"""
 
 
+def pack_manifest_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.pack_manifest: a bounded groupBy
+    over the seq_packing oracle."""
+    from .operators.pipeline import CTX_TOKENS
+
+    return f"""WITH pm AS ({seq_packing_sql(d, docs)})
+SELECT pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(tok_offset) AS BIGINT) AS first_offset,
+       sum(n_tokens) >= {CTX_TOKENS} AS fills_window
+FROM pm GROUP BY pack_id"""
+
+
+def knn_join_sql(
+    d: str, k: int = 3, bits: int = 8, max_bucket: int = 256
+) -> str:
+    """Mirror of similarity_search.knn_join: LSH-bucket self-join
+    candidates (hot-bucket guarded), exact cosine, per-vector top-k."""
+    sim = (
+        f"CAST({_dot_sql('x.xv', 'y.yv', d)} AS DOUBLE)"
+        f" / (sqrt(CAST(x.x_nsq AS DOUBLE)) * sqrt(CAST(y.y_nsq AS DOUBLE)))"
+    )
+    return f"""WITH kj_b AS ({lsh_bucket_sql(d, bits=bits)}),
+kj_small AS (
+  SELECT bucket FROM kj_b GROUP BY bucket HAVING count(*) <= {max_bucket}
+),
+kj_bs AS (
+  SELECT b.* FROM kj_b b JOIN kj_small s ON b.bucket = s.bucket
+),
+kj_n AS (
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq
+  FROM embeddings
+),
+kj_x AS (
+  SELECT b.vec_id, b.bucket, n.embedding AS xv, n.nsq AS x_nsq
+  FROM kj_bs b JOIN kj_n n ON b.vec_id = n.vec_id
+),
+kj_y AS (
+  SELECT b.vec_id AS nbr_id, b.bucket, n.embedding AS yv, n.nsq AS y_nsq
+  FROM kj_bs b JOIN kj_n n ON b.vec_id = n.vec_id
+),
+kj_s AS (
+  SELECT x.vec_id, y.nbr_id, {sim} AS sim
+  FROM kj_x x JOIN kj_y y ON x.bucket = y.bucket AND x.vec_id <> y.nbr_id
+),
+kj_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC
+  ) AS rank FROM kj_s
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, sim
+FROM kj_r WHERE rank <= {k}"""
+
+
 def corpus_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.corpus_filter: the composed C4/
     Gopher-style corpus admission verdict. Each stage's SQL is the

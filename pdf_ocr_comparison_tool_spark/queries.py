@@ -925,6 +925,21 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.seq_packing(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("pack_manifest", oracle=O.pack_manifest_sql(G.DUCK))
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader-facing pack manifest: per context window, docs
+    starting in it, their token mass, and window-fill status."""
+    return pipeline.pack_manifest(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("emb_knn_join", oracle=O.knn_join_sql(G.DUCK))
+def q_emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus approximate kNN self-join: every vector's top-3
+    cosine neighbors via the LSH bucket equi-join — the whole-corpus
+    semantic-neighbor shape (dedup / clustering / hard negatives)."""
+    return similarity_search.knn_join(synth.load_table(spark, sf_dir, "embeddings"))
+
+
 @register("source_cap_sample", oracle=O.source_cap_sample_sql(G.DUCK))
 def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (per-domain downsampling): deterministic
@@ -990,6 +1005,7 @@ _QUERY_ORDER = [
     # LLM corpus-assembly pipeline (r3 additions: first driver rows)
     "corpus_filter",
     "seq_packing",
+    "pack_manifest",
     "data_split",
     "split_summary",
     "corpus_stats",
@@ -1007,6 +1023,7 @@ _QUERY_ORDER = [
     "emb_near_dups_lsh",
     "ann_kmeans_fit",
     "ann_pq_fit",
+    "emb_knn_join",
     # displaced in r3: re-verify
     "events_window",
     "source_rollup",
@@ -1024,12 +1041,10 @@ _QUERY_ORDER = [
     # reports
     "page_quality",
     "keyword_top",
-    "timeline",
     "events_session_window",
     "dedup_exact_pages",
     # cascade / classification composites
     "engine_cascade",
-    "engine_cascade_stats",
     "type_islands",
     "project_detect",
     # text dedup family
@@ -1047,6 +1062,8 @@ _QUERY_ORDER = [
     "doc_majority_type",
     "page_keywords",
     "lineitem_rollup",
+    "timeline",
+    "engine_cascade_stats",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

@@ -185,3 +185,18 @@ def test_data_split_fractions_and_stability(spark):
     assert all(0 <= v[0] < pipeline.SPLIT_BUCKETS for v in a.values())
     train = sum(1 for v in a.values() if v[1] == "train") / n
     assert abs(train - pipeline.SPLIT_TRAIN / pipeline.SPLIT_BUCKETS) < 0.03
+
+
+def test_pack_manifest_partitions_all_docs(spark):
+    """Every doc starts in exactly one pack; manifest token mass equals
+    the corpus token mass; fills_window matches its own sum."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    packing = pipeline.seq_packing(docs).collect()
+    man = pipeline.pack_manifest(docs).collect()
+    assert sum(r["n_docs"] for r in man) == len(packing)
+    assert sum(r["sum_tokens"] for r in man) == sum(r["n_tokens"] for r in packing)
+    for r in man:
+        assert r["fills_window"] == (r["sum_tokens"] >= pipeline.CTX_TOKENS)

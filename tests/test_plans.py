@@ -125,7 +125,12 @@ def test_ann_searches_have_no_cartesian(spark):
     from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
 
     emb = synth.load_table(spark, SF_DIR, "embeddings")
-    for df in (SS.lsh_search(emb), SS.ivf_search(emb), SS.lsh_near_dups(emb)):
+    for df in (
+        SS.lsh_search(emb),
+        SS.ivf_search(emb),
+        SS.lsh_near_dups(emb),
+        SS.knn_join(emb),
+    ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
 

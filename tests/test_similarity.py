@@ -242,3 +242,26 @@ def test_pq_fit_reduces_quantization_error(spark):
     out = SS.pq_search(emb, codebook=fitted)
     per_q = {r["q_id"]: r["rank"] for r in out.collect()}
     assert len(per_q) == SS.PQ_N_QUERIES
+
+
+def test_knn_join_shape_and_ordering(spark):
+    """All-corpus kNN self-join: no self-neighbors, ranks contiguous
+    from 1 with sims non-increasing per vector, at most k rows per
+    vector, and broad coverage (most vectors have in-bucket company)."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+    from tests.conftest import SF_DIR_001
+
+    emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+    n = emb.count()
+    rows = SS.knn_join(emb).collect()
+    per = {}
+    for r in rows:
+        assert r["vec_id"] != r["nbr_id"]
+        per.setdefault(r["vec_id"], []).append((r["rank"], r["sim"]))
+    assert len(per) > 0.8 * n
+    for vec, rs in per.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= SS.KNN_K
+        sims = [x[1] for x in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
