@@ -1191,9 +1191,12 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, sim FROM ls_r WHERE rank <= {k}
 def ivf_search_sql(
     d: str, n_queries: int = 8, k: int = 10,
     n_centroids: int = 16, nprobe: int = 4,
+    fitted: bool = False,
 ) -> str:
     """End-to-end IVF search: nprobe nearest centroids → inverted-list
-    equi-join → rerank → top-k."""
+    equi-join → rerank → top-k. ``fitted=True`` swaps the first-N
+    centroid stand-in for the unrolled k-means fit (the oracle twin of
+    ``ivf_search(..., centroids=kmeans_fit(...))``)."""
     probe_dist = (
         f"CAST(q.q_nsq AS DOUBLE) - 2.0 * CAST({_dot_sql('q.qv', 'c.cv', d)} AS DOUBLE)"
         f" + CAST(c.c_nsq AS DOUBLE)"
@@ -1202,10 +1205,24 @@ def ivf_search_sql(
         f"CAST({_dot_sql('p.qv', 'c.cv2', d)} AS DOUBLE)"
         f" / (sqrt(CAST(p.q_nsq AS DOUBLE)) * sqrt(CAST(c.c_nsq2 AS DOUBLE)))"
     )
-    return f"""WITH iv_c AS (
-  SELECT vec_id AS centroid_id, embedding AS cv,
-         {_dot_sql('embedding', 'embedding', d)} AS c_nsq
-  FROM embeddings WHERE vec_id < {n_centroids}
+    if fitted:
+        from .operators.similarity_search import KMEANS_ITERS
+
+        km_body, km_final = _kmeans_cte_chain(d, n_centroids, KMEANS_ITERS, 64)
+        prefix = km_body + ",\n"
+        iv_c_body = (
+            f"SELECT centroid_id, cv, {_dot_sql('cv', 'cv', d)} AS c_nsq"
+            f" FROM {km_final}"
+        )
+    else:
+        prefix = ""
+        iv_c_body = (
+            f"SELECT vec_id AS centroid_id, embedding AS cv,\n"
+            f"         {_dot_sql('embedding', 'embedding', d)} AS c_nsq\n"
+            f"  FROM embeddings WHERE vec_id < {n_centroids}"
+        )
+    return f"""WITH {prefix}iv_c AS (
+  {iv_c_body}
 ),
 iv_v AS (
   SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS v_nsq
@@ -1505,18 +1522,12 @@ def _pos_table(dim: int, d: str) -> str:
     return f"(SELECT unnest(range({dim})) AS pos)"
 
 
-def kmeans_fit_sql(d: str, k: int | None = None, iters: int | None = None,
-                   dim: int = 64) -> str:
-    """Mirror of similarity_search.kmeans_centroid_rows: ``iters``
-    unrolled Lloyd iterations, each an assign CTE (squared-L2 argmin,
-    ties to the smaller centroid_id) + an update CTE (per-(centroid,
-    dim) mean whose sum folds member values in vec_id order) + an
-    empty-cluster coalesce; init = first-k vectors cast to double.
-    Output: (centroid_id, pos, val) rows of the final centroids."""
-    from .operators.similarity_search import IVF_N_CENTROIDS, KMEANS_ITERS
-
-    k = IVF_N_CENTROIDS if k is None else k
-    iters = KMEANS_ITERS if iters is None else iters
+def _kmeans_cte_chain(
+    d: str, k: int, iters: int, dim: int
+) -> tuple[str, str]:
+    """The unrolled-Lloyd CTE chain shared by kmeans_fit_sql (flattened
+    rows) and the fitted-centroid search oracles. Returns (ctes_sql,
+    final_cte_name); the final CTE holds (centroid_id, cv DOUBLE[])."""
     dcast = G.ltransform("embedding", "x -> CAST(x AS DOUBLE)", d)
     mean = (
         f"{_ordered_fold(_elem('v.v', 'p.pos', d), 'v.vec_id', d)}"
@@ -1559,11 +1570,26 @@ def kmeans_fit_sql(d: str, k: int | None = None, iters: int | None = None,
     SELECT centroid_id, {cv_list} AS cv FROM km_m{i} GROUP BY centroid_id
   ) m ON c.centroid_id = m.centroid_id
 )""")
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes), f"km_c{iters}"
+
+
+def kmeans_fit_sql(d: str, k: int | None = None, iters: int | None = None,
+                   dim: int = 64) -> str:
+    """Mirror of similarity_search.kmeans_centroid_rows: ``iters``
+    unrolled Lloyd iterations, each an assign CTE (squared-L2 argmin,
+    ties to the smaller centroid_id) + an update CTE (per-(centroid,
+    dim) mean whose sum folds member values in vec_id order) + an
+    empty-cluster coalesce; init = first-k vectors cast to double.
+    Output: (centroid_id, pos, val) rows of the final centroids."""
+    from .operators.similarity_search import IVF_N_CENTROIDS, KMEANS_ITERS
+
+    k = IVF_N_CENTROIDS if k is None else k
+    iters = KMEANS_ITERS if iters is None else iters
+    body, final = _kmeans_cte_chain(d, k, iters, dim)
     return f"""WITH {body}
 SELECT c.centroid_id, CAST(p.pos AS BIGINT) AS pos,
        {_elem('c.cv', 'p.pos', d)} AS val
-FROM km_c{iters} c CROSS JOIN {_pos_table(dim, d)} p"""
+FROM {final} c CROSS JOIN {_pos_table(dim, d)} p"""
 
 
 def pq_fit_sql(d: str, k: int | None = None, iters: int | None = None) -> str:

@@ -753,6 +753,18 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_search_fit", oracle=O.ivf_search_sql(G.DUCK, fitted=True))
+def q_ann_ivf_search_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF search running on the TRAINED quantizer: the
+    kmeans_fit centroid table consumed by ivf_search — the fit is
+    driver-verified not just as a table but through the search that
+    uses it."""
+    emb = synth.load_table(spark, sf_dir, "embeddings")
+    return similarity_search.ivf_search(
+        emb, centroids=similarity_search.kmeans_fit(emb)
+    )
+
+
 @register("events_pivot", oracle=O.events_pivot_sql(G.DUCK))
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type count matrix (Spark pivot())."""
@@ -1023,6 +1035,7 @@ _QUERY_ORDER = [
     "emb_near_dups_lsh",
     "ann_kmeans_fit",
     "ann_pq_fit",
+    "ann_ivf_search_fit",
     "emb_knn_join",
     # displaced in r3: re-verify
     "events_window",
@@ -1039,7 +1052,6 @@ _QUERY_ORDER = [
     "match_summary",
     "match_cosine_pairs",
     # reports
-    "page_quality",
     "keyword_top",
     "events_session_window",
     "dedup_exact_pages",
@@ -1064,6 +1076,7 @@ _QUERY_ORDER = [
     "lineitem_rollup",
     "timeline",
     "engine_cascade_stats",
+    "page_quality",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",
