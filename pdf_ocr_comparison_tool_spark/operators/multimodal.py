@@ -3,25 +3,41 @@
 Media payloads are **opaque binary columns with typed metadata** — the
 engine never shuffles image bytes with text (SURVEY §1.2: media spans
 carry ``media_ref`` pointers). This module provides the Spark-side
-plumbing for decode / feature-extract stages:
+decode / feature-extract stages:
 
 * :func:`media_manifest` — per-media-span manifest with deterministic
   storage metadata (bucket assignment for co-located fetch, synthetic
   byte sizes standing in for object-store stat calls);
 * :func:`fetch_bytes` — resolves ``media_ref`` → payload bytes. The
-  sandbox has no object store, so payloads are deterministic synthetic
-  bytes derived from the ref (clearly marked stub);
-* :func:`decode_features` — the ``mapInPandas`` decode/feature stage
-  with the real batch shape (Arrow binary in → struct features out).
-  Actual image decoding needs PIL/cv2 which this container does not
-  ship; the decode body is a STUB producing deterministic pseudo
-  dimensions. The Spark plumbing — schema, batching, partition layout —
-  is real and tested.
+  sandbox has no object store, so payloads are synthesized
+  deterministically from the ref — but they are REAL container files
+  (valid BMP images / PCM WAV audio, spec below), so the decode stage
+  genuinely parses bytes;
+* :func:`decode_media` — the ``mapInPandas`` decode/feature stage.
+  BMP and PCM-WAV decoding is REAL (pure ``struct``/stdlib — these
+  uncompressed containers need no codec library): magic sniff, header
+  parse, dimension/sample extraction, plus a content feature (mean
+  pixel level / RMS amplitude) computed from the actual payload.
+  Compressed codecs (JPEG/PNG/H.264 …) remain the documented
+  ``NotImplementedError`` stub — the container ships no image/audio
+  libraries — at exactly the granularity where a codec is required.
+
+Payload synthesis spec (shared with the DuckDB oracle — the decoded
+header fields are a pure function of md5(media_ref), so the driver can
+verify the full bytes→parse round trip):
+
+  hx = md5(media_ref) hex; h8 = int(hx[:8],16); bK = int(hx[2K:2K+2],16)
+  h8 even → 24-bit BMP: width 4·(1+b0%8), height 1+b1%8 (width is a
+    multiple of 4 so rows need no stride padding); n_bytes = 54+3wh
+  h8 odd  → 16-bit mono PCM WAV @8 kHz: n_samples 64+4·b2;
+    n_bytes = 44+2n
+  content bytes = md5(ref+"#px") digest repeated/truncated.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,10 +45,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_FETCH_BUCKETS = 64
+WAV_SR = 8000
 
 DECODE_SCHEMA = (
-    "doc_id string, media_ref string, n_bytes long, width int, height int, "
-    "channels int, format string"
+    "doc_id string, media_ref string, format string, width int, height int, "
+    "channels int, sample_rate int, n_samples long, n_bytes long, "
+    "mean_level double"
 )
 
 
@@ -55,11 +73,34 @@ def media_manifest(extracted: DataFrame, spans_col: str = "spans") -> DataFrame:
     )
 
 
-def _stub_payload(media_ref: str) -> bytes:
-    """STUB: deterministic synthetic payload (no object store in the
-    sandbox). Real deployment: object-store ranged GET by media_ref."""
-    h = hashlib.md5(media_ref.encode()).digest()
-    return h * 4  # 64 bytes
+def synth_media_payload(media_ref: str) -> bytes:
+    """Deterministic REAL container bytes for a ref (spec in the module
+    docstring). Real deployment: object-store ranged GET by media_ref."""
+    hx = hashlib.md5(media_ref.encode()).hexdigest()
+    h8 = int(hx[:8], 16)
+    b0, b1, b2 = int(hx[0:2], 16), int(hx[2:4], 16), int(hx[4:6], 16)
+    content = hashlib.md5((media_ref + "#px").encode()).digest()
+    if h8 % 2 == 0:
+        w, h = 4 * (1 + b0 % 8), 1 + b1 % 8
+        npix = 3 * w * h
+        data = (content * (npix // 16 + 1))[:npix]
+        file_hdr = struct.pack("<2sIHHI", b"BM", 54 + npix, 0, 0, 54)
+        info_hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, npix, 2835, 2835, 0, 0
+        )
+        return file_hdr + info_hdr + data
+    n = 64 + 4 * b2
+    data = (content * (2 * n // 16 + 1))[: 2 * n]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + 2 * n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SR, WAV_SR * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", 2 * n)
+        + data
+    )
 
 
 def fetch_bytes(manifest: DataFrame) -> DataFrame:
@@ -67,42 +108,76 @@ def fetch_bytes(manifest: DataFrame) -> DataFrame:
 
     @F.pandas_udf("binary")
     def _fetch(refs: pd.Series) -> pd.Series:
-        return refs.map(_stub_payload)
+        return refs.map(synth_media_payload)
 
     return manifest.withColumn("payload", _fetch("media_ref"))
 
 
-def decode_features(with_payload: DataFrame) -> DataFrame:
-    """mapInPandas decode/feature stage.
+def parse_media(payload: bytes) -> dict:
+    """REAL codec-free container parse: BMP and PCM-WAV by magic sniff
+    + header fields + a content feature from the actual bytes. Any
+    other magic (JPEG/PNG/…) needs a codec library this container does
+    not ship → NotImplementedError (the documented stub boundary)."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("payload too short to sniff")
+    if payload[:2] == b"BM":
+        (off,) = struct.unpack_from("<I", payload, 10)
+        _hsz, w, h = struct.unpack_from("<Iii", payload, 14)
+        _planes, bpp = struct.unpack_from("<HH", payload, 26)
+        pix = payload[off:]
+        mean = sum(pix) / len(pix) if pix else 0.0
+        return {
+            "format": "bmp", "width": w, "height": abs(h),
+            "channels": bpp // 8, "sample_rate": 0, "n_samples": 0,
+            "n_bytes": len(payload), "mean_level": mean,
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, sr, ch, data = 12, 0, 0, b""
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (sz,) = struct.unpack_from("<I", payload, pos + 4)
+            if cid == b"fmt ":
+                _f, ch, sr, _br, _ba, _bits = struct.unpack_from(
+                    "<HHIIHH", payload, pos + 8
+                )
+            elif cid == b"data":
+                data = payload[pos + 8:pos + 8 + sz]
+            pos += 8 + sz + (sz % 2)
+        import array
 
-    The decode body is a STUB (container has no image codecs): it derives
-    deterministic pseudo width/height/channels from the payload bytes.
-    Swap `_decode_one` for PIL/cv2 in deployment — the batch shape,
-    schema and partitioning stay identical.
-    """
+        a = array.array("h")
+        a.frombytes(data[: 2 * (len(data) // 2)])
+        rms = (sum(x * x for x in a) / len(a)) ** 0.5 if len(a) else 0.0
+        return {
+            "format": "wav", "width": 0, "height": 0,
+            "channels": ch, "sample_rate": sr,
+            "n_samples": len(a) // ch if ch else 0,
+            "n_bytes": len(payload), "mean_level": rms,
+        }
+    raise NotImplementedError(
+        "compressed codec (JPEG/PNG/H.264 ...) — requires an image/audio "
+        "library this container does not ship"
+    )
 
-    def _decode_one(payload: bytes) -> tuple[int, int, int, str]:
-        if payload is None or len(payload) < 4:
-            raise NotImplementedError("real decoder required for payload")
-        w = 64 + payload[0] % 192
-        h = 64 + payload[1] % 192
-        c = 1 + payload[2] % 4
-        return w, h, c, "stub"
+
+def decode_media(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature stage (Arrow binary in → typed rows
+    out). BMP/WAV parse is real; unknown magic raises (see
+    :func:`parse_media`)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = pdf["payload"].map(_decode_one)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_ref": pdf["media_ref"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "width": decoded.map(lambda t: t[0]).astype("int32"),
-                    "height": decoded.map(lambda t: t[1]).astype("int32"),
-                    "channels": decoded.map(lambda t: t[2]).astype("int32"),
-                    "format": decoded.map(lambda t: t[3]),
-                }
-            )
+            decoded = pdf["payload"].map(parse_media)
+            out = pd.DataFrame(list(decoded))
+            out.insert(0, "media_ref", pdf["media_ref"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["channels"] = out["channels"].astype("int32")
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["n_samples"] = out["n_samples"].astype("int64")
+            out["n_bytes"] = out["n_bytes"].astype("int64")
+            yield out
 
     return with_payload.select("doc_id", "media_ref", "payload").mapInPandas(
         _batches, DECODE_SCHEMA

@@ -548,6 +548,38 @@ SELECT {G.cast_str('doc_id', d)} AS doc_id, media_ref,
 FROM ext WHERE kind = 'media'"""
 
 
+def media_decode_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of the multimodal decode stage's HEADER fields: the
+    payloads are synthesized from md5(media_ref) (spec in
+    operators/multimodal.py), so the decoded format/dimensions/sample
+    counts are a pure function of the ref — the oracle states that
+    function, and the Spark side genuinely goes bytes→struct-parse.
+    The content features (mean_level) are pytest-verified only."""
+    from .operators.multimodal import WAV_SR
+
+    def mb(i: int) -> str:
+        if d == SPARK:
+            return f"CAST(conv(substr(md5(media_ref), {2 * i + 1}, 2), 16, 10) AS BIGINT)"
+        return f"CAST('0x' || substr(md5(media_ref), {2 * i + 1}, 2) AS BIGINT)"
+
+    h8 = G.hexint("media_ref", d)
+    bmp = f"({h8}) % 2 = 0"
+    w = f"4 * (1 + ({mb(0)}) % 8)"
+    hh = f"1 + ({mb(1)}) % 8"
+    ns = f"64 + 4 * ({mb(2)})"
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)})
+SELECT {G.cast_str('doc_id', d)} AS doc_id, media_ref,
+       CASE WHEN {bmp} THEN 'bmp' ELSE 'wav' END AS format,
+       CAST(CASE WHEN {bmp} THEN {w} ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN {bmp} THEN {hh} ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN {bmp} THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(CASE WHEN {bmp} THEN 0 ELSE {WAV_SR} END AS INT) AS sample_rate,
+       CAST(CASE WHEN {bmp} THEN 0 ELSE {ns} END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN {bmp} THEN 54 + 3 * ({w}) * ({hh})
+            ELSE 44 + 2 * ({ns}) END AS BIGINT) AS n_bytes
+FROM ext WHERE kind = 'media'"""
+
+
 def doc_processing_stats_sql(d: str, docs: str = "documents") -> str:
     """A6 per-file stats + 合计 rollup row over the extraction output."""
     ms = "CAST(coalesce(sum(length(text)), 0) AS BIGINT)"

@@ -417,6 +417,25 @@ def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_manifest(ext)
 
 
+@register("media_decode", oracle=O.media_decode_sql(G.DUCK))
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode, driver-oracled: fetch (Arrow pandas UDF,
+    real BMP/WAV container bytes) → mapInPandas struct-parse → typed
+    header rows. The oracle derives the same fields from the shared
+    md5 synthesis spec, so the bytes→parse round trip is externally
+    verified; content features (mean_level) are pytest-covered."""
+    from .operators import multimodal
+
+    ext = extraction.extract_ordered_spans(synth.spans_df(spark, sf_dir))
+    dec = multimodal.decode_media(
+        multimodal.fetch_bytes(multimodal.media_manifest(ext))
+    )
+    return dec.select(
+        "doc_id", "media_ref", "format", "width", "height",
+        "channels", "sample_rate", "n_samples", "n_bytes",
+    )
+
+
 @register("doc_processing_stats", oracle=O.doc_processing_stats_sql(G.DUCK))
 def q_doc_processing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/A13: per-document processing stats + 合计 grand-total row
@@ -1013,6 +1032,7 @@ _QUERY_ORDER = [
     "extract_grounded",
     "span_stats",
     "media_manifest",
+    "media_decode",
     "doc_processing_stats",
     # LLM corpus-assembly pipeline (r3 additions: first driver rows)
     "corpus_filter",
@@ -1053,7 +1073,6 @@ _QUERY_ORDER = [
     "match_cosine_pairs",
     # reports
     "keyword_top",
-    "events_session_window",
     "dedup_exact_pages",
     # cascade / classification composites
     "engine_cascade",
@@ -1077,6 +1096,7 @@ _QUERY_ORDER = [
     "timeline",
     "engine_cascade_stats",
     "page_quality",
+    "events_session_window",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

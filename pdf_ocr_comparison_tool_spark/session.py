@@ -22,6 +22,17 @@ def get_spark(
 ) -> SparkSession:
     """master=None → local[cores]; pass e.g. ``local-cluster[4,4,4096]``
     to emulate a multi-executor cluster (one JVM per executor)."""
+    # Python workers resolve module-level UDF functions by import, so
+    # the package root must be on THEIR path too — the driver's
+    # sys.path is not inherited by worker processes. Exporting
+    # PYTHONPATH before the JVM launches covers any driver cwd
+    # (equivalent of --py-files on a real cluster).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cores)))
     builder = (
