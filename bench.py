@@ -32,6 +32,7 @@ HEADLINE = [
     "extract_fulltext",
     "span_stats",
     "extract_grounded",
+    "media_decode",
     "match_best",
     "match_best_cosine",
     "match_merged",
