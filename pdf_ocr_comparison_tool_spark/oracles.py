@@ -1317,21 +1317,27 @@ def _pq_sqdist(a: str, b: str, d: str, dim: int) -> str:
     return _fold_double(arr, d)
 
 
-def _pq_base_cte(d: str) -> str:
+def _pq_base_cte(d: str, cb_src: str | None = None) -> str:
     """pq_s: one row per (vec_id, sub_id) subvector; pq_cb: the
-    codebook (subvectors of the first PQ_K vectors); pq_enc: nearest
-    code per subvector — mirrors similarity_search.pq_encode."""
+    codebook (subvectors of the first PQ_K vectors, or ``cb_src`` — a
+    CTE holding a FITTED (grp, centroid_id, cv) codebook); pq_enc:
+    nearest code per subvector — mirrors similarity_search.pq_encode."""
     m, sub, k, _, _ = _pq_consts()
     subs = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, {i} AS sub_id,"
         f" {_arr_slice('embedding', i * sub + 1, sub, d)} AS sv FROM embeddings"
         for i in range(m)
     )
+    cb_body = (
+        f"SELECT sub_id, vec_id AS code_id, sv AS code_vec FROM pq_s WHERE vec_id < {k}"
+        if cb_src is None
+        else f"SELECT grp AS sub_id, centroid_id AS code_id, cv AS code_vec FROM {cb_src}"
+    )
     return f"""pq_s AS (
 {subs}
 ),
 pq_cb AS (
-  SELECT sub_id, vec_id AS code_id, sv AS code_vec FROM pq_s WHERE vec_id < {k}
+  {cb_body}
 ),
 pq_d AS (
   SELECT s.vec_id, s.sub_id, c.code_id,
@@ -1352,8 +1358,20 @@ def pq_encode_sql(d: str) -> str:
 SELECT vec_id, sub_id, code_id, dist FROM pq_enc"""
 
 
-def pq_search_sql(d: str) -> str:
-    m, sub, _, n_q, topk = _pq_consts()
+def pq_search_sql(d: str, fitted: bool = False) -> str:
+    """ADC search; ``fitted=True`` swaps the first-K codebook stand-in
+    for the grouped per-subspace Lloyd fit (the oracle twin of
+    ``pq_search(..., codebook=pq_fit_codebook(...))``)."""
+    m, sub, kk, n_q, topk = _pq_consts()
+    if fitted:
+        from .operators.similarity_search import KMEANS_ITERS
+
+        fit_body, fit_final = _pq_fit_cte_chain(d, kk, KMEANS_ITERS)
+        prefix = fit_body + ",\n"
+        base = _pq_base_cte(d, cb_src=fit_final)
+    else:
+        prefix = ""
+        base = _pq_base_cte(d)
     if d == SPARK:
         adc = (
             "aggregate(transform(array_sort(collect_list(struct(sub_id, pd))),"
@@ -1364,7 +1382,7 @@ def pq_search_sql(d: str) -> str:
             "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
             " list(pd ORDER BY sub_id ASC)), (acc, x) -> acc + x)"
         )
-    return f"""WITH {_pq_base_cte(d)},
+    return f"""WITH {prefix}{base},
 pq_q AS (
   SELECT vec_id AS q_id, sub_id, sv AS qsv FROM pq_s WHERE vec_id < {n_q}
 ),
@@ -1624,21 +1642,12 @@ SELECT c.centroid_id, CAST(p.pos AS BIGINT) AS pos,
 FROM {final} c CROSS JOIN {_pos_table(dim, d)} p"""
 
 
-def pq_fit_sql(d: str, k: int | None = None, iters: int | None = None) -> str:
-    """Mirror of similarity_search.pq_fit_rows: the GROUPED Lloyd
-    unroll (grp = sub_id — every PQ subspace fits its own codewords in
-    the same dataflow), same determinism contract as kmeans_fit_sql;
-    init = the pq_codebook stand-in (m-th subvectors of the first k
-    vectors). Output: (sub_id, code_id, pos, val)."""
-    from .operators.similarity_search import (
-        KMEANS_ITERS,
-        PQ_K,
-        PQ_M,
-        PQ_SUB_DIM,
-    )
+def _pq_fit_cte_chain(d: str, k: int, iters: int) -> tuple[str, str]:
+    """The grouped (grp = sub_id) Lloyd CTE chain shared by pq_fit_sql
+    and the fitted-codebook search oracle. Returns (ctes_sql,
+    final_cte_name); the final CTE holds (grp, centroid_id, cv)."""
+    from .operators.similarity_search import PQ_M, PQ_SUB_DIM
 
-    k = PQ_K if k is None else k
-    iters = KMEANS_ITERS if iters is None else iters
     dim = PQ_SUB_DIM
     subs = "\n  UNION ALL\n".join(
         f"  SELECT {i} AS grp, vec_id,"
@@ -1688,11 +1697,24 @@ def pq_fit_sql(d: str, k: int | None = None, iters: int | None = None) -> str:
     FROM km_m{i} GROUP BY grp, centroid_id
   ) m ON c.grp = m.grp AND c.centroid_id = m.centroid_id
 )""")
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes), f"km_c{iters}"
+
+
+def pq_fit_sql(d: str, k: int | None = None, iters: int | None = None) -> str:
+    """Mirror of similarity_search.pq_fit_rows: the GROUPED Lloyd
+    unroll (grp = sub_id — every PQ subspace fits its own codewords in
+    the same dataflow), same determinism contract as kmeans_fit_sql;
+    init = the pq_codebook stand-in (m-th subvectors of the first k
+    vectors). Output: (sub_id, code_id, pos, val)."""
+    from .operators.similarity_search import KMEANS_ITERS, PQ_K, PQ_SUB_DIM
+
+    k = PQ_K if k is None else k
+    iters = KMEANS_ITERS if iters is None else iters
+    body, final = _pq_fit_cte_chain(d, k, iters)
     return f"""WITH {body}
 SELECT c.grp AS sub_id, c.centroid_id AS code_id,
        CAST(p.pos AS BIGINT) AS pos, {_elem('c.cv', 'p.pos', d)} AS val
-FROM km_c{iters} c CROSS JOIN {_pos_table(dim, d)} p"""
+FROM {final} c CROSS JOIN {_pos_table(PQ_SUB_DIM, d)} p"""
 
 
 def emb_near_dups_sql(d: str, threshold: float = 0.35, n_limit: int = 500) -> str:

@@ -784,6 +784,17 @@ def q_ann_ivf_search_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_pq_search_fit", oracle=O.pq_search_sql(G.DUCK, fitted=True))
+def q_ann_pq_search_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC PQ search running on the TRAINED per-subspace codebook —
+    the fitted twin of ann_pq_search, driver-verified through the
+    search that consumes the fit."""
+    emb = synth.load_table(spark, sf_dir, "embeddings")
+    return similarity_search.pq_search(
+        emb, codebook=similarity_search.pq_fit_codebook(emb)
+    )
+
+
 @register("events_pivot", oracle=O.events_pivot_sql(G.DUCK))
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type count matrix (Spark pivot())."""
@@ -1056,6 +1067,7 @@ _QUERY_ORDER = [
     "ann_kmeans_fit",
     "ann_pq_fit",
     "ann_ivf_search_fit",
+    "ann_pq_search_fit",
     "emb_knn_join",
     # displaced in r3: re-verify
     "events_window",
@@ -1072,7 +1084,6 @@ _QUERY_ORDER = [
     "match_summary",
     "match_cosine_pairs",
     # reports
-    "keyword_top",
     "dedup_exact_pages",
     # cascade / classification composites
     "engine_cascade",
@@ -1097,6 +1108,7 @@ _QUERY_ORDER = [
     "engine_cascade_stats",
     "page_quality",
     "events_session_window",
+    "keyword_top",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",
