@@ -409,6 +409,29 @@ def seq_packing(
     )
 
 
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus VERSION DIFF — the incremental-ingest primitive: compare
+    two corpus snapshots by doc_id + normalized content hash and emit
+    one row per id with status ``added`` / ``removed`` / ``changed`` /
+    ``unchanged``. This is what an incremental pipeline keys its delta
+    processing on (re-extract only added+changed, tombstone removed).
+
+    Scale shape: ONE full-outer hash join on doc_id of two narrow
+    (id, hash) projections — no content ever shuffles, and the join key
+    is the id, so skew is bounded by id cardinality (unique)."""
+    oh = old.select("doc_id", text_hash(F.col("text")).alias("old_hash"))
+    nh = new.select("doc_id", text_hash(F.col("text")).alias("new_hash"))
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return oh.join(nh, "doc_id", "full_outer").select(
+        "doc_id", "old_hash", "new_hash", status.alias("status")
+    )
+
+
 def pack_manifest(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
     """The pack-level view of :func:`seq_packing` — what a dataloader
     actually indexes: per context-window pack, how many documents START

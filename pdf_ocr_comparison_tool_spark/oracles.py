@@ -2024,6 +2024,32 @@ FROM dc_p
 GROUP BY doc_id, {P.idiv('pos', str(CHUNK_TOKENS), d)}"""
 
 
+def corpus_diff_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of the corpus_diff query: old = buckets 1-9 unmodified,
+    new = buckets 0-8 with bucket-1 texts revised — full-outer join on
+    doc_id, status from hash comparison."""
+    b = f"({G.hexint(G.cast_str('doc_id', d), d)}) % 10"
+    cat = "concat(text, ' rev2')" if d == SPARK else "text || ' rev2'"
+    h = lambda e: f"md5(lower({G.replace_all(e, chr(92) + 's+', '', d)}))"  # noqa: E731
+    return f"""WITH cd_b AS (
+  SELECT doc_id, text, {b} AS b FROM {docs}
+),
+cd_o AS (
+  SELECT doc_id, {h('text')} AS old_hash FROM cd_b WHERE b <> 0
+),
+cd_n AS (
+  SELECT doc_id,
+         {h(f"CASE WHEN b = 1 THEN {cat} ELSE text END")} AS new_hash
+  FROM cd_b WHERE b <> 9
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM cd_o o FULL OUTER JOIN cd_n n ON o.doc_id = n.doc_id"""
+
+
 def mixture_sample_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.mixture_sample: per-source
     keep-rate from the normalized √-share temperature mixture (Σ√n_s

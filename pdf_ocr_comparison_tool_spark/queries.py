@@ -999,6 +999,26 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.mixture_weights(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_diff", oracle=O.corpus_diff_sql(G.DUCK))
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (incremental-ingest primitive): two
+    deterministic snapshots derived from the documents table — old
+    misses md5-bucket 0, new misses bucket 9 and revises bucket 1 —
+    full-outer joined by doc_id into added/removed/changed/unchanged."""
+    from .operators.features import hash_bucket
+
+    docs = synth.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 10)
+    old = docs.filter(b != 0).select("doc_id", "text")
+    new = docs.filter(b != 9).select(
+        "doc_id",
+        F.when(b == 1, F.concat("text", F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pipeline.corpus_diff(old, new)
+
+
 @register("mixture_sample", oracle=O.mixture_sample_sql(G.DUCK))
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic temperature-mixture SAMPLER — materializes the
@@ -1056,6 +1076,7 @@ _QUERY_ORDER = [
     "source_cap_sample",
     "mixture_weights",
     "mixture_sample",
+    "corpus_diff",
     # textstats (displaced in r3: re-verify)
     "text_repetition",
     "token_counts",
@@ -1086,7 +1107,6 @@ _QUERY_ORDER = [
     # reports
     "dedup_exact_pages",
     # cascade / classification composites
-    "engine_cascade",
     "type_islands",
     "project_detect",
     # text dedup family
@@ -1109,6 +1129,7 @@ _QUERY_ORDER = [
     "page_quality",
     "events_session_window",
     "keyword_top",
+    "engine_cascade",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

@@ -200,3 +200,14 @@ def test_pack_manifest_partitions_all_docs(spark):
     assert sum(r["sum_tokens"] for r in man) == sum(r["n_tokens"] for r in packing)
     for r in man:
         assert r["fills_window"] == (r["sum_tokens"] >= pipeline.CTX_TOKENS)
+
+
+def test_corpus_diff_statuses(spark):
+    """added/removed/changed/unchanged from a full-outer id join with
+    content-hash compare; whitespace-only edits are NOT changes (the
+    hash normalizes whitespace)."""
+    old = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "kept text")])
+    new = _docs(spark, [(2, "gamma REVISED"), (3, "kept   text"), (4, "brand new")])
+    out = {r["doc_id"]: r["status"]
+           for r in pipeline.corpus_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
