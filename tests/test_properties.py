@@ -131,3 +131,92 @@ def test_keywords_and_quality_bounded(spark, text):
         ).alias("n")
     ).collect()[0]["n"]
     assert sum(r["cnt"] for r in tf_rows) == n_toks
+
+
+@_FAST
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=3),  # fanin_bits
+)
+def test_bucketed_cumsum_equals_naive(spark, vals, fanin_bits):
+    """The recursive bounded prefix sum equals the naive sequential
+    prefix sum for ARBITRARY value lists and recursion shapes (the
+    threshold is forced tiny so multiple levels engage whenever the
+    input allows)."""
+    from pdf_ocr_comparison_tool_spark.operators import pipeline
+
+    threshold = max(1 << fanin_bits, 4)
+    totals = spark.createDataFrame(
+        list(enumerate(vals)), "bkt long, v long"
+    )
+    got = {
+        r["bkt"]: r["off"]
+        for r in pipeline._bucketed_cumsum(
+            totals, "bkt", "v", "off",
+            threshold=threshold, fanin_bits=fanin_bits,
+        ).collect()
+    }
+    run, expect = 0, {}
+    for i, v in enumerate(vals):
+        expect[i] = run
+        run += v
+    assert got == expect
+
+
+@_FAST
+@given(
+    st.lists(
+        st.text(alphabet="abc xy\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_line_dedup_partition_and_order_invariant(spark, texts, rnd):
+    """line_dedup's verdict is a pure function of the document SET:
+    identical under input reordering and any partition layout, every
+    segment row keeps iff it is the minimal occurrence of its text,
+    and exactly one keeper exists per distinct segment."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    shuffled = rows[:]
+    rnd.shuffle(shuffled)
+
+    def run(rws, parts):
+        df = spark.createDataFrame(rws, "doc_id long, text string").repartition(parts)
+        return {
+            (r["doc_id"], r["line_no"], r["seg_idx"]): (r["seg"], r["n_occ"], r["keep"])
+            for r in dedup.line_dedup(df).collect()
+        }
+
+    a, b = run(rows, 1), run(shuffled, 5)
+    assert a == b
+    by_seg: dict = {}
+    for key, (seg, n_occ, keep) in a.items():
+        by_seg.setdefault(seg, []).append((key, n_occ, keep))
+    for seg, members in by_seg.items():
+        assert all(n == len(members) for _, n, _ in members)
+        keepers = [k for k, _, kp in members if kp]
+        assert keepers == [min(k for k, _, _ in members)]
+
+
+@_FAST
+@given(st.lists(st.text(alphabet="pq r", max_size=20), max_size=6))
+def test_corpus_diff_self_is_unchanged(spark, texts):
+    """diff(corpus, corpus) marks every doc unchanged — and a disjoint
+    pair of snapshots yields only added+removed."""
+    from pdf_ocr_comparison_tool_spark.operators import pipeline
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if rows:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        same = pipeline.corpus_diff(df, df).collect()
+        assert {r["status"] for r in same} <= {"unchanged"}
+        assert len(same) == len(rows)
+        other = spark.createDataFrame(
+            [(i + 1000, t) for i, t in rows], "doc_id long, text string"
+        )
+        dis = pipeline.corpus_diff(df, other).collect()
+        assert {r["status"] for r in dis} <= {"added", "removed"}
+        assert len(dis) == 2 * len(rows)
