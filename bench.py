@@ -158,23 +158,64 @@ def _run_scaling_child(n_executors: str) -> dict:
 
     n_exec = int(n_executors)
     total_cores = n_exec * 2
+    job = os.environ.get("SPARK_GRAFT_SCALE_JOB", "extract")
+    # the shuffling job sizes partitions to DATA VOLUME, identically at
+    # both cluster sizes (fair comparison: same aggregation granularity,
+    # only the executor count changes) — cores*4 would hand a 3 GiB
+    # executor multi-GB hash-agg partitions at 1-executor scale
+    shuffle = (
+        int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
+        if job == "line_dedup"
+        else total_cores * 4
+    )
+    # the shuffling job disables broadcast joins: the replicated corpus
+    # compresses ~REPx, so AQE's compressed-shuffle-size heuristic
+    # would broadcast the BIG side of the join-back and OOM the
+    # executor on the deserialized hash relation — and a sort-merge
+    # join is precisely the cross-JVM shuffle path this job exists to
+    # measure (real corpora don't compress 256x; production keeps AQE's
+    # choice)
+    extra = (
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        if job == "line_dedup"
+        else {}
+    )
     spark = get_spark(
         app_name="bench-scaling",
-        shuffle_partitions=total_cores * 4,
+        shuffle_partitions=shuffle,
         master=f"local-cluster[{n_exec},2,3072]",
+        extra_conf=extra,
     )
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     n_base = base.count()
     # repartition BEFORE the explode: the base table is one parquet file
     # (one read task); exploding there would serialize the replication
     # and Amdahl-cap the scaling measurement
+    # input partitions track DATA VOLUME for the shuffling job (its
+    # map-side partial aggregation holds per-partition state; a
+    # cores-based count hands a 3 GiB executor multi-GB partitions at
+    # 1-executor scale) and cores for the narrow extraction job
+    n_input_parts = shuffle if job == "line_dedup" else total_cores * 4
     rep = (
-        base.repartition(total_cores * 4)
+        base.repartition(n_input_parts)
         .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(SCALE_REPLICATION))))
         .withColumn("doc_id", F.col("doc_id") * SCALE_REPLICATION + F.col("rep"))
         .drop("rep")
     )
-    out = extract_ordered_spans(synth.spans_from_docs(rep))
+    if job == "line_dedup":
+        # the SHUFFLING counterpart of the (shuffle-free) extraction
+        # job: segment rows → groupBy(segment) min+count → join back.
+        # Replicas share most segments, so the groupBy really reduces
+        # (map-side combine) and the join-back really redistributes —
+        # exercising cross-JVM shuffle at both stages.
+        from pdf_ocr_comparison_tool_spark.operators.dedup import line_dedup
+
+        out = line_dedup(rep)
+    else:
+        out = extract_ordered_spans(synth.spans_from_docs(rep))
     out.write.format("noop").mode("overwrite").save()  # warm: codegen + JIT
     t0 = time.perf_counter()
     out.write.format("noop").mode("overwrite").save()
