@@ -33,10 +33,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--cores", default=None)
     p.add_argument(
         "--job",
-        choices=("extract", "corpus"),
+        choices=("extract", "corpus", "match"),
         default="extract",
         help="extract = spans pipeline; corpus = admission filter + split "
-        "(+ --publish for the final shard layout)",
+        "(+ --publish for the final shard layout); match = the "
+        "reference's primary workflow (voucher-vs-reference staged "
+        "match + merged islands + summary reports)",
     )
     p.add_argument(
         "--publish",
@@ -48,6 +50,45 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark(app_name=f"{args.job}-job", cores=args.cores)
     run_id = args.run_id or uuid.uuid4().hex[:12]
+
+    if args.job == "match":
+        # the reference's end-user workflow (main.py batch mode):
+        # match every voucher page against the reference index, merge
+        # consecutive matches into islands, and emit the three report
+        # tables its Excel/CSV sinks carry (S12-S14) — as parquet
+        from .operators import matching, merge
+        from .queries import _featured_roles, q_match_summary
+
+        v, r = _featured_roles(spark, args.input)
+        best = matching.with_matched_keywords(
+            matching.best_matches(
+                v,
+                matching.match_pages(
+                    v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP
+                ),
+            ),
+            v,
+            r,
+        )
+        best.drop("matched_kw_arr").write.mode("overwrite").parquet(
+            f"{args.output}/match_best"
+        )
+        merged = merge.merge_page_matches(best, keywords=True)
+        merged.write.mode("overwrite").parquet(f"{args.output}/match_merged")
+        summary = q_match_summary(spark, args.input)
+        summary.write.mode("overwrite").parquet(f"{args.output}/match_summary")
+        n_best = spark.read.parquet(f"{args.output}/match_best").count()
+        n_merged = spark.read.parquet(f"{args.output}/match_merged").count()
+        rows = spark.read.parquet(f"{args.output}/match_summary").collect()
+        print(json.dumps({
+            "job": "match",
+            "run_id": run_id,
+            "pages_matched": n_best,
+            "islands": n_merged,
+            "status_counts": {x["status"]: x["n"] for x in rows},
+        }))
+        spark.stop()
+        return
 
     if args.job == "extract":
         docs = salted_repartition(
