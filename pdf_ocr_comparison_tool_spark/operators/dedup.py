@@ -404,15 +404,18 @@ def decontaminate(
     table is just a different (small) input with the same schema.
 
     Scale shape: distinct-gram rows on both sides, equi-join on the
-    48-bit gram hash (the eval side is the small one — thousands of
-    benchmark items against 10^12 docs; AQE broadcasts it), per-pair
-    counts via map-side-combinable groupBy, LEFT JOIN back so every
-    corpus doc gets a verdict. Fractions are int/int divisions —
-    bit-exact cross-engine."""
+    FULL 128-bit md5 of the gram (the eval side is the small one —
+    thousands of benchmark items against 10^12 docs; AQE broadcasts
+    it), per-pair counts via map-side-combinable groupBy, LEFT JOIN
+    back so every corpus doc gets a verdict. The hash width matters at
+    target scale: 3×10^13 corpus grams against a 48-bit key would
+    birthday-collide ~10^12 times (pervasive false positives); 128
+    bits makes collisions practically impossible. Fractions are
+    int/int divisions — bit-exact cross-engine."""
     from .features import hash_bucket
 
     toks = tokens_col(F.col("text"))
-    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast("long")
+    gh = F.md5(F.col("gram"))
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),

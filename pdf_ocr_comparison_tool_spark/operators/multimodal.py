@@ -167,6 +167,8 @@ def decode_media(with_payload: DataFrame) -> DataFrame:
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if not len(pdf):  # empty Arrow batch: nothing to shape
+                continue
             decoded = pdf["payload"].map(parse_media)
             out = pd.DataFrame(list(decoded))
             out.insert(0, "media_ref", pdf["media_ref"].values)

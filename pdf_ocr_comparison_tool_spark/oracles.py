@@ -1028,7 +1028,7 @@ def decontaminate_sql(d: str, docs: str = "documents") -> str:
             f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
             f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
         )
-    gh = G.hexint48("gram", d)
+    gh = "md5(gram)"
     bucket = f"({G.hexint(G.cast_str('doc_id', d), d)}) % {DECON_EVAL_BUCKETS}"
     if d == SPARK:
         gram_select = (
