@@ -204,6 +204,42 @@ def repetition_exprs(text) -> dict:
     }
 
 
+NGRAM_TOP = 100
+
+
+def ngram_counts(docs: DataFrame, n: int = 3, top: int = NGRAM_TOP) -> DataFrame:
+    """Corpus-wide word n-gram count table top-``top`` — the artifact a
+    KenLM-style LM quality filter (CCNet / Gopher pipelines) trains
+    from: per n-gram its total occurrence count and distinct-doc count.
+
+    Shape: positional n-grams via the shared shifted-zip builder
+    (narrow), exploded to rows, groupBy(gram) with map-side combine —
+    a boilerplate gram repeated on 10^9 pages partial-aggregates before
+    the shuffle — and top-N via orderBy+limit (TakeOrderedAndProject:
+    parallel partial top-N, never an unpartitioned window over the
+    whole vocabulary). Ties rank by gram text ascending."""
+    from pyspark.sql import Window
+
+    from .dedup import _ngrams_col, tokens_col
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(_ngrams_col(tokens_col(F.col("text")), n)).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    t = counts.orderBy(F.desc("n_occ"), F.asc("gram")).limit(top)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("gram"))
+    return t.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "gram",
+        F.col("n_occ").cast("long").alias("n_occ"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (chars/4,
     the common heuristic) as exact integer arithmetic."""

@@ -1073,6 +1073,45 @@ SELECT dd.doc_id,
 FROM {docs} dd LEFT JOIN dc_p p ON dd.doc_id = p.doc_id"""
 
 
+def ngram_counts_sql(d: str, docs: str = "documents", n: int = 3) -> str:
+    """Mirror of textstats.ngram_counts: positional word n-grams →
+    global counts + distinct-doc counts → deterministic top-N."""
+    from .operators.textstats import NGRAM_TOP
+
+    if d == SPARK:
+        grams = (
+            f"CASE WHEN size(toks) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )
+        unnest = "explode(grams) AS gram"
+        sel = f"SELECT doc_id, {unnest} FROM ng_a"
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+        sel = "SELECT doc_id, unnest(grams) AS gram FROM ng_a"
+    return f"""WITH {_tok_cte(d, docs)},
+ng_a AS (
+  SELECT doc_id, {grams} AS grams FROM dd_tok
+),
+ng_g AS (
+  {sel}
+),
+ng_c AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ng_g GROUP BY gram
+),
+ng_r AS (
+  SELECT *, row_number() OVER (ORDER BY n_occ DESC, gram ASC) AS rank
+  FROM ng_c
+)
+SELECT CAST(rank AS BIGINT) AS rank, gram, n_occ, n_docs
+FROM ng_r WHERE rank <= {NGRAM_TOP}"""
+
+
 def line_dedup_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.dedup.line_dedup: newline-split lines,
     normalized (lower, ws-collapse, trim, empties dropped), sub-chunked

@@ -1038,6 +1038,16 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_filter(docs)
 
 
+@register("ngram_counts", oracle=O.ngram_counts_sql(G.DUCK))
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide trigram count table (the KenLM-style LM-filter
+    training artifact): top-100 grams with occurrence + distinct-doc
+    counts, parallel partial top-N."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return textstats.ngram_counts(docs)
+
+
 @register("token_counts", oracle=O.token_counts_sql(G.DUCK))
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-estimate token counting."""
@@ -1080,6 +1090,7 @@ _QUERY_ORDER = [
     # textstats (displaced in r3: re-verify)
     "text_repetition",
     "token_counts",
+    "ngram_counts",
     "lang_id",
     "text_quality",
     # embedding dedup (never / displaced) + quantizer training (new r4)
@@ -1107,7 +1118,6 @@ _QUERY_ORDER = [
     # reports
     "dedup_exact_pages",
     # cascade / classification composites
-    "type_islands",
     "project_detect",
     # text dedup family
     "dedup_minhash_lsh",
@@ -1130,6 +1140,7 @@ _QUERY_ORDER = [
     "events_session_window",
     "keyword_top",
     "engine_cascade",
+    "type_islands",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",
