@@ -42,7 +42,9 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "line_dedup",
     "decontaminate",
+    "ngram_counts",
     "corpus_filter",
+    "corpus_diff",
     "seq_packing",
     "text_repetition",
     "ann_brute_topk",
