@@ -1,0 +1,174 @@
+"""Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+merge-table fit every subword tokenizer ships with, expressed as pure
+DataFrame dataflow:
+
+* classic BPE trains on the WORD-FREQUENCY table, not the raw corpus —
+  the initial corpus-wide word count is the only full-scan stage; every
+  merge iteration runs over (vocab-size × word-length) symbol rows,
+  orders of magnitude smaller than the corpus at 100 TB;
+* each unrolled iteration: positional symbol pairs (lead window inside
+  per-word partitions — bounded by word length), corpus-weighted pair
+  counts (map-side combinable groupBy), the argmax pair as a ONE-ROW
+  frame (orderBy+limit-1 = TakeOrderedAndProject; ties break
+  lexicographically so the fit is deterministic), then the greedy
+  leftmost merge applied relationally: runs of consecutive overlapping
+  matches keep their odd-indexed positions (gaps-and-islands — the
+  exact greedy-left semantics of the reference algorithm), consumed
+  successors drop, arrays rebuild ordered.
+
+Each iteration localCheckpoints its (tiny) state and argmax frames —
+the CC pattern: without the cut, every iteration's plan TREE embeds ~4
+copies of the previous one (Catalyst sees trees, not DAGs) and 6
+merges compile 4^6 subtrees. Values are unaffected, so the DuckDB
+oracle remains the same unrolled CTE chain; superseded checkpoints are
+released as in connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+BPE_MERGES = 6
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide word frequency table (the BPE training input)."""
+    return (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _pair_rows(state: DataFrame) -> DataFrame:
+    """(word, freq, pos, sym, nxt) — positional symbols with successor."""
+    rows = state.select(
+        "word", "freq", F.posexplode("syms").alias("pos", "sym")
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    return rows.withColumn("nxt", F.lead("sym").over(w))
+
+
+def _apply_merge(pr: DataFrame, best: DataFrame) -> DataFrame:
+    """One greedy-leftmost merge of the argmax pair, relationally:
+    matched positions chain only when the pair overlaps itself
+    (bl == br, e.g. 'aa' in 'aaaa'); within each maximal run of
+    consecutive matches the 1st, 3rd, ... merge (rrn odd) and their
+    successors are consumed. Returns the next (word, freq, syms)."""
+    m = pr.crossJoin(F.broadcast(best))
+    m = m.withColumn(
+        "is_m", (F.col("sym") == F.col("bl")) & (F.col("nxt") == F.col("br"))
+    )
+    wm = Window.partitionBy("word").orderBy("pos")
+    matched = (
+        m.filter("is_m")
+        .withColumn("mrn", F.row_number().over(wm))
+        .withColumn("rid", F.col("pos") - F.col("mrn"))
+    )
+    wr = Window.partitionBy("word", "rid").orderBy("pos")
+    starts = (
+        matched.withColumn("rrn", F.row_number().over(wr))
+        .filter(F.col("rrn") % 2 == 1)
+        .select("word", "pos")
+        .withColumn("is_start", F.lit(True))
+    )
+    consumed = starts.select(
+        "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("is_used")
+    )
+    j = (
+        m.join(starts, ["word", "pos"], "left")
+        .join(consumed, ["word", "pos"], "left")
+        .filter(F.col("is_used").isNull())
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("is_start"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "sym"))), lambda s: s["sym"]
+    )
+    return j.groupBy("word", "freq").agg(ordered.alias("syms"))
+
+
+def bpe_fit(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus; emits the merge
+    table (merge_rank, lhs, rhs, merged, pair_freq) — the artifact a
+    subword tokenizer loads. Deterministic: ties on pair frequency
+    break lexicographically."""
+    from .dedup import _release_local_checkpoint
+
+    state = word_freqs(docs).select(
+        "word", "freq", F.split(F.col("word"), "").alias("syms")
+    ).localCheckpoint()
+    merges = []
+    for i in range(1, n_merges + 1):
+        pr = _pair_rows(state)
+        cnt = (
+            pr.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pf"))
+        )
+        best = (
+            cnt.orderBy(F.desc("pf"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .select(
+                F.col("sym").alias("bl"),
+                F.col("nxt").alias("br"),
+                F.col("pf").alias("pair_freq"),
+            )
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(
+                F.lit(i).cast("long").alias("merge_rank"),
+                F.col("bl").alias("lhs"),
+                F.col("br").alias("rhs"),
+                F.concat("bl", "br").alias("merged"),
+                F.col("pair_freq").cast("long").alias("pair_freq"),
+            )
+        )
+        new_state = _apply_merge(pr, best).localCheckpoint()
+        _release_local_checkpoint(state)
+        state = new_state
+    _release_local_checkpoint(state)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out
+
+
+def bpe_fit_py(word_freq: dict[str, int], n_merges: int = BPE_MERGES) -> list:
+    """Pure-Python reference BPE (test oracle): identical greedy-left
+    merge + (freq desc, pair asc) tie-break."""
+    state = {w: list(w) for w in word_freq}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for w, syms in state.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (bl, br), pf = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, bl, br, bl + br, pf))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == bl and syms[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges

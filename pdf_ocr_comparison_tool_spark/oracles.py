@@ -1073,6 +1073,101 @@ SELECT dd.doc_id,
 FROM {docs} dd LEFT JOIN dc_p p ON dd.doc_id = p.doc_id"""
 
 
+def bpe_merges_sql(d: str, docs: str = "documents",
+                   n_merges: int | None = None) -> str:
+    """Mirror of operators.bpe.bpe_fit: ``n_merges`` unrolled BPE
+    iterations over the corpus word-frequency table — per iteration a
+    lead-window pair expansion, the weighted argmax pair (ties
+    lexicographic), the greedy-leftmost merge via gaps-and-islands
+    (odd run positions merge, successors drop), and the ordered
+    rebuild. Output: the merge table (merge_rank, lhs, rhs, merged,
+    pair_freq)."""
+    from .operators.bpe import BPE_MERGES
+
+    n_merges = BPE_MERGES if n_merges is None else n_merges
+    # DuckDB re-inlines every CTE reference (the same tree-copy blowup
+    # Catalyst has); multi-referenced iteration CTEs must MATERIALIZE
+    # or 6 unrolled merges evaluate ~5^6 subtrees
+    mat = "" if d == SPARK else "MATERIALIZED "
+    if d == SPARK:
+        chars = "split(word, '')"
+        pos_rows = (
+            "SELECT word, freq, pos, sym FROM s{prev} "
+            "LATERAL VIEW posexplode(syms) u AS pos, sym"
+        )
+        rebuild = (
+            "array_join(array(), '')"  # unused branch marker
+        )
+        syms_agg = (
+            "transform(array_sort(collect_list(named_struct("
+            "'o', pos, 'x', sym))), s -> s.x)"
+        )
+    else:
+        chars = "string_split(word, '')"
+        pos_rows = (
+            "SELECT word, freq, generate_subscripts(syms, 1) - 1 AS pos, "
+            "unnest(syms) AS sym FROM s{prev}"
+        )
+        syms_agg = "list(sym ORDER BY pos ASC)"
+    ctes = [
+        f"""bw AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT {"explode(toks)" if d == SPARK else "unnest(toks)"} AS word
+        FROM dd_tok)
+  GROUP BY word
+)""",
+        f"s0 AS {mat}(SELECT word, freq, {chars} AS syms FROM bw)",
+    ]
+    for i in range(1, n_merges + 1):
+        inner = pos_rows.format(prev=i - 1)
+        ctes.append(f"""p{i} AS {mat}(
+  SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM ({inner})
+)""")
+        ctes.append(f"""b{i} AS {mat}(
+  SELECT sym AS bl, nxt AS br, CAST(sum(freq) AS BIGINT) AS pf
+  FROM p{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+  ORDER BY pf DESC, bl ASC, br ASC LIMIT 1
+)""")
+        ctes.append(f"""mt{i} AS {mat}(
+  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+         (p.sym = b.bl AND p.nxt = b.br) AS is_m
+  FROM p{i} p CROSS JOIN b{i} b
+)""")
+        ctes.append(f"""ks{i} AS {mat}(
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - mrn ORDER BY pos) AS rrn
+    FROM (
+      SELECT word, pos,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS mrn
+      FROM mt{i} WHERE is_m
+    ) x
+  ) y WHERE rrn % 2 = 1
+)""")
+        ctes.append(f"""ns{i} AS {mat}(
+  SELECT m.word, m.freq, m.pos,
+         CASE WHEN k.pos IS NOT NULL THEN m.sym || m.nxt ELSE m.sym END AS sym
+  FROM mt{i} m
+  LEFT JOIN ks{i} k ON m.word = k.word AND m.pos = k.pos
+  LEFT JOIN ks{i} kc ON m.word = kc.word AND m.pos = kc.pos + 1
+  WHERE kc.pos IS NULL
+)""")
+        ctes.append(f"""s{i} AS {mat}(
+  SELECT word, freq, {syms_agg} AS syms FROM ns{i} GROUP BY word, freq
+)""")
+    body = ",\n".join(ctes)
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({i} AS BIGINT) AS merge_rank, bl AS lhs, br AS rhs,"
+        f" bl || br AS merged, pf AS pair_freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""WITH {_tok_cte(d, docs)},
+{body}
+{union}"""
+
+
 def ngram_counts_sql(d: str, docs: str = "documents", n: int = 3) -> str:
     """Mirror of textstats.ngram_counts: positional word n-grams →
     global counts + distinct-doc counts → deterministic top-N."""

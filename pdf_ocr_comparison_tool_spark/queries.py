@@ -22,6 +22,7 @@ from . import oracles as O
 from . import sqlgen as G
 from . import synth
 from .operators import (
+    bpe,
     cascade,
     classify,
     dedup,
@@ -1038,6 +1039,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_filter(docs)
 
 
+@register("bpe_merges", oracle=O.bpe_merges_sql(G.DUCK))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: 6 merge iterations over the
+    corpus word-frequency table (lead-window pairs, weighted argmax
+    with lexicographic ties, greedy-leftmost merge via
+    gaps-and-islands) — the merge table a subword tokenizer loads."""
+    return bpe.bpe_fit(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("ngram_counts", oracle=O.ngram_counts_sql(G.DUCK))
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide trigram count table (the KenLM-style LM-filter
@@ -1091,6 +1101,7 @@ _QUERY_ORDER = [
     "text_repetition",
     "token_counts",
     "ngram_counts",
+    "bpe_merges",
     "lang_id",
     "text_quality",
     # embedding dedup (never / displaced) + quantizer training (new r4)
@@ -1114,7 +1125,6 @@ _QUERY_ORDER = [
     "match_topk",
     "match_merged",
     "match_summary",
-    "match_cosine_pairs",
     # reports
     "dedup_exact_pages",
     # cascade / classification composites
@@ -1141,6 +1151,7 @@ _QUERY_ORDER = [
     "keyword_top",
     "engine_cascade",
     "type_islands",
+    "match_cosine_pairs",
     "pages_synth",
     "match_best_jaccard",
     "match_summary_wide",

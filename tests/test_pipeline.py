@@ -211,3 +211,27 @@ def test_corpus_diff_statuses(spark):
     out = {r["doc_id"]: r["status"]
            for r in pipeline.corpus_diff(old, new).collect()}
     assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_bpe_fit_matches_python_reference(spark):
+    """Distributed BPE == the sequential reference algorithm on the
+    same word-frequency table, including the overlapping-pair run case
+    ('aaaa' merges greedily left) and weighted frequency ties."""
+    from pdf_ocr_comparison_tool_spark.operators import bpe
+
+    rows = [
+        (1, "low lower lowest low low newer new newest wider wide"),
+        (2, "aaaa aaa aa low new wide wider banana bandana"),
+        (3, "low low low newer newer wide"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in bpe.bpe_fit(docs).orderBy("merge_rank").collect()
+    ]
+    wf: dict = {}
+    for _, t in rows:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    assert got == bpe.bpe_fit_py(wf)
+    assert got[0][:4] == (1, "l", "o", "lo")  # 'lo' dominates this fixture
