@@ -107,7 +107,13 @@ def _run_headline(cores: str) -> dict:
     }
 
 
-SCALE_REPLICATION = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "512"))
+_SCALE_REP_DEFAULTS = {"extract": "512", "line_dedup": "512", "match_best": "4"}
+SCALE_REPLICATION = int(
+    os.environ.get("SPARK_GRAFT_SCALE_REP")
+    or _SCALE_REP_DEFAULTS.get(
+        os.environ.get("SPARK_GRAFT_SCALE_JOB", "extract"), "512"
+    )
+)
 SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
 
 # Host-contention guard: this is a SHARED box and concurrent tenants
@@ -165,9 +171,12 @@ def _run_scaling_child(n_executors: str) -> dict:
     # both cluster sizes (fair comparison: same aggregation granularity,
     # only the executor count changes) — cores*4 would hand a 3 GiB
     # executor multi-GB hash-agg partitions at 1-executor scale
+    # shuffling/join jobs pin partitions across cluster sizes (same
+    # aggregation/join granularity, only executor count varies); the
+    # narrow extraction job tracks cores
     shuffle = (
         int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
-        if job == "line_dedup"
+        if job in ("line_dedup", "match_best")
         else total_cores * 4
     )
     # the shuffling job disables broadcast joins: the replicated corpus
@@ -216,6 +225,27 @@ def _run_scaling_child(n_executors: str) -> dict:
         from pdf_ocr_comparison_tool_spark.operators.dedup import line_dedup
 
         out = line_dedup(rep)
+    elif job == "match_best":
+        # the MULTI-JOIN counterpart: the full staged match DAG
+        # (exact-hash join → blocked fuzzy joins → bounded fallback →
+        # per-probe top-k window) over replicated pages. Each replica's
+        # text is perturbed with its replica tag so content hashes
+        # differ (otherwise the exact-hash join degenerates to an R²
+        # blowup on every duplicated page); the blocking keys
+        # (dates/amounts) still collide across replicas, which is
+        # exactly the hot-key shape the per-key salted cap exists for.
+        from pdf_ocr_comparison_tool_spark import pagesgen as P
+        from pdf_ocr_comparison_tool_spark import sqlgen as SG
+        from pdf_ocr_comparison_tool_spark.operators import matching
+        from pdf_ocr_comparison_tool_spark.queries import _featured_from_pages
+
+        rep.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" q"), F.col("doc_id") % SCALE_REPLICATION)
+        ).createOrReplaceTempView("documents")
+        pages = spark.sql(P.pages_sql(SG.SPARK))
+        v, r = _featured_from_pages(spark, pages)
+        ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+        out = matching.best_matches(v, ranked)
     else:
         out = extract_ordered_spans(synth.spans_from_docs(rep))
     out.write.format("noop").mode("overwrite").save()  # warm: codegen + JIT

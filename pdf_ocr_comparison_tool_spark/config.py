@@ -51,6 +51,13 @@ STATUS_PARTIAL = "部分匹配"
 STATUS_LOW = "低相似度"
 STATUS_NOT_FOUND = "未找到"
 
+# the two-folder pipeline's simplified banding (run_ocr.py:258,270):
+# '匹配' above the threshold, else '部分匹配'; no-match rows '未匹配'
+TWO_BAND_THRESHOLD = 0.75
+STATUS_TB_MATCH = "匹配"
+STATUS_TB_PARTIAL = "部分匹配"
+STATUS_TB_NONE = "未匹配"
+
 
 def doc_type_patterns() -> list[tuple[str, int, str]]:
     """(doc_type, priority, alternation_regex) — ONE findall regex per

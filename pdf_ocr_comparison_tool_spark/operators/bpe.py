@@ -104,6 +104,15 @@ def bpe_fit(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     break lexicographically."""
     from .dedup import _release_local_checkpoint
 
+    if n_merges <= 0:
+        # degenerate case, same as the Python reference bpe_fit_py:
+        # an empty merge table with the standard schema
+        return docs.sparkSession.createDataFrame(
+            [],
+            "merge_rank long, lhs string, rhs string, "
+            "merged string, pair_freq long",
+        )
+
     state = word_freqs(docs).select(
         "word", "freq", F.split(F.col("word"), "").alias("syms")
     ).localCheckpoint()

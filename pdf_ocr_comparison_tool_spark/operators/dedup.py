@@ -261,6 +261,9 @@ def verified_near_dups(
 CC_MAX_ITERS = 25
 
 
+_RELEASE_WARNED = False
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Free the executor storage blocks of a superseded localCheckpoint
     frame. ``DataFrame.unpersist()`` only covers cache-manager entries;
@@ -268,11 +271,49 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     in executor storage until driver GC collects the frame — across
     CC rounds those superseded blocks accumulate. Best-effort: if the
     internal accessor moves in a future Spark, GC-based cleanup still
-    applies."""
+    applies — but warn once so a silently-broken release is visible."""
+    global _RELEASE_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
+    except Exception as exc:  # pragma: no cover - Spark-internal accessor
+        if not _RELEASE_WARNED:
+            _RELEASE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "localCheckpoint block release failed (Spark internal "
+                f"accessor moved?): {exc!r}; falling back to GC-based "
+                "cleanup — executor storage may accumulate across "
+                "iterative rounds",
+                RuntimeWarning,
+            )
+
+
+def _changed_from_observation(obs, fallback_df: DataFrame, timeout_sec: float = 30.0) -> int:
+    """Read the per-round changed-label count from the Observation
+    attached to the label-update job. The metric is produced by the
+    SAME action that materializes the round's localCheckpoint, so the
+    convergence check costs zero extra jobs. Bounded poll + fallback:
+    if the listener ever stops firing for RDD-materialize actions (a
+    Spark-internal behavior we verified on 4.1 but don't control), scan
+    the already-checkpointed frame instead of hanging in ``obs.get``."""
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    try:
+        jo = obs._jo
+        while time.monotonic() < deadline:
+            if jo.getRowOrEmpty().isDefined():
+                return int(obs.get["changed"] or 0)
+            time.sleep(0.02)
+    except Exception:  # pragma: no cover - py4j accessor drift
         pass
+    return int(
+        fallback_df.agg(
+            F.sum(F.col("chg").cast("long")).alias("changed")
+        ).first()["changed"]
+        or 0
+    )
 
 
 def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
@@ -294,22 +335,29 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     corrupt downstream keep decisions.
 
     The driver-side loop is a CONVERGENCE loop, not a data loop: per
-    round two joins + one groupBy-min, all distributed; the driver only
-    sees the scalar changed-count. ``localCheckpoint`` truncates the
-    lineage each round so the plan doesn't grow with iterations.
+    round ONE distributed job — the label-update joins materialize the
+    round's localCheckpoint, and an attached ``Observation`` metric
+    (``sum(new_lbl != old_lbl)``) rides the same job, so the driver
+    reads the changed-count without a second pass (the previous shape
+    paid a full new×old label join + count per round, which doubled
+    round latency and amplified ambient host load across ~50 small
+    jobs). ``localCheckpoint`` truncates the lineage each round so the
+    plan doesn't grow with iterations.
     """
+    from pyspark.sql import Observation
     sym = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
+    labels_ckpt = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    labels = labels_ckpt
     converged = False
     for _ in range(max_iters):
         msgs = (
@@ -322,29 +370,31 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         hop = labels.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
+        new_lbl = F.least(
+            F.col("lbl"),
+            F.coalesce("nbr_min", F.col("lbl")),
+            F.coalesce("lbl2", F.col("lbl")),
+        )
+        obs = Observation()
         new_labels = (
             labels.join(msgs, "node", "left")
             .join(hop, "lbl", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("lbl"),
-                    F.coalesce("nbr_min", F.col("lbl")),
-                    F.coalesce("lbl2", F.col("lbl")),
-                ).alias("lbl"),
+                new_lbl.alias("new_lbl"),
+                (new_lbl != F.col("lbl")).alias("chg"),
             )
-            .localCheckpoint()
+            .withColumnRenamed("new_lbl", "lbl")
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
+            .localCheckpoint()  # eager: this job also emits the metric
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        # the changed-count was the last reader of the previous round's
-        # checkpoint — release its blocks before they accumulate
-        _release_local_checkpoint(labels)
-        labels = new_labels
+        changed = _changed_from_observation(obs, new_labels)
+        # release the RDD blocks of the superseded round's checkpoint
+        # (the checkpoint frame itself, not a projection over it — the
+        # release accessor needs the LogicalRDD at the plan root)
+        _release_local_checkpoint(labels_ckpt)
+        labels_ckpt = new_labels
+        labels = new_labels.drop("chg")
         if changed == 0:
             converged = True
             break

@@ -449,10 +449,18 @@ def pack_manifest(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
 
 
 def corpus_filter(
-    docs: DataFrame, cache_registry: list | None = None
+    docs: DataFrame,
+    cache_registry: list | None = None,
+    quality_model: DataFrame | None = None,
 ) -> DataFrame:
     """Compose the admission verdict for a ``documents``-shaped frame
     (doc_id, text). See module docstring for stages and precedence.
+
+    ``quality_model`` (opt-in): a trained (token, w_milli) linear
+    scorer dim (textstats.quality_score, fastText-style); when passed,
+    docs whose model label is ``drop`` gain the ``model_low_quality``
+    drop reason, ranked after the heuristic ``low_quality`` stage. The
+    default (None) leaves the verdict — and its oracle — unchanged.
 
     Cache LIFETIME is owned by the caller (same contract as
     matching.match_pages): the MinHash signature frame below is cached
@@ -491,11 +499,19 @@ def corpus_filter(
         .withColumn("neardup_keep", F.coalesce("nd_keep", F.lit(True)))
         .drop("nd_keep")
     )
+    model_drop = F.lit(False)
+    if quality_model is not None:
+        scored = textstats.quality_score(docs, quality_model).select(
+            "doc_id", (F.col("label") == "drop").alias("model_drop")
+        )
+        joined = joined.join(scored, "doc_id", "left")
+        model_drop = F.coalesce("model_drop", F.lit(False))
     reason = (
         F.when(~F.col("exact_keep"), F.lit("exact_dup"))
         .when(~F.col("neardup_keep"), F.lit("near_dup"))
         .when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
         .when(F.col("quality") == "low", F.lit("low_quality"))
+        .when(model_drop, F.lit("model_low_quality"))
         .when(F.col("top_2gram_char_frac") > MAX_TOP2_FRAC, F.lit("repetitive_2gram"))
         .when(F.col("dup_3gram_frac") > MAX_DUP3_FRAC, F.lit("repetitive_3gram"))
     )

@@ -122,6 +122,17 @@ def text_repetition(docs: DataFrame) -> DataFrame:
     form of this operator measured ~4× slower). Shuffle-free per
     document; fractions are int/int divisions, so values are
     bit-identical cross-engine.
+
+    A/B vs the relational argmax (explode tagged grams → groupBy(doc,
+    n, gram) count → struct-min argmax → join back), sf0.1 local[32],
+    value-identical (0 diff rows): with the non-splittable-input
+    rebalance in ``synth.load_table`` giving the narrow stage full
+    parallelism, the fold runs ~0.9–1.2 s vs ~1.3–1.6 s relational —
+    the per-doc gram shuffle costs more than the interpreted fold. The
+    round-4 8.6 s driver reading was the single-partition scan
+    serializing the fold onto one core (now fixed at the loader), not
+    the fold itself. Keeping the narrow fold: it also scales without
+    the gram-row shuffle volume (~2× token count per doc) at 100 TB.
     """
     e = repetition_exprs(F.col("text"))
     return docs.select(
@@ -250,4 +261,74 @@ def token_counts(docs: DataFrame) -> DataFrame:
         n_chars.cast("long").alias("n_chars"),
         n_ws.cast("long").alias("n_ws_tokens"),
         F.expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").alias("n_bpe_est"),
+    )
+
+
+# ---------------------------------------------------------------- model
+# fastText-style linear quality scorer (Joulin et al. 2016, the standard
+# CCNet/LLaMA-pipeline quality-classifier shape): a trained artifact of
+# (token, weight) rows consumed as a broadcast dim; doc score = mean
+# token weight. Weights are INTEGER milli-units so the only float op is
+# one int/int division — bit-exact cross-engine. The tiny dim below is
+# the deterministic stand-in for a trained model file (exactly like the
+# fitted-quantizer stand-ins in similarity_search).
+QUALITY_MODEL_WEIGHTS: list[tuple[str, int]] = [
+    ("table", 40), ("query", 35), ("join", 30), ("spark", 50),
+    ("stream", 30), ("vector", 45), ("window", 25), ("column", 25),
+    ("hash", 20), ("merge", 20), ("agg", 15), ("sort", 10),
+    ("slow", -60), ("the", -30), ("value", -20), ("small", -25),
+    ("big", -15), ("row", -10),
+]
+QUALITY_MODEL_BIAS_MILLI = 0
+QUALITY_SCORE_KEEP_MIN = 2.0  # avg milli-weight threshold for 'keep'
+
+
+def quality_model_dim(spark) -> DataFrame:
+    """The trained-model artifact as a DataFrame — on a real pipeline
+    this is `spark.read.parquet(model_path)`; here the deterministic
+    spec table so the oracle can restate it as VALUES."""
+    return spark.createDataFrame(
+        QUALITY_MODEL_WEIGHTS, "token string, w_milli int"
+    )
+
+
+def quality_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Model-based quality score: explode tokens → broadcast-join the
+    weight dim → per-doc sum (map-side combinable), joined back to the
+    full doc list so unscored docs keep a 0 sum. Score = (bias +
+    Σ w_milli over token OCCURRENCES) / n_tokens as one int/int
+    division; label = keep/drop at QUALITY_SCORE_KEEP_MIN.
+
+    Scale shape: the corpus side is one explode + one groupBy(doc_id)
+    (fan-in bounded by tokens-per-doc); the model side broadcasts
+    (vocab-sized, ≤ a few 10⁶ rows for real fastText vocabularies)."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    hits = (
+        toks.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum("w_milli").alias("w_sum"),
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    score = (
+        (F.lit(QUALITY_MODEL_BIAS_MILLI) + F.coalesce("w_sum", F.lit(0)))
+        .cast("double")
+        / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        F.coalesce("w_sum", F.lit(0)).cast("long").alias("score_milli_sum"),
+        score.alias("avg_score_milli"),
+        F.when(score >= F.lit(QUALITY_SCORE_KEEP_MIN), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
     )

@@ -1095,9 +1095,6 @@ def bpe_merges_sql(d: str, docs: str = "documents",
             "SELECT word, freq, pos, sym FROM s{prev} "
             "LATERAL VIEW posexplode(syms) u AS pos, sym"
         )
-        rebuild = (
-            "array_join(array(), '')"  # unused branch marker
-        )
         syms_agg = (
             "transform(array_sort(collect_list(named_struct("
             "'o', pos, 'x', sym))), s -> s.x)"
@@ -2354,3 +2351,142 @@ SELECT doc_id, n_tokens, quality, top_2gram_char_frac, dup_3gram_frac,
        {reason} AS drop_reason,
        ({reason} IS NULL) AS keep
 FROM cf_j"""
+
+
+# -------------------------------------------------- round-5 oracle rows
+def similarity_dispatch_sql(d: str, docs: str = "documents") -> str:
+    """T12 dispatch (content_matcher.py:251-269): the rn<=2 ranked
+    candidate pairs scored through every branch of
+    functions.similarity.similarity() — levenshtein, jaccard (distinct
+    UDF-tokenizer sets), cosine, and the unknown-algorithm→cosine
+    default — over CJK-folded page text (fold is idempotent, so the
+    lev branch's internal fold is a no-op and all four branches see
+    identical input cross-engine)."""
+    ftext = G.fold_cjk("text", d)
+    if d == G.SPARK:
+        dist = lambda a: f"array_distinct({a})"  # noqa: E731
+    else:
+        dist = lambda a: f"list_distinct({a})"  # noqa: E731
+    ja, jb = dist("tv.utoks"), dist("tr.utoks")
+    na, nb = _arr_size(ja, d), _arr_size(jb, d)
+    if d == G.SPARK:
+        inter = f"size(array_intersect({ja}, {jb}))"
+        uni = f"size(array_union({ja}, {jb}))"
+    else:
+        inter = f"len(list_intersect({ja}, {jb}))"
+        uni = f"len(list_distinct(list_concat({ja}, {jb})))"
+    jacc = f"""CASE
+  WHEN {na} = 0 AND {nb} = 0 THEN CAST(1.0 AS DOUBLE)
+  WHEN {na} = 0 OR {nb} = 0 THEN CAST(0.0 AS DOUBLE)
+  ELSE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE)
+END"""
+    cos = _cosine_sim_sql("tv.utoks", "tr.utoks", d)
+    return f"""WITH {ranked_matches_cte(d, docs)},
+sd_pairs AS (
+  SELECT doc_id, page_num, t_doc, t_page FROM m_ranked WHERE rn <= 2
+),
+sd_txt AS (
+  SELECT doc_id, role, page_num, ftext,
+         {_udf_toks('ftext', d)} AS utoks
+  FROM (SELECT doc_id, role, page_num, {ftext} AS ftext FROM pages)
+)
+SELECT p.doc_id, p.page_num, p.t_doc, p.t_page,
+       {_sim_sql('tv.ftext', 'tr.ftext', d)} AS sim_levenshtein,
+       {jacc} AS sim_jaccard,
+       {cos} AS sim_cosine,
+       {cos} AS sim_default
+FROM sd_pairs p
+JOIN sd_txt tv ON tv.role = 'voucher'
+  AND tv.doc_id = p.doc_id AND tv.page_num = p.page_num
+JOIN sd_txt tr ON tr.role = 'reference'
+  AND tr.doc_id = p.t_doc AND tr.page_num = p.t_page"""
+
+
+def match_two_band_sql(d: str, docs: str = "documents") -> str:
+    """T13 alternate banding used by the two-folder pipeline
+    (run_ocr.py:258,270): '匹配' strictly above TWO_BAND_THRESHOLD,
+    else '部分匹配'; voucher pages with no surviving candidate keep
+    '未匹配'."""
+    return f"""WITH {ranked_matches_cte(d, docs)},
+tb_best AS (SELECT * FROM m_ranked WHERE rn = 1)
+SELECT v.doc_id, v.page_num, b.t_doc, b.t_page,
+       coalesce(b.sim, 0.0) AS sim,
+       CASE WHEN b.t_doc IS NULL THEN '{C.STATUS_TB_NONE}'
+            WHEN b.sim > {C.TWO_BAND_THRESHOLD} THEN '{C.STATUS_TB_MATCH}'
+            ELSE '{C.STATUS_TB_PARTIAL}' END AS status2
+FROM mv v LEFT JOIN tb_best b
+  ON v.doc_id = b.doc_id AND v.page_num = b.page_num"""
+
+
+def quality_score_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.quality_score: broadcast (token, w_milli)
+    linear model, per-doc occurrence-weighted sum, one int/int
+    division, keep/drop label at QUALITY_SCORE_KEEP_MIN."""
+    from .operators.textstats import (
+        QUALITY_MODEL_BIAS_MILLI,
+        QUALITY_MODEL_WEIGHTS,
+        QUALITY_SCORE_KEEP_MIN,
+    )
+
+    rows = ", ".join(f"('{t}', {w})" for t, w in QUALITY_MODEL_WEIGHTS)
+    score = (
+        f"CAST({QUALITY_MODEL_BIAS_MILLI} + coalesce(h.w_sum, 0) AS DOUBLE)"
+        " / CAST(greatest(b.n_tokens, 1) AS DOUBLE)"
+    )
+    return f"""WITH {_tok_cte(d, docs)},
+qs_tok AS (SELECT doc_id, {explode('toks', 'token', d)} FROM dd_tok),
+qs_hits AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(qw.w_milli) AS BIGINT) AS w_sum
+  FROM qs_tok t JOIN (VALUES {rows}) AS qw(token, w_milli)
+    ON t.token = qw.token
+  GROUP BY t.doc_id
+),
+qs_base AS (SELECT doc_id, CAST({_arr_size('toks', d)} AS BIGINT) AS n_tokens FROM dd_tok)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(h.n_scored, 0) AS n_scored,
+       coalesce(h.w_sum, 0) AS score_milli_sum,
+       {score} AS avg_score_milli,
+       CASE WHEN {score} >= {QUALITY_SCORE_KEEP_MIN} THEN 'keep'
+            ELSE 'drop' END AS label
+FROM qs_base b LEFT JOIN qs_hits h ON b.doc_id = h.doc_id"""
+
+
+def checkpoint_parts_sql(d: str, docs: str = "documents") -> str:
+    """S8-S10 manifest surface: the per-part committed/remaining view
+    of the partially-committed fixture (sources.checkpoint
+    ensure_partial_fixture — the real extraction job killed after
+    CKPT_FIXTURE_COMMIT parts). Committed parts are the lowest
+    CKPT_FIXTURE_COMMIT nonempty content-keyed part ids; their stats
+    must equal a relational recount of the extraction output."""
+    from .sources.checkpoint import CKPT_FIXTURE_COMMIT, CKPT_FIXTURE_N_PARTS
+
+    n, k = CKPT_FIXTURE_N_PARTS, CKPT_FIXTURE_COMMIT
+    part = f"({G.hexint(G.cast_str('doc_id', d), d)}) % {n}"
+    if d == G.SPARK:
+        allparts = f"SELECT explode(sequence(0, {n - 1})) AS part"
+    else:
+        allparts = f"SELECT CAST(range AS BIGINT) AS part FROM range({n})"
+    return f"""WITH cp_docs AS (
+  SELECT doc_id, {part} AS part FROM {docs}
+),
+cp_rank AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_docs,
+         row_number() OVER (ORDER BY part) AS prn
+  FROM cp_docs GROUP BY part
+),
+cp_spans AS (
+  SELECT dd.part, CAST(count(*) AS BIGINT) AS n_spans
+  FROM ({G.extraction_sql(d, docs)}) ex
+  JOIN cp_docs dd ON ex.doc_id = dd.doc_id
+  GROUP BY dd.part
+),
+cp_all AS ({allparts})
+SELECT a.part,
+       coalesce(r.prn <= {k}, FALSE) AS committed,
+       CASE WHEN r.prn <= {k} THEN r.n_docs END AS n_docs,
+       CASE WHEN r.prn <= {k} THEN coalesce(s.n_spans, 0) END AS n_spans
+FROM cp_all a
+LEFT JOIN cp_rank r ON a.part = r.part
+LEFT JOIN cp_spans s ON a.part = s.part"""

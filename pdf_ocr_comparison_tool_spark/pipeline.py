@@ -56,10 +56,17 @@ def main(argv: list[str] | None = None) -> None:
         # match every voucher page against the reference index, merge
         # consecutive matches into islands, and emit the three report
         # tables its Excel/CSV sinks carry (S12-S14) — as parquet
+        from pyspark.sql import Window
+
         from .operators import matching, merge
-        from .queries import _featured_roles, q_match_summary
+        from .queries import _featured_roles
 
         v, r = _featured_roles(spark, args.input)
+        # ONE execution of the match DAG feeds both writes (cache per
+        # matching.match_pages' caller-owned cache contract); the
+        # summary then derives from the already-written match_best
+        # parquet — previously the full multi-join pipeline recomputed
+        # ~3x across the two writes + summary
         best = matching.with_matched_keywords(
             matching.best_matches(
                 v,
@@ -69,15 +76,25 @@ def main(argv: list[str] | None = None) -> None:
             ),
             v,
             r,
-        )
+        ).cache()
         best.drop("matched_kw_arr").write.mode("overwrite").parquet(
             f"{args.output}/match_best"
         )
         merged = merge.merge_page_matches(best, keywords=True)
         merged.write.mode("overwrite").parquet(f"{args.output}/match_merged")
-        summary = q_match_summary(spark, args.input)
+        best.unpersist()
+        written_best = spark.read.parquet(f"{args.output}/match_best")
+        g = written_best.groupBy("status").agg(F.count("*").alias("n"))
+        summary = g.select(
+            "status",
+            "n",
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy()).cast("double")
+            ).alias("frac"),
+        )
         summary.write.mode("overwrite").parquet(f"{args.output}/match_summary")
-        n_best = spark.read.parquet(f"{args.output}/match_best").count()
+        n_best = written_best.count()
         n_merged = spark.read.parquet(f"{args.output}/match_merged").count()
         rows = spark.read.parquet(f"{args.output}/match_summary").collect()
         print(json.dumps({

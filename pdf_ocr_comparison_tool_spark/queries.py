@@ -189,7 +189,14 @@ def q_doc_majority_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _featured_roles(spark: SparkSession, sf_dir: str):
-    pages = synth.pages_df(spark, sf_dir)
+    return _featured_from_pages(spark, synth.pages_df(spark, sf_dir))
+
+
+def _featured_from_pages(spark: SparkSession, pages: DataFrame):
+    """Feature + fold + cache the pages IR and split it into the
+    (voucher, reference) roles — factored from _featured_roles so the
+    scaling harness can feed a REPLICATED pages frame through the same
+    match path (bench.py SPARK_GRAFT_SCALE_JOB=match_best)."""
     # the driver parquet is a single file → one input partition; the
     # per-page feature projections below (regex features, keyword
     # top-N, TF maps for cosine) are the heavy narrow work, so spread
@@ -530,6 +537,102 @@ def q_project_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth.load_table(spark, sf_dir, "documents")
     return project.detect_projects(
         docs, project.source_dim(spark), project.keyword_dim(spark)
+    )
+
+
+@register("similarity_dispatch", oracle=O.similarity_dispatch_sql(G.DUCK))
+def q_similarity_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 dispatch (content_matcher.py:251-269): the rn<=2 ranked
+    candidate pairs scored through EVERY branch of
+    functions.similarity.similarity(t1, t2, algorithm) — levenshtein,
+    jaccard, cosine, and an unknown algorithm name exercising the
+    reference's else→cosine fallback — over CJK-folded page text, so
+    the levenshtein branch stays byte/char-agnostic cross-engine (its
+    internal fold is idempotent on folded input)."""
+    from .functions import similarity as S
+
+    v, r = _featured_roles(spark, sf_dir)
+    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    pairs = ranked.filter(F.col("rn") <= 2).select(
+        "doc_id", "page_num", "t_doc", "t_page"
+    )
+    pages = synth.pages_df(spark, sf_dir)
+    folded = F.translate("text", G.CJK_FOLD_SRC, G.CJK_FOLD_DST)
+    vt = pages.filter(F.col("role") == "voucher").select(
+        "doc_id", "page_num", folded.alias("v_text")
+    )
+    rt = pages.filter(F.col("role") == "reference").select(
+        F.col("doc_id").alias("t_doc"),
+        F.col("page_num").alias("t_page"),
+        folded.alias("r_text"),
+    )
+    a, b = F.col("v_text"), F.col("r_text")
+    return (
+        pairs.join(vt, ["doc_id", "page_num"])
+        .join(rt, ["t_doc", "t_page"])
+        .select(
+            "doc_id", "page_num", "t_doc", "t_page",
+            S.similarity(a, b, "levenshtein").alias("sim_levenshtein"),
+            S.similarity(a, b, "jaccard").alias("sim_jaccard"),
+            S.similarity(a, b, "cosine").alias("sim_cosine"),
+            S.similarity(a, b, "no_such_algorithm").alias("sim_default"),
+        )
+    )
+
+
+@register("match_two_band", oracle=O.match_two_band_sql(G.DUCK))
+def q_match_two_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 alternate two-band status of the two-folder pipeline
+    (run_ocr.py:258,270): strictly-above-0.75 → 匹配, else 部分匹配;
+    pages with no surviving candidate → 未匹配."""
+    v, r = _featured_roles(spark, sf_dir)
+    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    best = matching.best_matches(v, ranked)
+    band2 = (
+        F.when(F.col("status") == C.STATUS_NOT_FOUND, F.lit(C.STATUS_TB_NONE))
+        .when(F.col("sim") > C.TWO_BAND_THRESHOLD, F.lit(C.STATUS_TB_MATCH))
+        .otherwise(F.lit(C.STATUS_TB_PARTIAL))
+    )
+    return best.select(
+        "doc_id", "page_num", "t_doc", "t_page", "sim", band2.alias("status2")
+    )
+
+
+@register("quality_score", oracle=O.quality_score_sql(G.DUCK))
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (fastText-style linear classifier
+    consumed as a broadcast weight dim) — the trained-artifact quality
+    stage of a pre-training pipeline (textstats.quality_score)."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, textstats.quality_model_dim(spark))
+
+
+@register("checkpoint_parts", oracle=O.checkpoint_parts_sql(G.DUCK))
+def q_checkpoint_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-S10 manifest surface over a REAL partially-committed
+    checkpoint dir (extraction job killed after 6 of 8 part commits):
+    committed_parts (run-fenced manifest read) + remaining_parts
+    (anti-join resume set) as one per-part view, oracled against a
+    relational recount of the extraction output."""
+    from .sources import checkpoint as cp
+
+    fixture = cp.ensure_partial_fixture(spark, sf_dir)
+    lineage = cp.committed_parts(spark, fixture)
+    all_parts = spark.range(cp.CKPT_FIXTURE_N_PARTS).select(
+        F.col("id").cast("int").alias("part")
+    )
+    rem = cp.remaining_parts(all_parts, lineage).withColumn(
+        "missing", F.lit(True)
+    )
+    return (
+        all_parts.join(lineage.select("part", "n_docs", "n_spans"), "part", "left")
+        .join(rem, "part", "left")
+        .select(
+            F.col("part").cast("long").alias("part"),
+            F.col("missing").isNull().alias("committed"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
     )
 
 
@@ -1077,68 +1180,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which checks ALL entries). Rotate per round so every query re-proves
 # itself against the external gate over time.
 _QUERY_ORDER = [
-    # north-rule extraction core (flagship — always verified)
-    "extract_spans",
-    "extract_fulltext",
-    "extract_grounded",
-    "span_stats",
-    "media_manifest",
-    "media_decode",
-    "doc_processing_stats",
-    # LLM corpus-assembly pipeline (r3 additions: first driver rows)
-    "corpus_filter",
-    "seq_packing",
-    "pack_manifest",
-    "data_split",
-    "split_summary",
-    "corpus_stats",
-    "doc_chunks",
-    "source_cap_sample",
-    "mixture_weights",
-    "mixture_sample",
-    "corpus_diff",
-    # textstats (displaced in r3: re-verify)
-    "text_repetition",
-    "token_counts",
-    "ngram_counts",
-    "bpe_merges",
-    "lang_id",
-    "text_quality",
-    # embedding dedup (never / displaced) + quantizer training (new r4)
-    "emb_dup_clusters",
-    "emb_near_dups_lsh",
-    "ann_kmeans_fit",
-    "ann_pq_fit",
-    "ann_ivf_search_fit",
-    "ann_pq_search_fit",
-    "emb_knn_join",
-    # displaced in r3: re-verify
-    "events_window",
-    "source_rollup",
-    "name_conflict_seq",
-    # pages pipeline
-    "page_features",
-    "classify_pages",
-    # matching (flagship)
-    "match_best",
-    "match_best_cosine",
-    "match_topk",
-    "match_merged",
-    "match_summary",
-    # reports
-    "dedup_exact_pages",
-    # cascade / classification composites
-    "project_detect",
-    # text dedup family
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_winnow_pairs",
-    "dedup_simhash_pairs",
-    "line_dedup",
-    "decontaminate",
-    # ANN
-    "ann_pq_search",
-    # ---- tail: stable rows awaiting rotation (green r1-r3) ----
+    # --- head (driver-verified 50): new rows first, then the 30 rows
+    # whose last official green was round 3 (rotation policy: every
+    # query's driver row must be <=1 round old), then the queries whose
+    # shared code was touched this round + the flagship core ---
+    # new this round
+    "similarity_dispatch",
+    "match_two_band",
+    "quality_score",
+    "checkpoint_parts",
+    # rotated back in (r3-green tail of round 4)
     "dedup_winnow_clusters",
     "dedup_simhash_clusters",
     "doc_majority_type",
@@ -1169,6 +1220,59 @@ _QUERY_ORDER = [
     "ann_lsh_search",
     "ann_ivf_search",
     "emb_near_dups",
+    # touched this round (CC loop, loader rebalance, corpus_filter flag)
+    "dedup_clusters",
+    "emb_dup_clusters",
+    "text_repetition",
+    "corpus_filter",
+    "bpe_merges",
+    "decontaminate",
+    "line_dedup",
+    # flagship core (always verified)
+    "extract_spans",
+    "extract_fulltext",
+    "extract_grounded",
+    "span_stats",
+    "media_manifest",
+    "media_decode",
+    "match_best",
+    "match_best_cosine",
+    "match_merged",
+    # ---- tail: stable rows verified green in round 4 ----
+    "doc_processing_stats",
+    "seq_packing",
+    "pack_manifest",
+    "data_split",
+    "split_summary",
+    "corpus_stats",
+    "doc_chunks",
+    "source_cap_sample",
+    "mixture_weights",
+    "mixture_sample",
+    "corpus_diff",
+    "token_counts",
+    "ngram_counts",
+    "lang_id",
+    "text_quality",
+    "emb_near_dups_lsh",
+    "ann_kmeans_fit",
+    "ann_pq_fit",
+    "ann_ivf_search_fit",
+    "ann_pq_search_fit",
+    "emb_knn_join",
+    "events_window",
+    "source_rollup",
+    "name_conflict_seq",
+    "page_features",
+    "classify_pages",
+    "match_topk",
+    "match_summary",
+    "dedup_exact_pages",
+    "project_detect",
+    "dedup_minhash_lsh",
+    "dedup_winnow_pairs",
+    "dedup_simhash_pairs",
+    "ann_pq_search",
 ]
 
 

@@ -272,3 +272,53 @@ def publish_training_shards(
     data = read_output(spark, out_dir).drop("part")
     write_training_shards(data, final_dir)
     return shard_manifest(spark, final_dir)
+
+
+# ------------------------------------------------------- oracle fixture
+# S8-S10 driver-oracle support: a deterministic PARTIALLY-committed
+# checkpoint directory (the real commit path, killed mid-job), cached
+# per (sf_dir, spec) so the manifest queries are repeatable.
+CKPT_FIXTURE_N_PARTS = 8
+CKPT_FIXTURE_COMMIT = 6  # parts committed before the simulated kill
+_CKPT_FIXTURE_VERSION = 1
+
+
+def ensure_partial_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return a checkpoint output dir where the REAL
+    extraction job committed the first CKPT_FIXTURE_COMMIT of
+    CKPT_FIXTURE_N_PARTS content-keyed parts and was then killed
+    (``fail_after_parts``) — the state the resume / manifest surface
+    exists for. Deterministic: parts are hash_bucket(doc_id) keyed and
+    the batch takes the lowest remaining part ids, so the committed set
+    is a pure function of the input table. Built atomically (tmp dir +
+    rename) so concurrent builders can't interleave."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .. import synth
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{CKPT_FIXTURE_N_PARTS}|"
+        f"{CKPT_FIXTURE_COMMIT}|v{_CKPT_FIXTURE_VERSION}".encode()
+    ).hexdigest()[:16]
+    target = os.path.join(tempfile.gettempdir(), f"ckpt_fixture_{key}")
+    if os.path.isdir(os.path.join(target, "_lineage")):
+        return target
+    build = tempfile.mkdtemp(prefix=f"ckpt_fixture_{key}_build_")
+    try:
+        run_extraction_job(
+            spark,
+            synth.spans_df(spark, sf_dir),
+            build,
+            run_id="fixture0",
+            n_parts=CKPT_FIXTURE_N_PARTS,
+            fail_after_parts=CKPT_FIXTURE_COMMIT,
+        )
+    except RuntimeError:
+        pass  # the simulated mid-job kill
+    try:
+        os.rename(build, target)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # concurrent build won
+    return target

@@ -97,16 +97,20 @@ def _admit_update(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    # accumulate ALL Arrow chunks for the key before flagging: a hash
+    # group spanning chunks (>~10k duplicate rows in one micro-batch)
+    # must keep the batch-GLOBAL min doc_id, same as _dedup_update —
+    # per-chunk flagging would keep the first chunk's local min. Memory
+    # is bounded by duplicates of ONE text_hash within one micro-batch
+    # (narrow signal rows, no text column).
     seen = state.exists
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values("doc_id")
-        flags = []
-        for _ in range(len(pdf)):
-            flags.append(not seen)
-            seen = True
-        yield pdf.assign(exact_keep=flags).drop(columns=["text_hash"])
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        rows = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        flags = [False] * len(rows)
+        if not seen:
+            flags[0] = True
+        yield rows.assign(exact_keep=flags).drop(columns=["text_hash"])
     state.update((1,))
 
 

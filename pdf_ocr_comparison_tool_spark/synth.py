@@ -41,8 +41,35 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+# path → scan partition count, so the RDD-translation probe runs once
+# per table per process (the count only depends on file layout + split
+# config, both stable within a session)
+_SCAN_PARTS: dict[str, int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a table with a non-splittable-input rebalance: when the
+    scan yields fewer partitions than the cluster's default parallelism
+    (few / monolithic files — locally, a single-row-group parquet), all
+    downstream narrow work (tokenize, span synthesis, regex feature
+    extraction) would run on that handful of cores while the rest of
+    the cluster idles. One cheap round-robin exchange of the raw rows
+    restores full parallelism — the standard pattern for non-splittable
+    inputs (gzip, few big files) on a real cluster. On a 100 TB table
+    the scan already yields >> parallelism partitions and the rebalance
+    never triggers, so no corpus-wide shuffle is added at scale.
+    Catalyst still pushes filters and prunes columns through the
+    exchange (plan-guarded in tests/test_plans.py)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    parallelism = spark.sparkContext.defaultParallelism
+    n_parts = _SCAN_PARTS.get(path)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS[path] = n_parts
+    if n_parts < parallelism:
+        df = df.repartition(parallelism)
+    return df
 
 
 def spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:

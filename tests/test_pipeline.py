@@ -235,3 +235,46 @@ def test_bpe_fit_matches_python_reference(spark):
             wf[w] = wf.get(w, 0) + 1
     assert got == bpe.bpe_fit_py(wf)
     assert got[0][:4] == (1, "l", "o", "lo")  # 'lo' dominates this fixture
+
+
+def test_bpe_fit_zero_merges_is_empty(spark):
+    """n_merges=0 returns an empty merge table with the standard
+    schema (the Python reference's degenerate case), not an error."""
+    from pdf_ocr_comparison_tool_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, "low lower")], "doc_id long, text string")
+    out = bpe.bpe_fit(docs, n_merges=0)
+    assert out.count() == 0
+    assert out.columns == ["merge_rank", "lhs", "rhs", "merged", "pair_freq"]
+
+
+def test_corpus_filter_quality_model_flag(spark):
+    """quality_model opt-in: default verdict unchanged; with the model
+    dim, docs the scorer labels 'drop' gain the model_low_quality
+    reason ranked after the heuristic low_quality stage, and every
+    model-dropped doc is exactly one whose label is 'drop' among docs
+    that survive the earlier stages."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import textstats
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    dim = textstats.quality_model_dim(spark)
+    base = {r["doc_id"]: r["drop_reason"]
+            for r in pipeline.corpus_filter(docs).collect()}
+    flagged = {r["doc_id"]: r["drop_reason"]
+               for r in pipeline.corpus_filter(docs, quality_model=dim).collect()}
+    labels = {r["doc_id"]: r["label"]
+              for r in textstats.quality_score(docs, dim).collect()}
+    assert set(base) == set(flagged)
+    pre_model = {None, "repetitive_2gram", "repetitive_3gram"}
+    for d, r in flagged.items():
+        if r == "model_low_quality":
+            # only reachable for docs passing every earlier stage
+            assert base[d] in pre_model
+            assert labels[d] == "drop"
+        elif base[d] in pre_model and labels[d] == "drop":
+            # model drop outranks the repetition stages
+            assert r == "model_low_quality", (d, base[d], r)
+        else:
+            assert r == base[d]

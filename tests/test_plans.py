@@ -26,7 +26,13 @@ def _plan(df) -> str:
 def test_extraction_is_narrow_no_shuffle(spark):
     ex = extraction.extract_ordered_spans(synth.spans_df(spark, SF_DIR))
     plan = _plan(ex)
-    assert "Exchange" not in plan, "extraction must not shuffle"
+    # extraction itself must add no KEYED shuffle; the only allowed
+    # exchange is load_table's round-robin rebalance of a non-splittable
+    # input (absent at scale, where the scan has >= cores partitions)
+    assert "hashpartitioning" not in plan, "extraction must not key-shuffle"
+    assert plan.count("Exchange") <= 1, "only the input rebalance exchange"
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
     assert "Scan parquet" in plan or "FileScan" in plan
 
 
@@ -81,7 +87,13 @@ def test_exact_join_broadcasts_via_aqe_without_hint(spark):
 
 def test_full_text_no_shuffle(spark):
     ft = extraction.full_text(synth.spans_df(spark, SF_DIR))
-    assert "Exchange" not in _plan(ft)
+    plan = _plan(ft)
+    # no keyed shuffle; the input rebalance round-robin exchange is the
+    # only one allowed (see test_extraction_is_narrow_no_shuffle)
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
 
 
 def test_keyword_top_is_parallel_topk(spark):
@@ -173,7 +185,9 @@ def test_pipeline_ops_stay_equijoin_shaped(spark):
     assert "CartesianProduct" not in _plan(pairs)
     assert "CartesianProduct" not in _plan(pipeline.corpus_filter(docs))
     split_plan = _plan(pipeline.data_split(docs))
-    assert "Exchange" not in split_plan, "data_split must not shuffle"
+    # data_split adds no keyed shuffle; only the input rebalance
+    assert "hashpartitioning" not in split_plan, "data_split must not shuffle"
+    assert split_plan.count("Exchange") <= 1
     # line dedup: groupBy-min + join back, never a window over the hot
     # segment key and never an all-pairs join
     ld_plan = _plan(dedup.line_dedup(docs))
