@@ -43,6 +43,8 @@ HEADLINE = [
     "line_dedup",
     "decontaminate",
     "ngram_counts",
+    "substring_dup",
+    "quality_score",
     "corpus_filter",
     "corpus_diff",
     "seq_packing",

@@ -63,3 +63,30 @@ def cascade_stats(cascaded: DataFrame) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("avg_conf"),
     )
+
+
+def passthrough(pages: DataFrame, engine: str) -> DataFrame:
+    """Single-engine passthrough (hybrid_ocr_engine.py:119-123
+    ``paddle_only`` / ``deepseek_only``): every page scored by that
+    engine, no gate, no recompute. Same output schema as the cascade."""
+    conf = (
+        engine_a_conf(F.col("doc_id"), F.col("page_num"))
+        if engine == "engine_a"
+        else engine_b_conf(F.col("doc_id"), F.col("page_num"))
+    )
+    return pages.select(
+        "doc_id", "role", "page_num",
+        F.lit(engine).alias("engine_used"),
+        conf.alias("conf"),
+    )
+
+
+def recognize(pages: DataFrame, mode: str = "smart") -> DataFrame:
+    """Mode dispatch of hybrid_ocr_engine.recognize_image:119-124:
+    ``paddle_only`` → fast-engine passthrough, ``deepseek_only`` →
+    accurate-engine passthrough, anything else → the smart cascade."""
+    if mode == "paddle_only":
+        return passthrough(pages, "engine_a")
+    if mode == "deepseek_only":
+        return passthrough(pages, "engine_b")
+    return cascade(pages)

@@ -20,7 +20,7 @@ distinct. MinHash values are md5 hex strings compared lexicographically
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_HASHES = 16
@@ -653,4 +653,91 @@ def simhash_candidate_pairs(
         .distinct()
         .filter(ham <= ham_max)
         .select("a", "b", ham.cast("long").alias("hamming"))
+    )
+
+
+# ------------------------------------------------- verbatim-span dedup
+SUBSTR_GRAM_K = 10  # tokens per verbatim window (Lee et al. use 50)
+
+
+def substring_dup_stats(docs: DataFrame, k: int = SUBSTR_GRAM_K) -> DataFrame:
+    """ExactSubstr-style verbatim-span duplication stats (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    a token window of length *k* is DUPLICATED if its exact text occurs
+    ≥2 times anywhere in the corpus (any doc, including the same doc).
+    Emits per doc: n_tokens, n_dup_grams (duplicated window starts),
+    dup_tokens (tokens covered by ≥1 duplicated window, exact interval
+    union), dup_token_frac.
+
+    Spark-first shape — the suffix array of the paper is a single-node
+    construction; the same ≥k-token verbatim criterion distributes as:
+
+    1. positional k-gram hashes per doc — one narrow ``transform`` over
+       a ``sequence`` (no shuffle), full 128-bit md5 text keys (48 bits
+       would birthday-collide at web scale, same analysis as the
+       decontamination join);
+    2. duplicated hashes via groupBy(hash) HAVING count ≥2 — map-side
+       combinable, the only corpus-wide shuffle;
+    3. join the position rows back on the hash (equi-join), then ONE
+       self-keyed window per doc (ORDER BY pos) turns overlapping
+       windows into an exact interval-union token count:
+       contribution = min(k, next_pos − pos), last window counts k.
+
+    A 10⁹-fold repeated boilerplate gram produces one hot hash group —
+    but stage 2 reduces it map-side to a single (hash, count) row; the
+    join-back fan-out equals the input's own position rows, never more.
+    """
+    toks = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) < k, F.array().cast("array<struct<pos:int,gh:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.md5(F.array_join(F.slice(toks, i + 1, k), " ")).alias("gh"),
+            ),
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens"), grams.alias("g")
+    )
+    pos_rows = base.select(
+        "doc_id", F.explode("g").alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    dup_hashes = (
+        pos_rows.groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gh")
+    )
+    dup_pos = pos_rows.join(dup_hashes, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        dup_pos.withColumn("nxt", F.lead("pos").over(w))
+        .withColumn(
+            "cov",
+            F.when(F.col("nxt").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("nxt") - F.col("pos"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_grams"),
+            F.sum("cov").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ).alias("dup_token_frac"),
+        )
     )

@@ -2490,3 +2490,77 @@ SELECT a.part,
 FROM cp_all a
 LEFT JOIN cp_rank r ON a.part = r.part
 LEFT JOIN cp_spans s ON a.part = s.part"""
+
+
+def substring_dup_stats_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.substring_dup_stats: positional
+    k-token verbatim windows, duplicated = text occurs ≥2 times in the
+    corpus; exact interval-union token coverage per doc via the
+    lead-window closed form (min(k, next−pos), last counts k)."""
+    from .operators.dedup import SUBSTR_GRAM_K as k
+
+    if d == G.SPARK:
+        grams = (
+            f"CASE WHEN size(toks) < {k} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {k}),"
+            f" i -> md5(array_join(slice(toks, i + 1, {k}), ' '))) END"
+        )
+        pos_rows = (
+            "SELECT doc_id, pos, gh FROM ss_g "
+            "LATERAL VIEW posexplode(grams) u AS pos, gh"
+        )
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {k - 1}, 0)),"
+            f" i -> md5(array_to_string(list_slice(toks, i + 1, i + {k}), ' ')))"
+        )
+        pos_rows = (
+            "SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos, "
+            "unnest(grams) AS gh FROM ss_g"
+        )
+    return f"""WITH {_tok_cte(d, docs)},
+ss_g AS (
+  SELECT doc_id, {_arr_size('toks', d)} AS n_tokens, {grams} AS grams FROM dd_tok
+),
+ss_p AS ({pos_rows}),
+ss_dup AS (
+  SELECT gh FROM ss_p GROUP BY gh HAVING count(*) >= 2
+),
+ss_dp AS (
+  SELECT p.doc_id, p.pos,
+         lead(p.pos) OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS nxt
+  FROM ss_p p JOIN ss_dup u ON p.gh = u.gh
+),
+ss_cov AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_grams,
+         CAST(sum(CASE WHEN nxt IS NULL THEN {k}
+                       ELSE least({k}, nxt - pos) END) AS BIGINT) AS dup_tokens
+  FROM ss_dp GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(c.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
+         / CAST(greatest(b.n_tokens, 1) AS DOUBLE) AS dup_token_frac
+FROM ss_g b LEFT JOIN ss_cov c ON b.doc_id = c.doc_id"""
+
+
+def engine_passthrough_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of cascade.recognize's passthrough modes
+    (hybrid_ocr_engine.py:119-123): per page, both single-engine scores
+    side by side plus the smart-cascade verdict for the same key —
+    one row per (mode, page)."""
+    from .operators.cascade import CONF_THRESHOLD
+
+    return f"""WITH {P.pages_cte(d, docs)},
+ep_base AS (SELECT doc_id, role, page_num FROM pages)
+SELECT doc_id, role, page_num, 'paddle_only' AS mode,
+       'engine_a' AS engine_used, {_CONF_A} AS conf FROM ep_base
+UNION ALL
+SELECT doc_id, role, page_num, 'deepseek_only' AS mode,
+       'engine_b' AS engine_used, {_CONF_B} AS conf FROM ep_base
+UNION ALL
+SELECT doc_id, role, page_num, 'smart' AS mode,
+       CASE WHEN {_CONF_A} >= {CONF_THRESHOLD} THEN 'engine_a' ELSE 'engine_b' END AS engine_used,
+       CASE WHEN {_CONF_A} >= {CONF_THRESHOLD} THEN {_CONF_A} ELSE {_CONF_B} END AS conf FROM ep_base"""

@@ -540,6 +540,20 @@ def q_project_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
+def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
+    paddle_only / deepseek_only passthroughs + the smart cascade for
+    the same pages, one row per (mode, page) — closes the last
+    documented coverage note."""
+    pages = synth.pages_df(spark, sf_dir)
+    out = None
+    for mode in ("paddle_only", "deepseek_only", "smart"):
+        m = cascade.recognize(pages, mode).withColumn("mode", F.lit(mode))
+        out = m if out is None else out.unionByName(m)
+    return out.select("doc_id", "role", "page_num", "mode", "engine_used", "conf")
+
+
 @register("similarity_dispatch", oracle=O.similarity_dispatch_sql(G.DUCK))
 def q_similarity_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12 dispatch (content_matcher.py:251-269): the rn<=2 ranked
@@ -666,6 +680,17 @@ def q_match_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.cosine_udf("v_text", "r_text").alias("cosine"),
         )
     )
+
+
+@register("substring_dup", oracle=O.substring_dup_stats_sql(G.DUCK))
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style verbatim-span duplication stats (Lee et al.
+    2022): per doc, tokens covered by any k-token window whose exact
+    text occurs >=2 times in the corpus (operators.dedup
+    substring_dup_stats — the distributed criterion of the paper's
+    suffix-array dedup)."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(docs)
 
 
 # ----------------------------------------------------------------- dedup
@@ -1186,6 +1211,8 @@ _QUERY_ORDER = [
     # shared code was touched this round + the flagship core ---
     # new this round
     "similarity_dispatch",
+    "substring_dup",
+    "engine_passthrough",
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
@@ -1236,9 +1263,9 @@ _QUERY_ORDER = [
     "media_manifest",
     "media_decode",
     "match_best",
+    # ---- tail: stable rows verified green in round 4 ----
     "match_best_cosine",
     "match_merged",
-    # ---- tail: stable rows verified green in round 4 ----
     "doc_processing_stats",
     "seq_packing",
     "pack_manifest",

@@ -278,3 +278,27 @@ def test_corpus_filter_quality_model_flag(spark):
             assert r == "model_low_quality", (d, base[d], r)
         else:
             assert r == base[d]
+
+
+def test_substring_dup_interval_union(spark):
+    """The lead-window closed form equals the exact union of [pos,
+    pos+k) intervals: overlapping duplicated windows share tokens, a
+    unique doc reports zero, and a verbatim within-doc repeat counts."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    k = dedup.SUBSTR_GRAM_K  # 10
+    shared = " ".join(f"tok{i}" for i in range(k + 2))  # 12 tokens
+    rows = [
+        (1, shared + " tailone uniquest wordsa"),
+        (2, "leadin wordsb " + shared),
+        (3, "entirely different tokens " + " ".join(f"zz{i}" for i in range(k))),
+        (4, shared + " middle filler " + shared),  # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.substring_dup_stats(docs).collect()}
+    # docs 1 and 2 share a 12-token run -> 3 window starts, union = 12
+    assert out[1]["n_dup_grams"] == 3 and out[1]["dup_tokens"] == k + 2
+    assert out[2]["n_dup_grams"] == 3 and out[2]["dup_tokens"] == k + 2
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_token_frac"] == 0.0
+    assert out[4]["dup_tokens"] >= 2 * (k + 2)  # both copies covered
+    assert abs(out[1]["dup_token_frac"] - (k + 2) / out[1]["n_tokens"]) < 1e-12
