@@ -128,3 +128,55 @@ def add_features(pages: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("numbers", _extract_multi(c, G.NUMBER_RES))
         .withColumn("text_hash", text_hash(c))
     )
+
+
+REDACT_DATE, REDACT_AMT, REDACT_ID = "<DATE>", "<AMT>", "<ID>"
+
+
+def redact_text(col: Column) -> Column:
+    """PII-style scrubbing with the reference's own T2-T4 pattern suite
+    as the redaction rules (ocr_engine.py:324-344): dates → <DATE>,
+    amounts → <AMT>, id numbers → <ID>, applied in that fixed order
+    (replacement tokens contain no digits, so later passes can never
+    re-match inside an earlier redaction). The standard pre-training
+    scrub stage (CCNet/Dolma-style) expressed over this corpus's
+    structured-value patterns."""
+    from .. import sqlgen as G
+
+    out = col
+    for pats, tok in (
+        (G.DATE_RES, REDACT_DATE),
+        (G.AMOUNT_RES, REDACT_AMT),
+        (G.NUMBER_RES, REDACT_ID),
+    ):
+        for p in pats:
+            out = F.regexp_replace(out, p, tok)
+    return out
+
+
+def redact_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per page: pattern-hit counts (occurrences on the ORIGINAL text;
+    overlapping patterns may both count, same as the extraction spec's
+    pre-dedup concat) + the scrubbed text and its hash."""
+    from .. import sqlgen as G
+
+    c = F.col(text_col)
+
+    def n_hits(pats):
+        tot = None
+        for p in pats:
+            s = F.size(F.regexp_extract_all(c, F.lit(p), 0))
+            tot = s if tot is None else tot + s
+        return tot.cast("long")
+
+    red = redact_text(c)
+    return pages.select(
+        "doc_id",
+        "role",
+        "page_num",
+        n_hits(G.DATE_RES).alias("n_dates"),
+        n_hits(G.AMOUNT_RES).alias("n_amounts"),
+        n_hits(G.NUMBER_RES).alias("n_numbers"),
+        red.alias("redacted"),
+        F.md5(red).alias("redacted_hash"),
+    )

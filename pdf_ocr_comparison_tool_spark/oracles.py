@@ -2564,3 +2564,33 @@ UNION ALL
 SELECT doc_id, role, page_num, 'smart' AS mode,
        CASE WHEN {_CONF_A} >= {CONF_THRESHOLD} THEN 'engine_a' ELSE 'engine_b' END AS engine_used,
        CASE WHEN {_CONF_A} >= {CONF_THRESHOLD} THEN {_CONF_A} ELSE {_CONF_B} END AS conf FROM ep_base"""
+
+
+def redact_pages_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of features.redact_pages: sequential global regex
+    replaces (dates → <DATE>, amounts → <AMT>, ids → <ID>) + pattern
+    occurrence counts on the original text."""
+    from .operators.features import REDACT_AMT, REDACT_DATE, REDACT_ID
+
+    red = "text"
+    for pats, tok in (
+        (G.DATE_RES, REDACT_DATE),
+        (G.AMOUNT_RES, REDACT_AMT),
+        (G.NUMBER_RES, REDACT_ID),
+    ):
+        for p in pats:
+            red = G.replace_all(red, p, tok, d)
+
+    def n_hits(pats):
+        return "CAST(" + " + ".join(
+            _arr_size(G.extract_all("text", p, d), d) for p in pats
+        ) + " AS BIGINT)"
+
+    return f"""WITH {P.pages_cte(d, docs)}
+SELECT doc_id, role, page_num,
+       {n_hits(G.DATE_RES)} AS n_dates,
+       {n_hits(G.AMOUNT_RES)} AS n_amounts,
+       {n_hits(G.NUMBER_RES)} AS n_numbers,
+       {red} AS redacted,
+       md5({red}) AS redacted_hash
+FROM pages"""

@@ -540,6 +540,14 @@ def q_project_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("redact_pages", oracle=O.redact_pages_sql(G.DUCK))
+def q_redact_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing stage: the reference's T2-T4 date/amount/id
+    patterns applied as redaction rules (features.redact_pages) with
+    per-page hit counts and the scrubbed-text hash."""
+    return features.redact_pages(synth.pages_df(spark, sf_dir))
+
+
 @register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
 def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
@@ -1213,6 +1221,7 @@ _QUERY_ORDER = [
     "similarity_dispatch",
     "substring_dup",
     "engine_passthrough",
+    "redact_pages",
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
@@ -1262,8 +1271,8 @@ _QUERY_ORDER = [
     "span_stats",
     "media_manifest",
     "media_decode",
-    "match_best",
     # ---- tail: stable rows verified green in round 4 ----
+    "match_best",
     "match_best_cosine",
     "match_merged",
     "doc_processing_stats",
