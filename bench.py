@@ -307,7 +307,7 @@ def main() -> None:
         thr_4n = best["4"]["docs_per_sec"]
         eff = (thr_4n / thr_n) / 4.0
         print(json.dumps({
-            "metric": "extraction scaling efficiency, 1 vs 4 executors x2 cores (N vs 4N, local-cluster)",
+            "metric": f"{os.environ.get('SPARK_GRAFT_SCALE_JOB', 'extract')} scaling efficiency, 1 vs 4 executors x2 cores (N vs 4N, local-cluster)",
             "value": round(eff, 3),
             "unit": "efficiency",
             "sf": SF_DIR,

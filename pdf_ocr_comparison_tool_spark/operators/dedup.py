@@ -688,16 +688,30 @@ def substring_dup_stats(docs: DataFrame, k: int = SUBSTR_GRAM_K) -> DataFrame:
     join-back fan-out equals the input's own position rows, never more.
     """
     toks = tokens_col(F.col("text"))
-    grams = F.when(
-        F.size(toks) < k, F.array().cast("array<struct<pos:int,gh:string>>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.struct(
-                i.cast("int").alias("pos"),
-                F.md5(F.array_join(F.slice(toks, i + 1, k), " ")).alias("gh"),
+    # k-gram strings via k−1 chained shifted zips (NULL-masked tails),
+    # NOT transform(sequence, i -> slice(toks, i+1, k)): an expression
+    # referenced inside a HOF lambda re-evaluates per element, so the
+    # slice form re-tokenizes the document per gram position — O(n²)
+    # interpreted (measured 12.6 s vs 1.6 s at sf0.1). Each zip's inputs
+    # are whole arrays, evaluated once per row.
+    g = toks
+    for j in range(1, k):
+        s = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        g = F.zip_with(
+            g,
+            s,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
             ),
         )
+    grams = F.filter(
+        F.transform(
+            g,
+            lambda x, i: F.struct(
+                i.cast("int").alias("pos"), F.md5(x).alias("gh")
+            ),
+        ),
+        lambda st: st["gh"].isNotNull(),
     )
     base = docs.select(
         "doc_id", F.size(toks).cast("long").alias("n_tokens"), grams.alias("g")

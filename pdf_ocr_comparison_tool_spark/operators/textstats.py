@@ -332,3 +332,33 @@ def quality_score(docs: DataFrame, model: DataFrame) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("label"),
     )
+
+
+def quality_model_exprs(
+    text,
+    weights: list[tuple[str, int]] | None = None,
+    bias_milli: int | None = None,
+    keep_min: float | None = None,
+) -> dict:
+    """The linear scorer as NARROW column expressions (literal weight
+    map + one fold) — the streaming twin's form of
+    :func:`quality_score`: a stream can't explode-join itself, but the
+    model dim is a broadcast-sized constant, so the lookup folds into
+    the projection. Identical operands to the batch operator (integer
+    occurrence sum, one int/int division), so labels agree exactly."""
+    weights = QUALITY_MODEL_WEIGHTS if weights is None else weights
+    bias = QUALITY_MODEL_BIAS_MILLI if bias_milli is None else bias_milli
+    kmin = QUALITY_SCORE_KEEP_MIN if keep_min is None else keep_min
+    toks = tokens_col(text)
+    wmap = F.create_map(
+        *[F.lit(v) for tok, w in weights for v in (tok, w)]
+    )
+    w_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.coalesce(wmap[x], F.lit(0)).cast("long"),
+    )
+    avg = (F.lit(bias) + w_sum).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    return {"avg_score_milli": avg, "model_drop": avg < F.lit(float(kmin))}

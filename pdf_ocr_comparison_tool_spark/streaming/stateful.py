@@ -87,7 +87,8 @@ def _dedup_update(
 
 ADMIT_OUTPUT_SCHEMA = (
     "doc_id long, n_tokens long, quality string, "
-    "top_2gram_char_frac double, dup_3gram_frac double, exact_keep boolean"
+    "top_2gram_char_frac double, dup_3gram_frac double, "
+    "model_drop boolean, exact_keep boolean"
 )
 ADMIT_STATE_SCHEMA = "seen long"
 
@@ -114,7 +115,9 @@ def _admit_update(
     state.update((1,))
 
 
-def streaming_corpus_filter(docs_stream: DataFrame) -> DataFrame:
+def streaming_corpus_filter(
+    docs_stream: DataFrame, use_quality_model: bool = False
+) -> DataFrame:
     """Streaming twin of pipeline.corpus_filter — the admission verdict
     an ingestion FIREHOSE applies per arriving document:
 
@@ -128,6 +131,11 @@ def streaming_corpus_filter(docs_stream: DataFrame) -> DataFrame:
       arrival (min doc_id within its micro-batch) keeps, every later
       arrival is dropped as ``exact_dup`` — equal to the batch
       min-doc_id keep when ingestion order follows doc_id;
+    * the model quality stage (``use_quality_model``, the opt-in twin
+      of batch ``corpus_filter(quality_model=...)``) folds the
+      broadcast-sized weight dim into a literal-map expression
+      (textstats.quality_model_exprs) — identical integer operands to
+      the batch scorer, so labels agree exactly;
     * the near-dup cluster stage is EXCLUDED by design: cluster keep
       is a global graph property of the whole corpus, and a stream
       only ever sees a prefix — the batch job (run_corpus_job) owns
@@ -143,6 +151,11 @@ def streaming_corpus_filter(docs_stream: DataFrame) -> DataFrame:
 
     q = textstats.quality_exprs(F.col("text"))
     r = textstats.repetition_exprs(F.col("text"))
+    model_drop = (
+        textstats.quality_model_exprs(F.col("text"))["model_drop"]
+        if use_quality_model
+        else F.lit(False)
+    )
     sig = docs_stream.select(
         "doc_id",
         text_hash(F.col("text")).alias("text_hash"),
@@ -150,6 +163,7 @@ def streaming_corpus_filter(docs_stream: DataFrame) -> DataFrame:
         q["quality"].alias("quality"),
         r["top_2gram_char_frac"].alias("top_2gram_char_frac"),
         r["dup_3gram_frac"].alias("dup_3gram_frac"),
+        model_drop.alias("model_drop"),
     )
     admitted = sig.groupBy("text_hash").applyInPandasWithState(
         _admit_update,
@@ -162,6 +176,7 @@ def streaming_corpus_filter(docs_stream: DataFrame) -> DataFrame:
         F.when(~F.col("exact_keep"), F.lit("exact_dup"))
         .when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
         .when(F.col("quality") == "low", F.lit("low_quality"))
+        .when(F.col("model_drop"), F.lit("model_low_quality"))
         .when(F.col("top_2gram_char_frac") > MAX_TOP2_FRAC, F.lit("repetitive_2gram"))
         .when(F.col("dup_3gram_frac") > MAX_DUP3_FRAC, F.lit("repetitive_3gram"))
     )

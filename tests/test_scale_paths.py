@@ -331,3 +331,53 @@ def test_streaming_corpus_filter_matches_batch(spark):
     for d, (dr, keep) in full.items():
         if dr != "near_dup":
             assert got[d] == (dr, keep)
+
+
+def test_streaming_quality_model_stage_matches_batch(spark):
+    """The opt-in model stage: streaming verdicts with
+    use_quality_model=True equal batch corpus_filter(quality_model=dim)
+    on a fixture with no near-dups (the one batch-only stage)."""
+    from pdf_ocr_comparison_tool_spark.operators import pipeline, textstats
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    rows = [
+        (1, "spark table query join window stream vector hash merge "
+            "column agg sort data scan filter group"),   # model keep
+        (2, "slow slow the value small big slow the value small"),  # model drop
+        (3, "it is"),                                    # too_short outranks
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tdir:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{tdir}/f1")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(f"{tdir}/f*")
+        )
+        q = (
+            stateful.streaming_corpus_filter(stream, use_quality_model=True)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_admit_model")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["doc_id"]: r["drop_reason"]
+            for r in spark.sql("SELECT * FROM stream_admit_model").collect()
+        }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r["doc_id"]: r["drop_reason"]
+        for r in pipeline.corpus_filter(
+            docs, quality_model=textstats.quality_model_dim(spark)
+        ).collect()
+    }
+    assert got == batch
+    assert got[2] == "model_low_quality" and got[1] is None
+    assert got[3] == "too_short"
