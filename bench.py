@@ -78,6 +78,7 @@ def _run_headline(cores: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -87,6 +88,12 @@ def _run_headline(cores: str) -> dict:
         # otherwise reuse the warm run's cached subtrees and understate
         # the work; also prevents cache bloat across the query list
         spark.catalog.clearCache()
+        # per-query ambient load BEFORE the timed run: the 1-min average
+        # still mostly reflects OTHER tenants here (our own previous
+        # query contributes, but a spike pinpoints which rows of a
+        # driver pass were contended — r4's dedup_clusters 26 s vs
+        # idle 4 s was exactly this, invisible without per-row context)
+        loads[name] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         _noop(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -103,6 +110,7 @@ def _run_headline(cores: str) -> dict:
         # queries 2-10x; the 1-minute load average contextualizes a run
         "host_load_1m": round(os.getloadavg()[0], 2),
         "queries": timings,
+        "load_before_query": loads,
         "extract_docs_per_sec": round(n_docs / timings["extract_spans"], 1)
         if timings.get("extract_spans")
         else None,

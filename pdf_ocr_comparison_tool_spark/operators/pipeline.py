@@ -526,3 +526,48 @@ def corpus_filter(
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+CLUSTER_CAP = 25
+
+
+def cluster_cap_sample(
+    docs: DataFrame, embeddings: DataFrame, cap: int = CLUSTER_CAP
+) -> DataFrame:
+    """Diversity-balanced sampling over EMBEDDING clusters — the
+    semantic counterpart of :func:`source_cap_sample` (data-curation
+    pipelines cap per topic cluster so dominant content types don't
+    swamp the mixture): assign every doc to its nearest centroid (the
+    IVF coarse quantizer — a trained k-means fit drops in the same way,
+    see similarity_search.ivf_assign), then keep at most ``cap`` docs
+    per cluster by the deterministic (md5(id), id) shuffle rank.
+
+    Scale shape: the assignment is a broadcast-centroid argmin (never
+    an all-pairs join); the cap is the same two-phase salted ranking as
+    source_cap_sample — no reducer ever sorts a whole hot cluster.
+    """
+    from . import similarity_search as SS
+
+    assign = SS.ivf_assign(embeddings).select(
+        F.col("vec_id").alias("doc_id"), "centroid_id"
+    )
+    j = docs.select("doc_id").join(assign, "doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(_CAP_SALTS))
+    w1 = Window.partitionBy("centroid_id", salt).orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    phase1 = (
+        j.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= cap)
+    )
+    w2 = Window.partitionBy("centroid_id").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= cap)
+        .select(
+            "doc_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

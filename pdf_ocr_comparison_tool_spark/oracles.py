@@ -2594,3 +2594,23 @@ SELECT doc_id, role, page_num,
        {red} AS redacted,
        md5({red}) AS redacted_hash
 FROM pages"""
+
+
+def cluster_cap_sample_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.cluster_cap_sample: nearest-centroid
+    assignment (ivf_assign spec) + per-cluster (md5(id), id) rank cap;
+    the two-phase salted operator equals this single window statement."""
+    from .operators.pipeline import CLUSTER_CAP
+
+    h = f"md5({G.cast_str('d.doc_id', d)})"
+    return f"""WITH ccs_a AS ({ivf_assign_sql(d)}),
+ccs_r AS (
+  SELECT d.doc_id, a.centroid_id,
+         row_number() OVER (
+           PARTITION BY a.centroid_id ORDER BY {h} ASC, d.doc_id ASC
+         ) AS rk
+  FROM {docs} d JOIN ccs_a a ON d.doc_id = a.vec_id
+)
+SELECT doc_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+       CAST(rk AS BIGINT) AS rk
+FROM ccs_r WHERE rk <= {CLUSTER_CAP}"""

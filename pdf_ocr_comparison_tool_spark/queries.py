@@ -548,6 +548,17 @@ def q_redact_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.redact_pages(synth.pages_df(spark, sf_dir))
 
 
+@register("cluster_cap_sample", oracle=O.cluster_cap_sample_sql(G.DUCK))
+def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced sampling: cap docs per EMBEDDING cluster
+    (nearest-centroid assignment + the salted deterministic-shuffle
+    rank) — the semantic twin of source_cap_sample for topic-balanced
+    training mixtures."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    emb = synth.load_table(spark, sf_dir, "embeddings")
+    return pipeline.cluster_cap_sample(docs, emb)
+
+
 @register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
 def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
@@ -1222,6 +1233,7 @@ _QUERY_ORDER = [
     "substring_dup",
     "engine_passthrough",
     "redact_pages",
+    "cluster_cap_sample",
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
@@ -1269,9 +1281,9 @@ _QUERY_ORDER = [
     "extract_fulltext",
     "extract_grounded",
     "span_stats",
-    "media_manifest",
     "media_decode",
     # ---- tail: stable rows verified green in round 4 ----
+    "media_manifest",
     "match_best",
     "match_best_cosine",
     "match_merged",
