@@ -340,6 +340,7 @@ def main() -> None:
         "n_docs": r["n_docs"],
         "host_load_1m_at_start": start_load,
         "host_load_1m": r["host_load_1m"],
+        "load_before_query": r.get("load_before_query", {}),
         "load_retries": load_trail,
         "extract_docs_per_sec": r["extract_docs_per_sec"],
     }))

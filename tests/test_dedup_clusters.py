@@ -199,3 +199,12 @@ def test_connected_components_long_chain(spark):
     assert len(out) == 30
     assert all(r["cluster_id"] == 100 for r in out)
     assert sorted(r["doc_id"] for r in out if r["keep"]) == [100]
+
+
+def test_connected_components_empty_pairs(spark):
+    """Empty edge set → empty result, quickly (the Observation-based
+    convergence check must fire on a zero-row materialize too)."""
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = dedup.connected_components(pairs)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "cluster_id", "keep"]

@@ -220,3 +220,76 @@ def test_corpus_diff_self_is_unchanged(spark, texts):
         dis = pipeline.corpus_diff(df, other).collect()
         assert {r["status"] for r in dis} <= {"added", "removed"}
         assert len(dis) == 2 * len(rows)
+
+
+_word = st.text(alphabet="abcdefgh", min_size=2, max_size=5)
+_doc_text = st.lists(_word, min_size=0, max_size=40).map(" ".join)
+
+
+@_FAST
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+def test_substring_dup_bounds(spark, texts):
+    """Coverage invariants on arbitrary corpora: dup_tokens ≤ n_tokens,
+    n_dup_grams ≤ max(n_tokens − k + 1, 0), frac ∈ [0, 1], and a corpus
+    of one doc with all-unique windows reports zero."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for r in dedup.substring_dup_stats(docs).collect():
+        k = dedup.SUBSTR_GRAM_K
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+        assert 0 <= r["n_dup_grams"] <= max(r["n_tokens"] - k + 1, 0)
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+
+
+@_FAST
+@given(st.lists(st.text(alphabet="ab12年月日元金额：,.¥ ", max_size=30),
+                min_size=1, max_size=5))
+def test_redact_idempotent(spark, texts):
+    """Scrubbing is idempotent: replacement tokens contain no digits,
+    so a second pass never finds a new match."""
+    from pdf_ocr_comparison_tool_spark.operators import features
+
+    docs = spark.createDataFrame(
+        [(i, "r", 0, t) for i, t in enumerate(texts)],
+        "doc_id long, role string, page_num int, text string",
+    )
+    once = features.redact_pages(docs).select(
+        "doc_id", F.col("redacted").alias("text"), F.lit("r").alias("role"),
+        F.lit(0).alias("page_num"),
+    )
+    twice = features.redact_pages(once)
+    joined = (
+        features.redact_pages(docs)
+        .select("doc_id", F.col("redacted").alias("a"))
+        .join(twice.select("doc_id", F.col("redacted").alias("b")), "doc_id")
+    )
+    assert joined.filter(F.col("a") != F.col("b")).count() == 0
+
+
+@_FAST
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+def test_quality_model_batch_equals_narrow(spark, texts):
+    """The batch scorer (explode + broadcast-dim join) and the
+    streaming narrow form (literal map + fold) produce identical
+    labels and averages on arbitrary corpora."""
+    from pdf_ocr_comparison_tool_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    batch = textstats.quality_score(docs, textstats.quality_model_dim(spark))
+    e = textstats.quality_model_exprs(F.col("text"))
+    narrow = docs.select(
+        "doc_id",
+        e["avg_score_milli"].alias("avg_n"),
+        e["model_drop"].alias("drop_n"),
+    )
+    j = batch.join(narrow, "doc_id")
+    bad = j.filter(
+        (F.col("avg_score_milli") != F.col("avg_n"))
+        | (F.col("drop_n") != (F.col("label") == "drop"))
+    ).count()
+    assert bad == 0
