@@ -362,3 +362,51 @@ def quality_model_exprs(
         F.size(toks), F.lit(1)
     ).cast("double")
     return {"avg_score_milli": avg, "model_drop": avg < F.lit(float(kmin))}
+
+
+TFIDF_TOP = 5
+
+
+def tfidf_keywords(docs: DataFrame, top: int = TFIDF_TOP) -> DataFrame:
+    """Per-document TF-IDF keyword extraction — the corpus-weighted
+    upgrade of the reference's per-page TF keywords (A3): token score =
+    tf · N/df with the RATIONAL idf N/df (not ln(N/df): libm log is not
+    correctly-rounded, so its last ulp may differ across engines; the
+    rational form is one division of identical integers — bit-exact —
+    and the per-document ranking is the deliverable, not the scale of
+    the score). Top ``top`` tokens per doc, ties broken token-asc.
+
+    Scale shape: one explode + two map-side-combinable groupBys (tf per
+    (doc, token), df per token) + an equi-join + a per-doc top-k window
+    (self-keyed). The df table is vocabulary-sized; at web scale the
+    join is the standard SMJ on token.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                "token", "tf", "df", "tfidf")
+    )

@@ -2614,3 +2614,34 @@ ccs_r AS (
 SELECT doc_id, CAST(centroid_id AS BIGINT) AS centroid_id,
        CAST(rk AS BIGINT) AS rk
 FROM ccs_r WHERE rk <= {CLUSTER_CAP}"""
+
+
+def tfidf_keywords_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.tfidf_keywords (rational idf N/df — one
+    division of identical integers, bit-exact; see operator docstring
+    for why not ln)."""
+    from .operators.textstats import TFIDF_TOP
+
+    return f"""WITH {_tok_cte(d, docs)},
+ti_t AS (SELECT doc_id, {explode('toks', 'token', d)} FROM dd_tok),
+ti_tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM ti_t GROUP BY doc_id, token
+),
+ti_df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM ti_tf GROUP BY token
+),
+ti_n AS (SELECT count(*) AS n_docs FROM {docs}),
+ti_s AS (
+  SELECT f.doc_id, f.token, f.tf, g.df,
+         CAST(f.tf * n.n_docs AS DOUBLE) / CAST(g.df AS DOUBLE) AS tfidf
+  FROM ti_tf f JOIN ti_df g ON f.token = g.token CROSS JOIN ti_n n
+),
+ti_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+  ) AS rank
+  FROM ti_s
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, tfidf
+FROM ti_r WHERE rank <= {TFIDF_TOP}"""

@@ -559,6 +559,13 @@ def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.cluster_cap_sample(docs, emb)
 
 
+@register("tfidf_keywords", oracle=O.tfidf_keywords_sql(G.DUCK))
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (rational idf; corpus-weighted
+    upgrade of the reference's per-page TF keywords A3)."""
+    return textstats.tfidf_keywords(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
 def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
@@ -1234,6 +1241,7 @@ _QUERY_ORDER = [
     "engine_passthrough",
     "redact_pages",
     "cluster_cap_sample",
+    "tfidf_keywords",
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
@@ -1280,9 +1288,9 @@ _QUERY_ORDER = [
     "extract_spans",
     "extract_fulltext",
     "extract_grounded",
-    "span_stats",
     "media_decode",
     # ---- tail: stable rows verified green in round 4 ----
+    "span_stats",
     "media_manifest",
     "match_best",
     "match_best_cosine",
