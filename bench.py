@@ -244,6 +244,12 @@ def _run_scaling_child(n_executors: str) -> dict:
         # blowup on every duplicated page); the blocking keys
         # (dates/amounts) still collide across replicas, which is
         # exactly the hot-key shape the per-key salted cap exists for.
+        # Methodology caveat: the warm run materializes the featured-
+        # pages cache, so the timed run measures the post-cache join
+        # DAG; cache CAPACITY is 4× at 4 executors, so keep the
+        # replication low enough (default ×4 ≈ 50k pages ≈ tens of MB
+        # ≪ 3 GiB/executor) that neither size spills — otherwise the
+        # ratio partly measures cache-capacity asymmetry, not the plan.
         from pdf_ocr_comparison_tool_spark import pagesgen as P
         from pdf_ocr_comparison_tool_spark import sqlgen as SG
         from pdf_ocr_comparison_tool_spark.operators import matching

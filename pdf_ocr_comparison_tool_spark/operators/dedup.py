@@ -289,6 +289,9 @@ def _release_local_checkpoint(df: DataFrame) -> None:
             )
 
 
+_OBSERVATION_WORKS = True
+
+
 def _changed_from_observation(obs, fallback_df: DataFrame, timeout_sec: float = 30.0) -> int:
     """Read the per-round changed-label count from the Observation
     attached to the label-update job. The metric is produced by the
@@ -296,18 +299,31 @@ def _changed_from_observation(obs, fallback_df: DataFrame, timeout_sec: float = 
     convergence check costs zero extra jobs. Bounded poll + fallback:
     if the listener ever stops firing for RDD-materialize actions (a
     Spark-internal behavior we verified on 4.1 but don't control), scan
-    the already-checkpointed frame instead of hanging in ``obs.get``."""
+    the already-checkpointed frame instead of hanging in ``obs.get`` —
+    and remember the failure (module flag + one warning) so later
+    rounds pay one cheap agg job instead of a silent 30 s poll each."""
+    global _OBSERVATION_WORKS
     import time
 
-    deadline = time.monotonic() + timeout_sec
-    try:
-        jo = obs._jo
-        while time.monotonic() < deadline:
-            if jo.getRowOrEmpty().isDefined():
-                return int(obs.get["changed"] or 0)
-            time.sleep(0.02)
-    except Exception:  # pragma: no cover - py4j accessor drift
-        pass
+    if _OBSERVATION_WORKS:
+        deadline = time.monotonic() + timeout_sec
+        try:
+            jo = obs._jo
+            while time.monotonic() < deadline:
+                if jo.getRowOrEmpty().isDefined():
+                    return int(obs.get["changed"] or 0)
+                time.sleep(0.02)
+        except Exception:  # pragma: no cover - py4j accessor drift
+            pass
+        _OBSERVATION_WORKS = False
+        import warnings
+
+        warnings.warn(
+            "Observation metrics did not arrive for a localCheckpoint "
+            "materialize (Spark behavior change?); falling back to a "
+            "per-round aggregate scan of the checkpointed labels",
+            RuntimeWarning,
+        )
     return int(
         fallback_df.agg(
             F.sum(F.col("chg").cast("long")).alias("changed")

@@ -147,13 +147,12 @@ def _sim_sql(t1: str, t2: str, d: str = DUCK) -> str:
 END"""
 
 
-def _jaccard_sim_sql(t1: str, t2: str, d: str) -> str:
-    def toks(t):
-        folded = f"lower({G.fold_cjk(t, d)})"
-        arr = split_rx(folded, "[^a-z0-9@#$%&*]+", d)
-        return P._arr_distinct(_lfilter(arr, "x -> x <> ''", d), d)
-
-    a, b = toks(t1), toks(t2)
+def _jaccard_arrays_sql(a: str, b: str, d: str) -> str:
+    """Jaccard over two pre-built DISTINCT token-array expressions —
+    the single home of the empty-set conventions (both empty → 1.0,
+    one empty → 0.0) and the intersect/union dialect scaffolding;
+    parametrized so every jaccard oracle surface (match_best_jaccard's
+    native tokenizer, similarity_dispatch's UDF tokenizer) shares it."""
     na, nb = _arr_size(a, d), _arr_size(b, d)
     if d == SPARK:
         inter = f"size(array_intersect({a}, {b}))"
@@ -166,6 +165,15 @@ def _jaccard_sim_sql(t1: str, t2: str, d: str) -> str:
   WHEN {na} = 0 OR {nb} = 0 THEN CAST(0.0 AS DOUBLE)
   ELSE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE)
 END"""
+
+
+def _jaccard_sim_sql(t1: str, t2: str, d: str) -> str:
+    def toks(t):
+        folded = f"lower({G.fold_cjk(t, d)})"
+        arr = split_rx(folded, "[^a-z0-9@#$%&*]+", d)
+        return P._arr_distinct(_lfilter(arr, "x -> x <> ''", d), d)
+
+    return _jaccard_arrays_sql(toks(t1), toks(t2), d)
 
 
 def _tf_toks(t: str, d: str) -> str:
@@ -2363,23 +2371,9 @@ def similarity_dispatch_sql(d: str, docs: str = "documents") -> str:
     lev branch's internal fold is a no-op and all four branches see
     identical input cross-engine)."""
     ftext = G.fold_cjk("text", d)
-    if d == G.SPARK:
-        dist = lambda a: f"array_distinct({a})"  # noqa: E731
-    else:
-        dist = lambda a: f"list_distinct({a})"  # noqa: E731
-    ja, jb = dist("tv.utoks"), dist("tr.utoks")
-    na, nb = _arr_size(ja, d), _arr_size(jb, d)
-    if d == G.SPARK:
-        inter = f"size(array_intersect({ja}, {jb}))"
-        uni = f"size(array_union({ja}, {jb}))"
-    else:
-        inter = f"len(list_intersect({ja}, {jb}))"
-        uni = f"len(list_distinct(list_concat({ja}, {jb})))"
-    jacc = f"""CASE
-  WHEN {na} = 0 AND {nb} = 0 THEN CAST(1.0 AS DOUBLE)
-  WHEN {na} = 0 OR {nb} = 0 THEN CAST(0.0 AS DOUBLE)
-  ELSE CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE)
-END"""
+    ja = P._arr_distinct("tv.utoks", d)
+    jb = P._arr_distinct("tr.utoks", d)
+    jacc = _jaccard_arrays_sql(ja, jb, d)
     cos = _cosine_sim_sql("tv.utoks", "tr.utoks", d)
     return f"""WITH {ranked_matches_cte(d, docs)},
 sd_pairs AS (

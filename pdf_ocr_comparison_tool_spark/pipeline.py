@@ -56,10 +56,8 @@ def main(argv: list[str] | None = None) -> None:
         # match every voucher page against the reference index, merge
         # consecutive matches into islands, and emit the three report
         # tables its Excel/CSV sinks carry (S12-S14) — as parquet
-        from pyspark.sql import Window
-
         from .operators import matching, merge
-        from .queries import _featured_roles
+        from .queries import _featured_roles, match_summary_from_best
 
         v, r = _featured_roles(spark, args.input)
         # ONE execution of the match DAG feeds both writes (cache per
@@ -84,15 +82,7 @@ def main(argv: list[str] | None = None) -> None:
         merged.write.mode("overwrite").parquet(f"{args.output}/match_merged")
         best.unpersist()
         written_best = spark.read.parquet(f"{args.output}/match_best")
-        g = written_best.groupBy("status").agg(F.count("*").alias("n"))
-        summary = g.select(
-            "status",
-            "n",
-            (
-                F.col("n").cast("double")
-                / F.sum("n").over(Window.partitionBy()).cast("double")
-            ).alias("frac"),
-        )
+        summary = match_summary_from_best(written_best)
         summary.write.mode("overwrite").parquet(f"{args.output}/match_summary")
         n_best = written_best.count()
         n_merged = spark.read.parquet(f"{args.output}/match_merged").count()

@@ -329,19 +329,18 @@ def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("match_summary", oracle=O.match_summary_sql(G.DUCK))
-def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 match status rollup with match rate."""
+def match_summary_from_best(best: DataFrame) -> DataFrame:
+    """A4 status rollup over any frame carrying the ``status`` column —
+    the ONE home of the summary spec, shared by the oracled query and
+    the ``--job match`` CLI (which derives it from the written
+    match_best parquet instead of re-running the match DAG).
+
+    Total via an unpartitioned window over the ≤4 grouped rows (NOT a
+    driver-side .count(), which would execute the source DAG twice);
+    sum(n) over () == count(*) of best, so the frac division sees the
+    same integer operands as the oracle's scalar subquery."""
     from pyspark.sql import Window
 
-    v, r = _featured_roles(spark, sf_dir)
-    best = matching.best_matches(
-        v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
-    )
-    # total via an unpartitioned window over the 4 grouped rows (NOT a
-    # driver-side .count(), which would execute the match DAG twice);
-    # sum(n) over () == count(*) of best, so the frac division sees the
-    # same integer operands as the oracle's scalar subquery
     g = best.groupBy("status").agg(F.count("*").alias("n"))
     return g.select(
         "status",
@@ -351,6 +350,16 @@ def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy()).cast("double")
         ).alias("frac"),
     )
+
+
+@register("match_summary", oracle=O.match_summary_sql(G.DUCK))
+def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 match status rollup with match rate."""
+    v, r = _featured_roles(spark, sf_dir)
+    best = matching.best_matches(
+        v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    )
+    return match_summary_from_best(best)
 
 
 @register("match_summary_wide", oracle=O.match_summary_wide_sql(G.DUCK))

@@ -298,8 +298,18 @@ def ensure_partial_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     from .. import synth
 
+    # the key carries the input's CONTENT IDENTITY (size + mtime), not
+    # just its path: driver testdata regenerates between rounds at the
+    # same path, and a stale partially-committed fixture would make the
+    # manifest query disagree with the oracle's recount of the NEW table
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        ident = "missing"
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{CKPT_FIXTURE_N_PARTS}|"
+        f"{os.path.abspath(sf_dir)}|{ident}|{CKPT_FIXTURE_N_PARTS}|"
         f"{CKPT_FIXTURE_COMMIT}|v{_CKPT_FIXTURE_VERSION}".encode()
     ).hexdigest()[:16]
     target = os.path.join(tempfile.gettempdir(), f"ckpt_fixture_{key}")
