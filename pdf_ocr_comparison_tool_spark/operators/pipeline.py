@@ -571,3 +571,34 @@ def cluster_cap_sample(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+HIST_BUCKET_CHARS = 500
+
+
+def length_histogram(
+    docs: DataFrame, bucket_chars: int = HIST_BUCKET_CHARS
+) -> DataFrame:
+    """Per-source document-length histogram — the dataset-card
+    distribution shape (exact-percentile profiling doesn't distribute:
+    an exact per-group percentile sorts the group on one reducer, and
+    approx sketches aren't engine-portable; a fixed-width histogram is
+    both exact and map-side combinable at any scale). Buckets on the
+    stored ``n_chars`` column; ``share`` is the int/int within-source
+    fraction."""
+    b = (F.floor(F.col("n_chars") / bucket_chars) * bucket_chars).cast("long")
+    g = docs.groupBy(F.col("source"), b.alias("bucket_lo")).agg(
+        F.count("*").alias("n_docs")
+    )
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    return (
+        g.join(per_src, "source")
+        .select(
+            "source",
+            "bucket_lo",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (
+                F.col("n_docs").cast("double") / F.col("n_src").cast("double")
+            ).alias("share"),
+        )
+    )

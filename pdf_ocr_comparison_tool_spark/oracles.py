@@ -2639,3 +2639,19 @@ ti_r AS (
 )
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, tfidf
 FROM ti_r WHERE rank <= {TFIDF_TOP}"""
+
+
+def length_histogram_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.length_histogram."""
+    from .operators.pipeline import HIST_BUCKET_CHARS as B
+
+    return f"""WITH lh_g AS (
+  SELECT source,
+         CAST(floor(n_chars / {B}) * {B} AS BIGINT) AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM {docs} GROUP BY source, floor(n_chars / {B}) * {B}
+),
+lh_s AS (SELECT source, count(*) AS n_src FROM {docs} GROUP BY source)
+SELECT g.source, g.bucket_lo, g.n_docs,
+       CAST(g.n_docs AS DOUBLE) / CAST(s.n_src AS DOUBLE) AS share
+FROM lh_g g JOIN lh_s s ON g.source = s.source"""

@@ -575,6 +575,14 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_keywords(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("length_histogram", oracle=O.length_histogram_sql(G.DUCK))
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card length distribution: per-source fixed-width
+    n_chars histogram (exact + map-side combinable, unlike per-group
+    exact percentiles or non-portable approx sketches)."""
+    return pipeline.length_histogram(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
 def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
@@ -1251,6 +1259,7 @@ _QUERY_ORDER = [
     "redact_pages",
     "cluster_cap_sample",
     "tfidf_keywords",
+    "length_histogram",
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
@@ -1296,9 +1305,9 @@ _QUERY_ORDER = [
     # flagship core (always verified)
     "extract_spans",
     "extract_fulltext",
-    "extract_grounded",
     "media_decode",
     # ---- tail: stable rows verified green in round 4 ----
+    "extract_grounded",
     "span_stats",
     "media_manifest",
     "match_best",
