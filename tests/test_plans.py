@@ -193,6 +193,18 @@ def test_pipeline_ops_stay_equijoin_shaped(spark):
     ld_plan = _plan(dedup.line_dedup(docs))
     assert "CartesianProduct" not in ld_plan
     assert "Window" not in ld_plan, "line_dedup must not window over segments"
+    # substring dedup: equi-join on the gram hash; the only window is
+    # the per-doc interval union (self-keyed), never over the hash
+    import re
+    sd_plan = _plan(dedup.substring_dup_stats(docs))
+    assert "CartesianProduct" not in sd_plan
+    sd_windows = re.findall(r"Window \[.*?partitionBy=\[.*?\].*?\]", sd_plan)
+    assert not any("gh" in w for w in re.findall(r"Window \[.*?\]", sd_plan))
+    # cluster cap sample: broadcast-centroid argmin + salted cap; no
+    # cartesian beyond the broadcast centroid side
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    cc_plan = _plan(pipeline.cluster_cap_sample(docs, emb))
+    assert "CartesianProduct" not in cc_plan
 
 
 def test_kmeans_fit_stays_broadcast_shaped(spark):
