@@ -771,3 +771,54 @@ def substring_dup_stats(docs: DataFrame, k: int = SUBSTR_GRAM_K) -> DataFrame:
             ).alias("dup_token_frac"),
         )
     )
+
+
+CONTAIN_MIN = 0.5     # pair kept when max-direction containment ≥ this
+CONTAIN_STRONG = 0.8  # direction classified as containment
+CONTAIN_DUP_J = 0.9   # jaccard at/above which the pair is a duplicate
+
+
+def containment_pairs(
+    docs_with_shingles: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Asymmetric containment scoring of LSH candidate pairs — the
+    relation Jaccard alone misses: a page EMBEDDED in a larger page
+    (quoting, templating, syndication) has low Jaccard but containment
+    ≈ 1 in one direction. Per pair: c_ab = |A∩B|/|A| (fraction of A
+    inside B), c_ba = |A∩B|/|B|, jaccard, and the classified relation
+    (duplicate ≥ CONTAIN_DUP_J jaccard; a_in_b / b_in_a at
+    CONTAIN_STRONG one-directional containment, tie → a_in_b; else
+    overlap). Pairs below CONTAIN_MIN max-direction containment drop.
+
+    Same scale shape as the jaccard verify: equi-join on the bounded
+    LSH buckets, per-pair work is two array intersections over already
+    materialized shingle arrays.
+    """
+    sa = docs_with_shingles.select(
+        F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a")
+    )
+    sb = docs_with_shingles.select(
+        F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = inter / F.size("sh_a").cast("double")
+    c_ba = inter / F.size("sh_b").cast("double")
+    jacc = inter / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    relation = (
+        F.when(jacc >= CONTAIN_DUP_J, F.lit("duplicate"))
+        .when((c_ab >= CONTAIN_STRONG) & (c_ab >= c_ba), F.lit("a_in_b"))
+        .when(c_ba >= CONTAIN_STRONG, F.lit("b_in_a"))
+        .otherwise(F.lit("overlap"))
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a", "b",
+            c_ab.alias("contain_ab"),
+            c_ba.alias("contain_ba"),
+            jacc.alias("jaccard"),
+            relation.alias("relation"),
+        )
+        .filter(F.greatest("contain_ab", "contain_ba") >= CONTAIN_MIN)
+    )

@@ -2655,3 +2655,57 @@ lh_s AS (SELECT source, count(*) AS n_src FROM {docs} GROUP BY source)
 SELECT g.source, g.bucket_lo, g.n_docs,
        CAST(g.n_docs AS DOUBLE) / CAST(s.n_src AS DOUBLE) AS share
 FROM lh_g g JOIN lh_s s ON g.source = s.source"""
+
+
+def containment_pairs_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.containment_pairs over the same banded
+    LSH candidate generation as near_dup_pairs_sql."""
+    from .operators.dedup import CONTAIN_DUP_J, CONTAIN_MIN, CONTAIN_STRONG
+
+    cast_slice = lambda b: G.ltransform(  # noqa: E731
+        _arr_slice("sig", b * 4 + 1, 4, d), f"x -> {G.cast_str('x', d)}", d
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" md5({G.array_join(cast_slice(b), chr(39) + '|' + chr(39), d)}) AS bucket"
+        f" FROM dd_sig"
+        for b in range(4)
+    )
+    if d == SPARK:
+        inter = "CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        uni = "CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE)"
+        na, nb = "CAST(size(sa.sh) AS DOUBLE)", "CAST(size(sb.sh) AS DOUBLE)"
+    else:
+        inter = "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        uni = "CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)"
+        na, nb = "CAST(len(sa.sh) AS DOUBLE)", "CAST(len(sb.sh) AS DOUBLE)"
+    c_ab, c_ba, jacc = f"({inter} / {na})", f"({inter} / {nb})", f"({inter} / {uni})"
+    return f"""WITH {dedup_cte(d, docs)},
+cn_bands AS (
+{bands}
+),
+cn_small AS (
+  SELECT band, bucket FROM cn_bands
+  GROUP BY band, bucket HAVING count(*) <= 64
+),
+cn_bands_s AS (
+  SELECT b.* FROM cn_bands b JOIN cn_small s
+    ON b.band = s.band AND b.bucket = s.bucket
+),
+cn_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM cn_bands_s x JOIN cn_bands_s y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT p.a, p.b,
+       {c_ab} AS contain_ab,
+       {c_ba} AS contain_ba,
+       {jacc} AS jaccard,
+       CASE WHEN {jacc} >= {CONTAIN_DUP_J} THEN 'duplicate'
+            WHEN {c_ab} >= {CONTAIN_STRONG} AND {c_ab} >= {c_ba} THEN 'a_in_b'
+            WHEN {c_ba} >= {CONTAIN_STRONG} THEN 'b_in_a'
+            ELSE 'overlap' END AS relation
+FROM cn_pairs p
+JOIN dd_sh sa ON sa.doc_id = p.a
+JOIN dd_sh sb ON sb.doc_id = p.b
+WHERE greatest({c_ab}, {c_ba}) >= {CONTAIN_MIN}"""

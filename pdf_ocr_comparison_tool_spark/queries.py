@@ -583,6 +583,18 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.length_histogram(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_containment", oracle=O.containment_pairs_sql(G.DUCK))
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over LSH candidates: a page embedded in a
+    larger one (quote/template/syndication) has low Jaccard but ≈1
+    one-direction containment — classified duplicate / a_in_b /
+    b_in_a / overlap (operators.dedup.containment_pairs)."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    withsig = dedup.with_minhash(docs)
+    pairs = dedup.lsh_candidate_pairs(withsig)
+    return dedup.containment_pairs(withsig, pairs)
+
+
 @register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
 def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
@@ -1260,6 +1272,7 @@ _QUERY_ORDER = [
     "cluster_cap_sample",
     "tfidf_keywords",
     "length_histogram",
+    "dedup_containment",
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
@@ -1304,9 +1317,9 @@ _QUERY_ORDER = [
     "line_dedup",
     # flagship core (always verified)
     "extract_spans",
-    "extract_fulltext",
     "media_decode",
     # ---- tail: stable rows verified green in round 4 ----
+    "extract_fulltext",
     "extract_grounded",
     "span_stats",
     "media_manifest",

@@ -208,3 +208,35 @@ def test_connected_components_empty_pairs(spark):
     out = dedup.connected_components(pairs)
     assert out.count() == 0
     assert out.columns == ["doc_id", "cluster_id", "keep"]
+
+
+def test_containment_relations(spark):
+    """All four relation branches on crafted pairs (fed directly — the
+    operator is a pair scorer; subset pairs are exactly what banded
+    minhash-LSH under-recalls, so candidate generation is pluggable):
+    prefix-contained doc → a_in_b with contain_ab == 1.0 exactly
+    (a contiguous prefix's word 3-grams are a subset), identical docs
+    → duplicate, partial overlap → overlap, sub-threshold drops."""
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, base),                                                  # A
+        (2, base + " " + " ".join(f"ext{i}" for i in range(40))),   # B ⊃ A
+        (3, base),                                                  # C == A
+        (4, " ".join(f"tok{i}" for i in range(20))                  # 2/3 of A
+            + " " + " ".join(f"oth{i}" for i in range(10))),
+        (5, " ".join(f"zzz{i}" for i in range(30))),                # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    withsig = dedup.with_minhash(docs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "a long, b long"
+    )
+    out = {(r["a"], r["b"]): r
+           for r in dedup.containment_pairs(withsig, pairs).collect()}
+    assert out[(1, 2)]["relation"] == "a_in_b"
+    assert out[(1, 2)]["contain_ab"] == 1.0
+    assert out[(1, 3)]["relation"] == "duplicate"
+    assert out[(1, 4)]["relation"] == "overlap"
+    assert (1, 5) not in out  # below CONTAIN_MIN → dropped
