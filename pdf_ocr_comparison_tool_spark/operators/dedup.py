@@ -289,10 +289,10 @@ def _release_local_checkpoint(df: DataFrame) -> None:
             )
 
 
-_OBSERVATION_WORKS = True
+_OBS_TIMEOUT_SEC = 30.0  # decays to a short probe after a miss, resets on success
 
 
-def _changed_from_observation(obs, fallback_df: DataFrame, timeout_sec: float = 30.0) -> int:
+def _changed_from_observation(obs, fallback_df: DataFrame, timeout_sec: float | None = None) -> int:
     """Read the per-round changed-label count from the Observation
     attached to the label-update job. The metric is produced by the
     SAME action that materializes the round's localCheckpoint, so the
@@ -300,28 +300,34 @@ def _changed_from_observation(obs, fallback_df: DataFrame, timeout_sec: float = 
     if the listener ever stops firing for RDD-materialize actions (a
     Spark-internal behavior we verified on 4.1 but don't control), scan
     the already-checkpointed frame instead of hanging in ``obs.get`` —
-    and remember the failure (module flag + one warning) so later
-    rounds pay one cheap agg job instead of a silent 30 s poll each."""
-    global _OBSERVATION_WORKS
+    and DECAY on failure instead of disabling outright: one missed
+    round (e.g. a listener hiccup under tenant load) drops the poll
+    budget to a 2 s probe — bounded cost per later round — while a
+    successful round restores the full budget, so a transient never
+    permanently disables the zero-extra-job path."""
+    global _OBS_TIMEOUT_SEC
     import time
 
-    if _OBSERVATION_WORKS:
-        deadline = time.monotonic() + timeout_sec
-        try:
-            jo = obs._jo
-            while time.monotonic() < deadline:
-                if jo.getRowOrEmpty().isDefined():
-                    return int(obs.get["changed"] or 0)
-                time.sleep(0.02)
-        except Exception:  # pragma: no cover - py4j accessor drift
-            pass
-        _OBSERVATION_WORKS = False
+    budget = _OBS_TIMEOUT_SEC if timeout_sec is None else timeout_sec
+    deadline = time.monotonic() + budget
+    try:
+        jo = obs._jo
+        while time.monotonic() < deadline:
+            if jo.getRowOrEmpty().isDefined():
+                _OBS_TIMEOUT_SEC = 30.0  # recovered
+                return int(obs.get["changed"] or 0)
+            time.sleep(0.02)
+    except Exception:  # pragma: no cover - py4j accessor drift
+        pass
+    if _OBS_TIMEOUT_SEC > 2.0:
+        _OBS_TIMEOUT_SEC = 2.0
         import warnings
 
         warnings.warn(
             "Observation metrics did not arrive for a localCheckpoint "
-            "materialize (Spark behavior change?); falling back to a "
-            "per-round aggregate scan of the checkpointed labels",
+            "materialize; dropping the convergence poll to a 2 s probe "
+            "and falling back to aggregate scans of the checkpointed "
+            "labels (recovers automatically on the next observed round)",
             RuntimeWarning,
         )
     return int(

@@ -586,19 +586,20 @@ def length_histogram(
     both exact and map-side combinable at any scale). Buckets on the
     stored ``n_chars`` column; ``share`` is the int/int within-source
     fraction."""
+    from pyspark.sql import Window as W
+
     b = (F.floor(F.col("n_chars") / bucket_chars) * bucket_chars).cast("long")
     g = docs.groupBy(F.col("source"), b.alias("bucket_lo")).agg(
         F.count("*").alias("n_docs")
     )
-    per_src = docs.groupBy("source").agg(F.count("*").alias("n_src"))
-    return (
-        g.join(per_src, "source")
-        .select(
-            "source",
-            "bucket_lo",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            (
-                F.col("n_docs").cast("double") / F.col("n_src").cast("double")
-            ).alias("share"),
-        )
+    # per-source totals derive from the bucket aggregate itself
+    # (sum(n_docs) over source == count(*) per source exactly) — one
+    # corpus scan, and the window runs over the TINY grouped frame,
+    # never the corpus
+    n_src = F.sum("n_docs").over(W.partitionBy("source"))
+    return g.select(
+        "source",
+        "bucket_lo",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs").cast("double") / n_src.cast("double")).alias("share"),
     )

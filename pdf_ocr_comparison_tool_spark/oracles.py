@@ -771,16 +771,46 @@ SELECT text_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
 FROM h GROUP BY text_hash HAVING count(*) > 1"""
 
 
-def near_dup_pairs_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
+def _lsh_pairs_cte(d: str, prefix: str = "dd") -> str:
+    """The banded-LSH candidate-pair CTE chain (band buckets → cap-64
+    hot-bucket guard → distinct a<b pairs) — the SINGLE home of the
+    banding spec, parametrized by CTE prefix so every consumer
+    (near-dup jaccard verify, containment scoring) shares it. Band
+    count and cap come from the operators module constants (change
+    both sides never one)."""
+    from .operators.dedup import BAND_SIZE, MAX_BUCKET, NUM_HASHES
+
+    n_bands = NUM_HASHES // BAND_SIZE
     cast_slice = lambda b: G.ltransform(  # noqa: E731
-        _arr_slice("sig", b * 4 + 1, 4, d), f"x -> {G.cast_str('x', d)}", d
+        _arr_slice("sig", b * BAND_SIZE + 1, BAND_SIZE, d),
+        f"x -> {G.cast_str('x', d)}",
+        d,
     )
     bands = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band,"
         f" md5({G.array_join(cast_slice(b), chr(39) + '|' + chr(39), d)}) AS bucket"
         f" FROM dd_sig"
-        for b in range(4)
+        for b in range(n_bands)
     )
+    return f"""{prefix}_bands AS (
+{bands}
+),
+{prefix}_small AS (
+  SELECT band, bucket FROM {prefix}_bands
+  GROUP BY band, bucket HAVING count(*) <= {MAX_BUCKET}
+),
+{prefix}_bands_s AS (
+  SELECT b.* FROM {prefix}_bands b JOIN {prefix}_small s
+    ON b.band = s.band AND b.bucket = s.bucket
+),
+{prefix}_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM {prefix}_bands_s x JOIN {prefix}_bands_s y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)"""
+
+
+def near_dup_pairs_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
     inter = (
         "size(array_intersect(sa.sh, sb.sh))"
         if d == SPARK
@@ -792,22 +822,7 @@ def near_dup_pairs_sql(d: str, docs: str = "documents", threshold: float = 0.5) 
         else "len(list_distinct(list_concat(sa.sh, sb.sh)))"
     )
     return f"""WITH {dedup_cte(d, docs)},
-dd_bands AS (
-{bands}
-),
-dd_small AS (
-  SELECT band, bucket FROM dd_bands
-  GROUP BY band, bucket HAVING count(*) <= 64
-),
-dd_bands_s AS (
-  SELECT b.* FROM dd_bands b JOIN dd_small s
-    ON b.band = s.band AND b.bucket = s.bucket
-),
-dd_pairs AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM dd_bands_s x JOIN dd_bands_s y
-    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-)
+{_lsh_pairs_cte(d, "dd")}
 SELECT p.a, p.b,
        CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE) AS jaccard
 FROM dd_pairs p
@@ -2662,15 +2677,6 @@ def containment_pairs_sql(d: str, docs: str = "documents") -> str:
     LSH candidate generation as near_dup_pairs_sql."""
     from .operators.dedup import CONTAIN_DUP_J, CONTAIN_MIN, CONTAIN_STRONG
 
-    cast_slice = lambda b: G.ltransform(  # noqa: E731
-        _arr_slice("sig", b * 4 + 1, 4, d), f"x -> {G.cast_str('x', d)}", d
-    )
-    bands = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band,"
-        f" md5({G.array_join(cast_slice(b), chr(39) + '|' + chr(39), d)}) AS bucket"
-        f" FROM dd_sig"
-        for b in range(4)
-    )
     if d == SPARK:
         inter = "CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)"
         uni = "CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE)"
@@ -2681,22 +2687,7 @@ def containment_pairs_sql(d: str, docs: str = "documents") -> str:
         na, nb = "CAST(len(sa.sh) AS DOUBLE)", "CAST(len(sb.sh) AS DOUBLE)"
     c_ab, c_ba, jacc = f"({inter} / {na})", f"({inter} / {nb})", f"({inter} / {uni})"
     return f"""WITH {dedup_cte(d, docs)},
-cn_bands AS (
-{bands}
-),
-cn_small AS (
-  SELECT band, bucket FROM cn_bands
-  GROUP BY band, bucket HAVING count(*) <= 64
-),
-cn_bands_s AS (
-  SELECT b.* FROM cn_bands b JOIN cn_small s
-    ON b.band = s.band AND b.bucket = s.bucket
-),
-cn_pairs AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM cn_bands_s x JOIN cn_bands_s y
-    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-)
+{_lsh_pairs_cte(d, "cn")}
 SELECT p.a, p.b,
        {c_ab} AS contain_ab,
        {c_ba} AS contain_ba,

@@ -590,7 +590,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-direction containment — classified duplicate / a_in_b /
     b_in_a / overlap (operators.dedup.containment_pairs)."""
     docs = synth.load_table(spark, sf_dir, "documents")
-    withsig = dedup.with_minhash(docs)
+    # cache-before-branch: the shingle + 16-minhash fold feeds the band
+    # generation AND both scored sides (same pattern as the sibling
+    # LSH queries)
+    withsig = dedup.with_minhash(docs).cache()
     pairs = dedup.lsh_candidate_pairs(withsig)
     return dedup.containment_pairs(withsig, pairs)
 

@@ -331,4 +331,21 @@ def ensure_partial_fixture(spark: SparkSession, sf_dir: str) -> str:
         os.rename(build, target)
     except OSError:
         shutil.rmtree(build, ignore_errors=True)  # concurrent build won
+    # GC superseded fixtures: content keying mints a new dir whenever
+    # the input regenerates, so old keys accumulate on long-lived
+    # hosts — drop siblings untouched for a day (a concurrent reader
+    # of a fixture that old is not a real scenario here)
+    import time as _time
+
+    cutoff = _time.time() - 86400
+    root = tempfile.gettempdir()
+    for name in os.listdir(root):
+        if not name.startswith("ckpt_fixture_") or name in target:
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.isdir(path) and os.stat(path).st_mtime < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
     return target

@@ -217,8 +217,6 @@ def test_containment_relations(spark):
     prefix-contained doc → a_in_b with contain_ab == 1.0 exactly
     (a contiguous prefix's word 3-grams are a subset), identical docs
     → duplicate, partial overlap → overlap, sub-threshold drops."""
-    from pyspark.sql import functions as F
-
     base = " ".join(f"tok{i}" for i in range(30))
     rows = [
         (1, base),                                                  # A
