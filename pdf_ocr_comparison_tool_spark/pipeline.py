@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> None:
         help="corpus only: after all parts commit, re-lay the output as "
         "split/source training shards at this path",
     )
+    p.add_argument(
+        "--quality-model",
+        action="store_true",
+        help="corpus only: add the trained linear quality scorer "
+        "(textstats.quality_model_dim) as a model_low_quality "
+        "admission stage",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name=f"{args.job}-job", cores=args.cores)
@@ -109,8 +116,14 @@ def main(argv: list[str] | None = None) -> None:
         docs = synth.load_table(spark, args.input, "documents").repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions"))
         )
+        qm = None
+        if args.quality_model:
+            from .operators import textstats
+
+            qm = textstats.quality_model_dim(spark)
         done = cp.run_corpus_job(
-            spark, docs, args.output, run_id=run_id, n_parts=args.n_parts
+            spark, docs, args.output, run_id=run_id, n_parts=args.n_parts,
+            quality_model=qm,
         )
     lineage = cp.committed_parts(spark, args.output)
     stats = lineage.agg(

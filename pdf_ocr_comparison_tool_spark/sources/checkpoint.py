@@ -202,6 +202,7 @@ def run_corpus_job(
     run_id: str,
     n_parts: int = 8,
     fail_after_parts: int | None = None,
+    quality_model: DataFrame | None = None,
 ) -> int:
     """Resumable corpus-build job: admission verdict (exact dedup →
     near-dup cluster keep → length/quality/repetition) + deterministic
@@ -214,6 +215,9 @@ def run_corpus_job(
     run after a crash. Recomputation is safe because every stage is
     deterministic; only the WRITES are incremental. Output rows:
     (doc_id, source, text, split, part) for admitted docs only.
+    ``quality_model`` (opt-in) adds the trained linear-scorer stage to
+    the verdict (pipeline.corpus_filter) — resume-safe because the
+    model dim is a deterministic input like the corpus itself.
     """
     from ..operators.pipeline import corpus_filter, data_split
 
@@ -225,7 +229,9 @@ def run_corpus_job(
     cached: list[DataFrame] = []
     try:
         verdict = (
-            corpus_filter(docs, cache_registry=cached)
+            corpus_filter(
+                docs, cache_registry=cached, quality_model=quality_model
+            )
             .filter(F.col("keep"))
             .select("doc_id")
         )
