@@ -410,3 +410,68 @@ def tfidf_keywords(docs: DataFrame, top: int = TFIDF_TOP) -> DataFrame:
         .select("doc_id", F.col("rank").cast("long").alias("rank"),
                 "token", "tf", "df", "tfidf")
     )
+
+
+# Gopher rule bounds (Rae et al. 2021 §A1.1), word-count bounds scaled
+# to this corpus's document lengths (the paper uses 50..100k words)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WORD = 2.0
+GOPHER_MAX_MEAN_WORD = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """The canonical Gopher document-quality rule suite (Rae et al.
+    2021 §A1.1) as ONE narrow projection: word count bounds, mean word
+    length bounds, symbol-to-word ratio (# and ... occurrences), bullet
+    / ellipsis line fractions, alphabetic-word fraction, and the
+    composed keep verdict. Ratios are int/int divisions — bit-exact
+    cross-engine. Complements the heuristic band (text_quality) and the
+    trained scorer (quality_score) as the third standard quality stage.
+    """
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_words = F.size(ws)
+    sum_chars = F.length(F.array_join(ws, "")).cast("long")
+    mean_word = sum_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    n_hash = F.size(F.filter(F.split(F.col("text"), ""), lambda c: c == "#"))
+    n_ellipsis = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), F.lit(0)))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    lines = F.filter(F.split(F.col("text"), r"\n"), lambda l: l != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• "),
+        )
+    )
+    n_ell_end = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_frac = n_bullet.cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+    ellipsis_frac = n_ell_end.cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word >= GOPHER_MIN_MEAN_WORD)
+        & (mean_word <= GOPHER_MAX_MEAN_WORD)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word.alias("mean_word_chars"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        keep.alias("gopher_keep"),
+    )

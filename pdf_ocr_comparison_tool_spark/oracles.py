@@ -2700,3 +2700,66 @@ FROM cn_pairs p
 JOIN dd_sh sa ON sa.doc_id = p.a
 JOIN dd_sh sb ON sb.doc_id = p.b
 WHERE greatest({c_ab}, {c_ba}) >= {CONTAIN_MIN}"""
+
+
+def gopher_quality_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.gopher_quality (Rae et al. 2021 §A1.1
+    bounds; int/int ratio divisions)."""
+    from .operators.textstats import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_MEAN_WORD,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD,
+        GOPHER_MIN_WORDS,
+    )
+
+    ws = _lfilter(split_rx("text", r"\s+", d), "t -> t <> ''", d)
+    lines = _lfilter(split_rx("text", r"\n", d), "l -> l <> ''", d)
+    n_words = "CAST(" + _arr_size("ws", d) + " AS BIGINT)"
+    sum_chars = f"length({G.array_join('ws', chr(39) + chr(39), d)})"
+    bullet = (
+        "l -> substr(l, 1, 2) = '- ' OR substr(l, 1, 2) = '* ' "
+        "OR substr(l, 1, 2) = '• '"
+    )
+    ell = "l -> length(l) >= 3 AND substr(l, length(l) - 2, 3) = '...'"
+    alpha = f"w -> {G.rlike('w', '[A-Za-z]', d)}"
+    n_hash = "length(text) - length(replace(text, '#', ''))"
+    n_ellipsis = _arr_size(G.extract_all("text", r"\.\.\.", d), d)
+    gw = "greatest(n_words, 1)"
+    gl = "greatest(n_lines, 1)"
+    mean_word = f"(CAST(sum_chars AS DOUBLE) / CAST({gw} AS DOUBLE))"
+    symbol = f"(CAST(n_sym AS DOUBLE) / CAST({gw} AS DOUBLE))"
+    bfrac = f"(CAST(n_bullet AS DOUBLE) / CAST({gl} AS DOUBLE))"
+    efrac = f"(CAST(n_ell AS DOUBLE) / CAST({gl} AS DOUBLE))"
+    afrac = f"(CAST(n_alpha AS DOUBLE) / CAST({gw} AS DOUBLE))"
+    return f"""WITH gq_a AS (
+  SELECT doc_id, text, {ws} AS ws, {lines} AS lines FROM {docs}
+),
+gq_b AS (
+  SELECT doc_id,
+         {n_words} AS n_words,
+         CAST({sum_chars} AS BIGINT) AS sum_chars,
+         CAST({n_hash} + {n_ellipsis} AS BIGINT) AS n_sym,
+         CAST({_arr_size('lines', d)} AS BIGINT) AS n_lines,
+         CAST({_arr_size(_lfilter('lines', bullet, d), d)} AS BIGINT) AS n_bullet,
+         CAST({_arr_size(_lfilter('lines', ell, d), d)} AS BIGINT) AS n_ell,
+         CAST({_arr_size(_lfilter('ws', alpha, d), d)} AS BIGINT) AS n_alpha
+  FROM gq_a
+)
+SELECT doc_id, n_words,
+       {mean_word} AS mean_word_chars,
+       {symbol} AS symbol_ratio,
+       {bfrac} AS bullet_frac,
+       {efrac} AS ellipsis_frac,
+       {afrac} AS alpha_word_frac,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND {mean_word} >= {GOPHER_MIN_MEAN_WORD}
+        AND {mean_word} <= {GOPHER_MAX_MEAN_WORD}
+        AND {symbol} <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND {bfrac} <= {GOPHER_MAX_BULLET_FRAC}
+        AND {efrac} <= {GOPHER_MAX_ELLIPSIS_FRAC}
+        AND {afrac} >= {GOPHER_MIN_ALPHA_FRAC}) AS gopher_keep
+FROM gq_b"""

@@ -598,6 +598,16 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(withsig, pairs)
 
 
+@register("gopher_quality", oracle=O.gopher_quality_sql(G.DUCK))
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Gopher quality-rule suite (Rae et al. 2021 §A1.1):
+    word-count / mean-word-length bounds, symbol ratio, bullet and
+    ellipsis line fractions, alphabetic-word fraction + keep verdict —
+    the third standard quality stage next to the heuristic band and
+    the trained scorer."""
+    return textstats.gopher_quality(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
 def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
@@ -1276,6 +1286,7 @@ _QUERY_ORDER = [
     "tfidf_keywords",
     "length_histogram",
     "dedup_containment",
+    "gopher_quality",
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
@@ -1317,11 +1328,11 @@ _QUERY_ORDER = [
     "corpus_filter",
     "bpe_merges",
     "decontaminate",
-    "line_dedup",
     # flagship core (always verified)
     "extract_spans",
     "media_decode",
     # ---- tail: stable rows verified green in round 4 ----
+    "line_dedup",
     "extract_fulltext",
     "extract_grounded",
     "span_stats",
