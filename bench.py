@@ -45,6 +45,12 @@ HEADLINE = [
     "ngram_counts",
     "substring_dup",
     "quality_score",
+    "gopher_quality",
+    "redact_pages",
+    "tfidf_keywords",
+    "length_histogram",
+    "cluster_cap_sample",
+    "dedup_containment",
     "corpus_filter",
     "corpus_diff",
     "seq_packing",
