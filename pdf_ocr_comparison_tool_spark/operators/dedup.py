@@ -542,7 +542,7 @@ def line_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
     key carries doc_id, so a hot document can't concentrate a reducer,
     and per-group arrays are bounded by the segment size."""
     norm = F.lower(
-        F.trim(F.regexp_replace(F.col("line"), r"\s+", " "))
+        F.trim(F.regexp_replace(F.col("line"), r"[ \t\n\x0B\f\r]+", " "))
     )
     lines = (
         docs.select(

@@ -112,7 +112,7 @@ def parse_grounded(df: DataFrame, blob_col: str = "grounded") -> DataFrame:
         # reference strips all whitespace (deepseek_ocr2_engine.py:277
         # text.strip()), incl. the trailing '\n' join separator
         F.regexp_replace(
-            F.regexp_extract("piece", G.GR_BODY_RE, 1), r"^\s+|\s+$", ""
+            F.regexp_extract("piece", G.GR_BODY_RE, 1), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""
         ).alias("txt"),
     ).filter((F.col("x1s") != "") & (F.col("txt") != ""))
     kept = parsed.select(
@@ -161,7 +161,7 @@ def full_text(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     return extracted.select(
         "doc_id",
         ft.alias("full_text"),
-        F.md5(F.lower(F.regexp_replace(ft, r"\s+", ""))).alias("text_hash"),
+        F.md5(F.lower(F.regexp_replace(ft, r"[ \t\n\x0B\f\r]+", ""))).alias("text_hash"),
         F.size(spans_col).alias("n_spans"),
         F.size(texts).alias("n_text_spans"),
     )

@@ -24,7 +24,7 @@ def _extract_multi(col: Column, patterns: list[str]) -> Column:
 
 def text_hash(col: Column) -> Column:
     """md5 of lowercased, whitespace-stripped text (T1)."""
-    return F.md5(F.lower(F.regexp_replace(col, r"\s+", "")))
+    return F.md5(F.lower(F.regexp_replace(col, r"[ \t\n\x0B\f\r]+", "")))
 
 
 def hash_bucket(col: Column, n: int) -> Column:
@@ -42,7 +42,7 @@ def hash_bucket(col: Column, n: int) -> Column:
 
 def normalize_amount(col: Column) -> Column:
     """Strip [,，space] from amount strings (T5, content_matcher.py:188)."""
-    return F.regexp_replace(col, r"[,，\s]", "")
+    return F.regexp_replace(col, r"[,， \t\n\x0B\f\r]", "")
 
 
 def token_count_entries(toks: Column) -> Column:

@@ -255,7 +255,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (chars/4,
     the common heuristic) as exact integer arithmetic."""
     n_chars = F.length("text")
-    n_ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    n_ws = F.size(F.filter(F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"), lambda t: t != ""))
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -433,7 +433,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     cross-engine. Complements the heuristic band (text_quality) and the
     trained scorer (quality_score) as the third standard quality stage.
     """
-    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    ws = F.filter(F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
     n_words = F.size(ws)
     sum_chars = F.length(F.array_join(ws, "")).cast("long")
     mean_word = sum_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")

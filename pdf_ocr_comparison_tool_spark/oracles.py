@@ -33,7 +33,7 @@ def _dates_arr(col: str, d: str) -> str:
 def _amounts_norm_arr(col: str, d: str) -> str:
     parts = [G.extract_all(col, p, d) for p in G.AMOUNT_RES]
     arr = P._arr_concat(parts, d)
-    pat = r"[,，\s]"  # T5: strip comma/fullwidth-comma/whitespace
+    pat = r"[,， \t\n\x0B\f\r]"  # T5: strip comma/fullwidth-comma/whitespace
     lam = f"x -> {G.replace_all('x', pat, '', d)}"
     return P._arr_sort(P._arr_distinct(G.ltransform(arr, lam, d), d), d)
 
@@ -44,7 +44,7 @@ def _numbers_arr(col: str, d: str) -> str:
 
 
 def feat_cte(d: str, docs: str = "documents") -> str:
-    ws = G.replace_all("text", r"\s+", "", d)
+    ws = G.replace_all("text", r"[ \t\n\x0B\f\r]+", "", d)
     return f"""{P.pages_cte(d, docs)},
 feat AS (
   SELECT doc_id, role, page_num, text,
@@ -666,7 +666,7 @@ def pages_exact_dups_sql(d: str, docs: str = "documents") -> str:
     """Exact dedup over the pages IR (which, unlike the driver's
     documents table, contains real duplicate content — the voucher /
     reference hash matches the J1 stage short-circuits on)."""
-    ws = G.replace_all("text", r"\s+", "", d)
+    ws = G.replace_all("text", r"[ \t\n\x0B\f\r]+", "", d)
     return f"""WITH {P.pages_cte(d, docs)},
 pe AS (
   SELECT doc_id, role, page_num, md5(lower({ws})) AS text_hash FROM pages
@@ -763,7 +763,7 @@ dd_sig AS (
 
 
 def exact_dups_sql(d: str, docs: str = "documents") -> str:
-    ws = G.replace_all("text", r"\s+", "", d)
+    ws = G.replace_all("text", r"[ \t\n\x0B\f\r]+", "", d)
     return f"""WITH h AS (
   SELECT doc_id, md5(lower({ws})) AS text_hash FROM {docs}
 )
@@ -2093,7 +2093,7 @@ FROM tr_g"""
 
 
 def token_counts_sql(d: str, docs: str = "documents") -> str:
-    ws = _lfilter(split_rx("text", r"\s+", d), "t -> t <> ''", d)
+    ws = _lfilter(split_rx("text", r"[ \t\n\x0B\f\r]+", d), "t -> t <> ''", d)
     bpe = P.idiv("(length(text) + 3)", "4", d)
     return f"""SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -2342,7 +2342,7 @@ def corpus_filter_sql(d: str, docs: str = "documents") -> str:
     drop_reason precedence is identical on both sides."""
     from .operators.pipeline import MAX_DUP3_FRAC, MAX_TOP2_FRAC, MIN_TOKENS
 
-    ws = G.replace_all("text", r"\s+", "", d)
+    ws = G.replace_all("text", r"[ \t\n\x0B\f\r]+", "", d)
     reason = f"""CASE WHEN NOT exact_keep THEN 'exact_dup'
             WHEN NOT neardup_keep THEN 'near_dup'
             WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
@@ -2716,7 +2716,7 @@ def gopher_quality_sql(d: str, docs: str = "documents") -> str:
         GOPHER_MIN_WORDS,
     )
 
-    ws = _lfilter(split_rx("text", r"\s+", d), "t -> t <> ''", d)
+    ws = _lfilter(split_rx("text", r"[ \t\n\x0B\f\r]+", d), "t -> t <> ''", d)
     lines = _lfilter(split_rx("text", r"\n", d), "l -> l <> ''", d)
     n_words = "CAST(" + _arr_size("ws", d) + " AS BIGINT)"
     sum_chars = f"length({G.array_join('ws', chr(39) + chr(39), d)})"

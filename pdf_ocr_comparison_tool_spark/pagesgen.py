@@ -147,7 +147,7 @@ def features_exprs(text_col: str, d: str) -> dict[str, str]:
         arr = _arr_concat([G.extract_all(text_col, p, d) for p in pats], d)
         return G.array_join(_arr_sort(_arr_distinct(arr, d), d), "'|'", d)
 
-    ws_stripped = G.replace_all(text_col, r"\s+", "", d)
+    ws_stripped = G.replace_all(text_col, r"[ \t\n\x0B\f\r]+", "", d)
     return {
         "text_hash": f"md5(lower({ws_stripped}))",
         "dates_s": multi(G.DATE_RES),

@@ -78,7 +78,7 @@ _FT_AGG = (
     "coalesce(string_agg(text, chr(10) ORDER BY ord) "
     "FILTER (WHERE kind = 'text'), '')"
 )
-_FT_STRIPPED = G.replace_all(_FT_AGG, r"\s+", "", G.DUCK)
+_FT_STRIPPED = G.replace_all(_FT_AGG, r"[ \t\n\x0B\f\r]+", "", G.DUCK)
 _FULLTEXT_ORACLE = f"""
 WITH ext AS ({G.extraction_sql(G.DUCK)})
 SELECT doc_id,

@@ -62,9 +62,9 @@ GR_LEN = 40
 GR_HDR = "<|ref|>text<|/ref|><|det|>[["
 GR_REF_SPLIT_RE = r"<\|ref\|>"
 GR_HDR_RE = (
-    r"^text<\|/ref\|><\|det\|>\[\[(\d+),\s*(\d+),\s*(\d+),\s*(\d+)\]\]<\|/det\|>"
+    r"^text<\|/ref\|><\|det\|>\[\[(\d+),[ \t\n\x0B\f\r]*(\d+),[ \t\n\x0B\f\r]*(\d+),[ \t\n\x0B\f\r]*(\d+)\]\]<\|/det\|>"
 )
-GR_BODY_RE = r"(?s)<\|/det\|>\s*\n?(.*)$"
+GR_BODY_RE = r"(?s)<\|/det\|>[ \t\n\x0B\f\r]*\n?(.*)$"
 
 
 # ---- normalization spec (reference deepseek_ocr2_engine.py:300-341) ----
@@ -85,16 +85,16 @@ DATE_RES = [
     r"\d{4}年\d{1,2}月\d{1,2}日",
 ]
 AMOUNT_RES = [
-    r"[¥￥]\s*[\d,]+\.?\d*",
-    r"[\d,]+\.?\d*\s*[元万]",
-    r"金额[：:]\s*[\d,]+\.?\d*",
-    r"合计[：:]\s*[\d,]+\.?\d*",
+    r"[¥￥][ \t\n\x0B\f\r]*[\d,]+\.?\d*",
+    r"[\d,]+\.?\d*[ \t\n\x0B\f\r]*[元万]",
+    r"金额[：:][ \t\n\x0B\f\r]*[\d,]+\.?\d*",
+    r"合计[：:][ \t\n\x0B\f\r]*[\d,]+\.?\d*",
 ]
 NUMBER_RES = [
     r"[A-Za-z]*\d{4,}",
-    r"编号[：:]\s*\S+",
-    r"合同号[：:]\s*\S+",
-    r"发票号[：:]\s*\S+",
+    r"编号[：:][ \t\n\x0B\f\r]*[^ \t\n\x0B\f\r]+",
+    r"合同号[：:][ \t\n\x0B\f\r]*[^ \t\n\x0B\f\r]+",
+    r"发票号[：:][ \t\n\x0B\f\r]*[^ \t\n\x0B\f\r]+",
 ]
 
 
@@ -244,7 +244,7 @@ def grounded_parse_sql(d: str, docs: str = "documents") -> str:
     grp = lambda g: f"regexp_extract(piece, {rx(GR_HDR_RE, d)}, {g})"  # noqa: E731
     # full whitespace strip, mirroring the operator (reference strip())
     body = replace_all(
-        f"regexp_extract(piece, {rx(GR_BODY_RE, d)}, 1)", r"^\s+|\s+$", "", d
+        f"regexp_extract(piece, {rx(GR_BODY_RE, d)}, 1)", r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", "", d
     )
     if d == SPARK:
         k_piece = f"posexplode({pieces}) AS (k, piece)"
