@@ -54,6 +54,8 @@ HEADLINE = [
     "corpus_filter",
     "corpus_diff",
     "seq_packing",
+    "interleaved_packing",
+    "lm_score",
     "text_repetition",
     "ann_brute_topk",
     "ann_lsh_search",

@@ -381,7 +381,27 @@ def seq_packing(
     )
     # scalar corpus count → bucket granularity (one count job; at real
     # scale this is parquet-metadata cheap and amortized per run)
-    shift = pack_shift(docs.count(), target_bucket_docs)
+    return _pack_tape(
+        base, docs.count(), ctx,
+        target_bucket_docs, cumsum_threshold, fanin_bits,
+    )
+
+
+def _pack_tape(
+    base: DataFrame,
+    n_docs: int,
+    ctx: int,
+    target_bucket_docs: int = PACK_TARGET_BUCKET_DOCS,
+    cumsum_threshold: int = PACK_CUMSUM_THRESHOLD,
+    fanin_bits: int = PACK_FANIN_BITS,
+) -> DataFrame:
+    """Shared tape layout of :func:`seq_packing` /
+    :func:`interleaved_packing`: two-phase distributed prefix sum of
+    ``n_tokens`` over the tape order ``(h, doc_id)``. ``base`` must
+    carry (doc_id, n_tokens, h) plus any passthrough columns, which
+    survive into the output alongside tok_offset/pack_id/pack_offset."""
+    passthrough = [c for c in base.columns if c not in ("h",)]
+    shift = pack_shift(n_docs, target_bucket_docs)
     base = base.withColumn("bkt", F.shiftright("h", shift))
     w_in = (
         Window.partitionBy("bkt")
@@ -400,13 +420,63 @@ def seq_packing(
     return (
         within.join(offsets, "bkt")
         .select(
-            "doc_id",
-            "n_tokens",
+            *passthrough,
             g_off.cast("long").alias("tok_offset"),
             F.floor(g_off / ctx).cast("long").alias("pack_id"),
             F.pmod(g_off, F.lit(ctx)).cast("long").alias("pack_offset"),
         )
     )
+
+
+MEDIA_TOKENS = 256  # fixed vision-token budget charged per media span
+
+
+def interleaved_packing(
+    spans_docs: DataFrame,
+    ctx: int = CTX_TOKENS,
+    media_tokens: int = MEDIA_TOKENS,
+) -> DataFrame:
+    """Multimodal twin of :func:`seq_packing` over the INTERLEAVED
+    spans IR — the batch-prep step of a text+media pretraining run
+    (the north rule's payload): each document's tape cost is its
+    extracted text spans' token count plus a fixed ``media_tokens``
+    budget per media span (the constant patch-token count a vision
+    encoder contributes per image, as in Flamingo/LLaVA-style
+    packing).
+
+    Cost derivation is fully NARROW — an array fold over each doc's
+    extracted spans (no explode, no extra shuffle); the only
+    exchanges are the shared tape prefix sum's. Docs whose spans all
+    normalize away still occupy a zero-width tape slot, so the output
+    covers every input doc (mirrors seq_packing)."""
+    from . import extraction
+
+    ext = extraction.extract_ordered_spans(spans_docs)
+    spans = F.col("spans")
+    text_toks = F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["kind"] == "media", F.lit(0))
+        .otherwise(F.size(dedup.tokens_col(s["text"])))
+        .cast("long"),
+    )
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media"))
+    base = ext.select(
+        "doc_id",
+        text_toks.alias("n_text_tokens"),
+        n_media.cast("long").alias("n_media"),
+        pack_tape_hash(F.col("doc_id")).alias("h"),
+    ).select(
+        "doc_id",
+        "n_text_tokens",
+        "n_media",
+        (F.col("n_text_tokens") + media_tokens * F.col("n_media"))
+        .cast("long")
+        .alias("n_tokens"),
+        "h",
+    )
+    return _pack_tape(base, spans_docs.count(), ctx)
 
 
 def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:

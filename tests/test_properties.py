@@ -293,3 +293,53 @@ def test_quality_model_batch_equals_narrow(spark, texts):
         | (F.col("drop_n") != (F.col("label") == "drop"))
     ).count()
     assert bad == 0
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_lm_score_matches_python_reference(spark, texts):
+    """lm_score == a pure-Python add-one bigram LM computed the same
+    way (token defs shared); degenerate docs (<2 tokens) keep a row
+    with n_bigrams=0 and NULL score; defined scores sit in (0, 1]."""
+    import re
+    from collections import Counter
+
+    from pdf_ocr_comparison_tool_spark.operators import textstats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.lm_score(docs).collect()}
+    assert set(out) == {i for i, _ in rows}
+
+    def toks(t):
+        return [
+            w for w in re.split(r"[^a-z0-9]+", t.lower()) if len(w) >= 2
+        ]
+
+    uni = Counter(w for _, t in rows for w in toks(t))
+    big = Counter(
+        (ts[i], ts[i + 1])
+        for _, t in rows
+        for ts in [toks(t)]
+        for i in range(len(ts) - 1)
+    )
+    v = len(uni)
+    for i, t in rows:
+        ts = toks(t)
+        r = out[i]
+        n = max(len(ts) - 1, 0)
+        assert r["n_bigrams"] == n
+        if n == 0:
+            assert r["lm_score"] is None
+            continue
+        s = 0.0
+        for j in range(n):
+            s = s + (big[(ts[j], ts[j + 1])] + 1) / (uni[ts[j]] + v)
+        assert r["lm_score"] == s / n
+        assert 0.0 < r["lm_score"] <= 1.0
