@@ -516,12 +516,17 @@ def lm_bigram_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_score(docs: DataFrame) -> DataFrame:
+def lm_score(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
     """Per-document LM fluency score: the mean add-one-smoothed bigram
     transition probability p(cur|prev) = (C(prev,cur)+1) / (C(prev)+V),
     trained on the scored corpus (the self-trained analogue of CCNet's
     wiki-LM perplexity filter; higher = more fluent/stereotypical,
     lower = gibberish or OCR noise).
+
+    The transition rows feed BOTH the bigram count table and the
+    scoring probe — pass ``cache_registry`` (caller-owned cache
+    contract, as corpus_filter) to cache them once instead of
+    re-tokenizing the corpus per consumer; the caller unpersists.
 
     Scale shape: bigram/unigram count tables are map-side-combinable
     groupBys; scoring is two equi-joins of the transition rows against
@@ -534,6 +539,9 @@ def lm_score(docs: DataFrame) -> DataFrame:
     row with n_bigrams=0 and a NULL score (a filter stage must see
     every document)."""
     rows = lm_bigram_rows(docs)
+    if cache_registry is not None:
+        rows = rows.cache()
+        cache_registry.append(rows)
     uni = (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
         .groupBy("tok")
