@@ -491,13 +491,19 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
 LM_SMOOTH = 1  # Laplace add-k
 
 
-def lm_bigram_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, ord, prev, cur) — one row per in-document token
-    transition, built narrowly via the shifted-zip trick (the derived
-    arrays are each HOF's INPUT — never an index lambda)."""
+def _tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks) — the single tokenization all LM consumers share."""
+    return docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+
+
+def _bigram_rows_from_toks(tokenized: DataFrame) -> DataFrame:
+    """(doc_id, toks) → (doc_id, ord, prev, cur) — one row per
+    in-document token transition, built narrowly via the shifted-zip
+    trick (the derived arrays are each HOF's INPUT — never an index
+    lambda)."""
     from .dedup import _shift
 
-    toks = tokens_col(F.col("text"))
+    toks = F.col("toks")
     pairs = F.filter(
         F.zip_with(
             toks,
@@ -508,12 +514,20 @@ def lm_bigram_rows(docs: DataFrame) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
-    return docs.select("doc_id", F.posexplode(pairs).alias("ord", "bg")).select(
+    return tokenized.select(
+        "doc_id", F.posexplode(pairs).alias("ord", "bg")
+    ).select(
         "doc_id",
         F.col("ord").cast("long").alias("ord"),
         F.col("bg.prev").alias("prev"),
         F.col("bg.cur").alias("cur"),
     )
+
+
+def lm_bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, ord, prev, cur) transition rows straight from a
+    (doc_id, text) frame."""
+    return _bigram_rows_from_toks(_tokenized(docs))
 
 
 def lm_score(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
@@ -523,10 +537,11 @@ def lm_score(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
     wiki-LM perplexity filter; higher = more fluent/stereotypical,
     lower = gibberish or OCR noise).
 
-    The transition rows feed BOTH the bigram count table and the
-    scoring probe — pass ``cache_registry`` (caller-owned cache
-    contract, as corpus_filter) to cache them once instead of
-    re-tokenizing the corpus per consumer; the caller unpersists.
+    The tokenized corpus feeds THREE consumers (bigram count table,
+    scoring probe, unigram table) — pass ``cache_registry``
+    (caller-owned cache contract, as corpus_filter) to cache the
+    (doc_id, toks) frame once instead of re-running the regex split
+    per consumer; the caller unpersists.
 
     Scale shape: bigram/unigram count tables are map-side-combinable
     groupBys; scoring is two equi-joins of the transition rows against
@@ -538,12 +553,13 @@ def lm_score(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
     state is bounded by document length. Docs with <2 tokens keep a
     row with n_bigrams=0 and a NULL score (a filter stage must see
     every document)."""
-    rows = lm_bigram_rows(docs)
+    tokenized = _tokenized(docs)
     if cache_registry is not None:
-        rows = rows.cache()
-        cache_registry.append(rows)
+        tokenized = tokenized.cache()
+        cache_registry.append(tokenized)
+    rows = _bigram_rows_from_toks(tokenized)
     uni = (
-        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        tokenized.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c_uni"))
     )
@@ -573,7 +589,7 @@ def lm_score(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"), folded.alias("s")
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    return tokenized.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.when(

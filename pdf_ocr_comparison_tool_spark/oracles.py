@@ -2819,9 +2819,12 @@ def lm_score_sql(d: str, docs: str = "documents") -> str:
     from .operators.textstats import LM_SMOOTH
 
     if d == SPARK:
+        # sequence(0, -1) would generate DESCENDING [0, -1]; guard the
+        # <2-token case with a typed empty array instead
         pairs = (
-            "CASE WHEN size(toks) < 2 THEN array() ELSE "
-            "transform(sequence(0, size(toks) - 2), i -> named_struct("
+            "CASE WHEN size(toks) < 2 THEN "
+            "CAST(array() AS array<struct<ord:int,prev:string,cur:string>>) "
+            "ELSE transform(sequence(0, size(toks) - 2), i -> named_struct("
             "'ord', i, 'prev', element_at(toks, i + 1), "
             "'cur', element_at(toks, i + 2))) END"
         )
@@ -2861,7 +2864,7 @@ lm_sc AS (
 ),
 lm_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         {_fold_double("list(p ORDER BY ord)" if d != SPARK else "array_agg(p ORDER BY ord)", d)} AS s
+         {_ordered_fold("p", "ord", d)} AS s
   FROM lm_sc GROUP BY doc_id
 )
 SELECT dd.doc_id,

@@ -1341,11 +1341,13 @@ _QUERY_ORDER = [
     "ann_lsh_search",
     "ann_ivf_search",
     "emb_near_dups",
-    # touched this round (CC loop, loader rebalance, corpus_filter flag)
+    # touched this round (CC loop, loader rebalance, corpus_filter
+    # flag, _pack_tape refactor; emb_dup_clusters' CC path re-proves
+    # via dedup_clusters and rides the tail this round)
     "dedup_clusters",
-    "emb_dup_clusters",
     "text_repetition",
     "corpus_filter",
+    "seq_packing",
     # extraction regex surface touched by the whitespace-class sweep
     "extract_fulltext",
     "extract_grounded",
@@ -1359,6 +1361,7 @@ _QUERY_ORDER = [
     "decontaminate",
     "extract_spans",
     "media_decode",
+    "emb_dup_clusters",
     "line_dedup",
     "span_stats",
     "media_manifest",
@@ -1366,7 +1369,6 @@ _QUERY_ORDER = [
     "match_best_cosine",
     "match_merged",
     "doc_processing_stats",
-    "seq_packing",
     "pack_manifest",
     "data_split",
     "split_summary",
