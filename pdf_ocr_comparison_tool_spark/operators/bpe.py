@@ -97,21 +97,15 @@ def _apply_merge(pr: DataFrame, best: DataFrame) -> DataFrame:
     return j.groupBy("word", "freq").agg(ordered.alias("syms"))
 
 
-def bpe_fit(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Train ``n_merges`` BPE merges on the corpus; emits the merge
-    table (merge_rank, lhs, rhs, merged, pair_freq) — the artifact a
-    subword tokenizer loads. Deterministic: ties on pair frequency
-    break lexicographically."""
+def _run_merges(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared fit loop: returns (per-iteration merge frames, FINAL
+    (word, freq, syms) state). The final state is a live
+    localCheckpoint — bpe_fit releases it (unused there); bpe_encode's
+    result depends on it, so there it stays alive for the session
+    (same lifetime contract as the kmeans-fitted centroid tables)."""
     from .dedup import _release_local_checkpoint
-
-    if n_merges <= 0:
-        # degenerate case, same as the Python reference bpe_fit_py:
-        # an empty merge table with the standard schema
-        return docs.sparkSession.createDataFrame(
-            [],
-            "merge_rank long, lhs string, rhs string, "
-            "merged string, pair_freq long",
-        )
 
     state = word_freqs(docs).select(
         "word", "freq", F.split(F.col("word"), "").alias("syms")
@@ -146,11 +140,67 @@ def bpe_fit(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         new_state = _apply_merge(pr, best).localCheckpoint()
         _release_local_checkpoint(state)
         state = new_state
+    return merges, state
+
+
+def bpe_fit(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus; emits the merge
+    table (merge_rank, lhs, rhs, merged, pair_freq) — the artifact a
+    subword tokenizer loads. Deterministic: ties on pair frequency
+    break lexicographically."""
+    from .dedup import _release_local_checkpoint
+
+    if n_merges <= 0:
+        # degenerate case, same as the Python reference bpe_fit_py:
+        # an empty merge table with the standard schema
+        return docs.sparkSession.createDataFrame(
+            [],
+            "merge_rank long, lhs string, rhs string, "
+            "merged string, pair_freq long",
+        )
+
+    merges, state = _run_merges(docs, n_merges)
     _release_local_checkpoint(state)
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
     return out
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenize the corpus with the trained merge table — the APPLY
+    step every pretraining run does after the fit. Classic dictionary
+    encode: the ``n_merges`` merges run once over the word VOCABULARY
+    (the same relational greedy-leftmost `_apply_merge` the fit uses —
+    vocab-sized, not corpus-sized), then each word OCCURRENCE joins to
+    its subword sequence. Output: one row per subword token,
+    (doc_id, ord = word position, sub = subword position within the
+    word, subword).
+
+    Scale shape: the corpus-sized side only ever carries (doc_id, ord,
+    word) rows through ONE equi-join against the encoded vocab (hot
+    common words skew the probe side only — one build row each); the
+    merge iterations themselves touch vocab × word-length symbol rows.
+    """
+    if n_merges <= 0:
+        state = word_freqs(docs).select(
+            "word", F.split(F.col("word"), "").alias("syms")
+        )
+    else:
+        _, state = _run_merges(docs, n_merges)
+    rows = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("ord", "word")
+    )
+    return (
+        rows.join(state.select("word", "syms"), "word")
+        .select("doc_id", "ord", F.posexplode("syms").alias("sub", "subword"))
+        .select(
+            "doc_id",
+            F.col("ord").cast("long").alias("ord"),
+            F.col("sub").cast("long").alias("sub"),
+            "subword",
+        )
+    )
 
 
 def bpe_fit_py(word_freq: dict[str, int], n_merges: int = BPE_MERGES) -> list:

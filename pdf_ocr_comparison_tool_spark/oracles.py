@@ -1096,18 +1096,15 @@ SELECT dd.doc_id,
 FROM {docs} dd LEFT JOIN dc_p p ON dd.doc_id = p.doc_id"""
 
 
-def bpe_merges_sql(d: str, docs: str = "documents",
-                   n_merges: int | None = None) -> str:
-    """Mirror of operators.bpe.bpe_fit: ``n_merges`` unrolled BPE
-    iterations over the corpus word-frequency table — per iteration a
-    lead-window pair expansion, the weighted argmax pair (ties
-    lexicographic), the greedy-leftmost merge via gaps-and-islands
-    (odd run positions merge, successors drop), and the ordered
-    rebuild. Output: the merge table (merge_rank, lhs, rhs, merged,
-    pair_freq)."""
-    from .operators.bpe import BPE_MERGES
-
-    n_merges = BPE_MERGES if n_merges is None else n_merges
+def _bpe_cte_chain(d: str, n_merges: int) -> str:
+    """The unrolled BPE fit as a CTE-chain body (appended after
+    ``dd_tok``): per iteration a lead-window pair expansion, the
+    weighted argmax pair (ties lexicographic), the greedy-leftmost
+    merge via gaps-and-islands (odd run positions merge, successors
+    drop), and the ordered rebuild. Exposes b1..bK (per-iteration
+    argmax pairs) and s0..sK (vocab states; sK = the fitted
+    word → syms encoding) — shared by bpe_merges_sql and
+    bpe_encode_sql."""
     # DuckDB re-inlines every CTE reference (the same tree-copy blowup
     # Catalyst has); multi-referenced iteration CTEs must MATERIALIZE
     # or 6 unrolled merges evaluate ~5^6 subtrees
@@ -1177,15 +1174,64 @@ def bpe_merges_sql(d: str, docs: str = "documents",
         ctes.append(f"""s{i} AS {mat}(
   SELECT word, freq, {syms_agg} AS syms FROM ns{i} GROUP BY word, freq
 )""")
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def bpe_merges_sql(d: str, docs: str = "documents",
+                   n_merges: int | None = None) -> str:
+    """Mirror of operators.bpe.bpe_fit (see _bpe_cte_chain). Output:
+    the merge table (merge_rank, lhs, rhs, merged, pair_freq)."""
+    from .operators.bpe import BPE_MERGES
+
+    n_merges = BPE_MERGES if n_merges is None else n_merges
     union = "\n  UNION ALL\n".join(
         f"  SELECT CAST({i} AS BIGINT) AS merge_rank, bl AS lhs, br AS rhs,"
         f" bl || br AS merged, pf AS pair_freq FROM b{i}"
         for i in range(1, n_merges + 1)
     )
     return f"""WITH {_tok_cte(d, docs)},
-{body}
+{_bpe_cte_chain(d, n_merges)}
 {union}"""
+
+
+def bpe_encode_sql(d: str, docs: str = "documents",
+                   n_merges: int | None = None) -> str:
+    """Mirror of operators.bpe.bpe_encode: the fitted vocab encoding
+    (s{K} of the unrolled chain) dictionary-joined to every word
+    occurrence. Output: one row per subword token
+    (doc_id, ord, sub, subword)."""
+    from .operators.bpe import BPE_MERGES
+
+    n_merges = BPE_MERGES if n_merges is None else n_merges
+    k = n_merges
+    if d == SPARK:
+        words = (
+            "SELECT doc_id, pos AS ord, word FROM dd_tok "
+            "LATERAL VIEW posexplode(toks) u AS pos, word"
+        )
+        final = (
+            f"SELECT w.doc_id, CAST(w.ord AS BIGINT) AS ord,\n"
+            f"       CAST(sub AS BIGINT) AS sub, subword\n"
+            f"FROM be_w w JOIN s{k} s ON w.word = s.word\n"
+            f"LATERAL VIEW posexplode(s.syms) v AS sub, subword"
+        )
+    else:
+        words = (
+            "SELECT doc_id, generate_subscripts(toks, 1) - 1 AS ord, "
+            "unnest(toks) AS word FROM dd_tok"
+        )
+        final = (
+            f"SELECT w.doc_id, CAST(w.ord AS BIGINT) AS ord,\n"
+            f"       CAST(generate_subscripts(s.syms, 1) - 1 AS BIGINT) AS sub,\n"
+            f"       unnest(s.syms) AS subword\n"
+            f"FROM be_w w JOIN s{k} s ON w.word = s.word"
+        )
+    return f"""WITH {_tok_cte(d, docs)},
+{_bpe_cte_chain(d, n_merges)},
+be_w AS (
+  {words}
+)
+{final}"""
 
 
 def ngram_counts_sql(d: str, docs: str = "documents", n: int = 3) -> str:

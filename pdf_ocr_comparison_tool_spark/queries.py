@@ -1262,6 +1262,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_fit(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("bpe_encode", oracle=O.bpe_encode_sql(G.DUCK))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY: the trained merge table dictionary-encodes
+    the word VOCABULARY (vocab-sized relational merges), then every
+    word occurrence equi-joins to its subword sequence — one (doc_id,
+    ord, sub, subword) row per emitted token, the tensor-ready output a
+    pretraining tokenization job writes."""
+    return bpe.bpe_encode(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("ngram_counts", oracle=O.ngram_counts_sql(G.DUCK))
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide trigram count table (the KenLM-style LM-filter
@@ -1296,6 +1306,7 @@ _QUERY_ORDER = [
     # query's driver row must be <=1 round old), then the queries whose
     # shared code was touched this round + the flagship core ---
     # new this round
+    "bpe_encode",
     "lm_score",
     "interleaved_packing",
     "similarity_dispatch",
@@ -1350,13 +1361,16 @@ _QUERY_ORDER = [
     "seq_packing",
     # extraction regex surface touched by the whitespace-class sweep
     "extract_fulltext",
-    "extract_grounded",
     # ---- tail: stable rows verified green in round 4 (extract_spans
     # additionally re-proves every round via the driver's entry()
-    # smoke; the remaining sweep-touched rows — token_counts,
+    # smoke; extract_grounded displaced to the tail-top by bpe_encode —
+    # its official row is r4-green and the sweep-touched regex surface
+    # re-proves via extract_fulltext in the head; the remaining
+    # sweep-touched rows — token_counts,
     # page_features, match_best, line_dedup, dedup_exact_pages — are
     # covered by the local type-strict parity gate and rotate into the
     # head next round) ----
+    "extract_grounded",
     "bpe_merges",
     "decontaminate",
     "extract_spans",

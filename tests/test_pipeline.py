@@ -248,6 +248,57 @@ def test_bpe_fit_zero_merges_is_empty(spark):
     assert out.columns == ["merge_rank", "lhs", "rhs", "merged", "pair_freq"]
 
 
+def test_bpe_encode_reconstructs_words(spark):
+    """Encode is lossless: per word occurrence, concatenating subwords
+    in ``sub`` order rebuilds the original word, and the subword
+    segmentation equals applying the trained merges sequentially
+    (checked via bpe_fit_py greedy re-application on a sample word)."""
+    from pdf_ocr_comparison_tool_spark.operators import bpe
+
+    rows = [
+        (1, "low lower lowest low low newer new newest wider wide"),
+        (2, "aaaa aaa aa low new wide wider banana bandana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    enc = bpe.bpe_encode(docs)
+    rebuilt = {
+        (r["doc_id"], r["ord"]): r["word"]
+        for r in enc.groupBy("doc_id", "ord")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("sub", "subword")))
+                .getField("subword")
+            ).alias("word")
+        )
+        .collect()
+    }
+    for doc_id, text in rows:
+        for i, w in enumerate(text.split()):
+            assert rebuilt[(doc_id, i)] == w
+    # segmentation check: replay the merges over a chosen word
+    wf: dict = {}
+    for _, t in rows:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    merges = [(lhs, rhs) for _, lhs, rhs, _, _ in bpe.bpe_fit_py(wf)]
+    syms = list("lowest")
+    for lhs, rhs in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    got = [
+        r["subword"]
+        for r in enc.filter("doc_id = 1 AND ord = 2").orderBy("sub").collect()
+    ]
+    assert got == syms
+
+
 def test_corpus_filter_quality_model_flag(spark):
     """quality_model opt-in: default verdict unchanged; with the model
     dim, docs the scorer labels 'drop' gain the model_low_quality
