@@ -56,6 +56,7 @@ HEADLINE = [
     "seq_packing",
     "interleaved_packing",
     "lm_score",
+    "bpe_encode",
     "text_repetition",
     "ann_brute_topk",
     "ann_lsh_search",
