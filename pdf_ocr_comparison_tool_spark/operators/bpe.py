@@ -178,9 +178,16 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     word, subword).
 
     Scale shape: the corpus-sized side only ever carries (doc_id, ord,
-    word) rows through ONE equi-join against the encoded vocab (hot
-    common words skew the probe side only — one build row each); the
+    word) rows through ONE equi-join against the encoded vocab; the
     merge iterations themselves touch vocab × word-length symbol rows.
+    The join is pinned sort-merge (``hint("merge")``): BOTH sides are
+    unbounded — the occurrence side is the corpus, and a web-scale
+    word vocabulary is heavy-tailed past broadcast size — so the
+    scale-true plan shuffles on ``word`` and lets AQE split hot-word
+    probe skew (one build row per key streams fine). Without the pin,
+    Catalyst sees the checkpointed vocab as stats-unknown and
+    broadcasts the CORPUS side at test scale — the exact inversion
+    that would ship 10^12 rows to every executor at 100 TB.
     """
     if n_merges <= 0:
         state = word_freqs(docs).select(
@@ -192,7 +199,7 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("ord", "word")
     )
     return (
-        rows.join(state.select("word", "syms"), "word")
+        rows.join(state.select("word", "syms").hint("merge"), "word")
         .select("doc_id", "ord", F.posexplode("syms").alias("sub", "subword"))
         .select(
             "doc_id",

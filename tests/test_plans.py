@@ -209,6 +209,21 @@ def test_pipeline_ops_stay_equijoin_shaped(spark):
     assert "CartesianProduct" not in cc_plan
 
 
+def test_bpe_encode_never_broadcasts_the_corpus(spark):
+    """bpe_encode's occurrence→vocab join is pinned sort-merge: BOTH
+    sides are unbounded at scale (corpus occurrences / heavy-tail word
+    vocabulary), and without the pin Catalyst treats the stats-unknown
+    checkpointed vocab as huge and BROADCASTS THE CORPUS side — the
+    inversion that ships 10^12 rows to every executor at 100 TB."""
+    from pdf_ocr_comparison_tool_spark.operators import bpe
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    p = _plan(bpe.bpe_encode(docs, n_merges=1))
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastExchange" not in p, "neither join side may broadcast"
+    assert "CartesianProduct" not in p
+
+
 def test_kmeans_fit_stays_broadcast_shaped(spark):
     """The Lloyd fits may cross-join ONLY against the broadcast
     centroid table (k rows): no CartesianProduct, and every
