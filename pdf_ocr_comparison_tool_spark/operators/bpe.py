@@ -210,6 +210,48 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     )
 
 
+def bpe_vocab(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The loadable tokenizer VOCAB artifact (what a trainer ships
+    next to the merge table): base characters first — ranked
+    lexicographically, ids 0..C-1, weight = corpus occurrence count —
+    then the merged tokens in merge order, ids C..C+K-1, weight =
+    pair frequency at merge time. Output: (token_id, token, kind
+    'char'|'merge', weight).
+
+    Scale shape: char weights are one map-side-combinable groupBy over
+    the word-frequency table (vocab-sized, not corpus-sized); the only
+    window ranks the ALPHABET-bounded char frame (≤ |charset| rows at
+    any corpus size), with C riding alongside via an unpartitioned
+    count over the same tiny frame."""
+    from pyspark.sql import Window
+
+    wf = word_freqs(docs)
+    chars = (
+        wf.select(F.explode(F.split("word", "")).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("weight"))
+    )
+    w = Window.orderBy("token")
+    ranked = chars.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "token",
+        F.lit("char").alias("kind"),
+        "weight",
+    )
+    c_df = chars.agg(F.count("*").cast("long").alias("c"))
+    merges = (
+        bpe_fit(docs, n_merges)
+        .crossJoin(F.broadcast(c_df))
+        .select(
+            (F.col("c") + F.col("merge_rank") - 1).cast("long").alias("token_id"),
+            F.col("merged").alias("token"),
+            F.lit("merge").alias("kind"),
+            F.col("pair_freq").cast("long").alias("weight"),
+        )
+    )
+    return ranked.unionByName(merges)
+
+
 def bpe_fit_py(word_freq: dict[str, int], n_merges: int = BPE_MERGES) -> list:
     """Pure-Python reference BPE (test oracle): identical greedy-left
     merge + (freq desc, pair asc) tie-break."""

@@ -489,6 +489,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
 # oracle boundary.
 
 LM_SMOOTH = 1  # Laplace add-k
+LM_BUCKET_BINS = 1000  # lm_buckets score-bin granularity (spec constant)
 
 
 def _tokenized(docs: DataFrame) -> DataFrame:
@@ -596,4 +597,63 @@ def lm_score(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
             F.col("n_bigrams") > 0,
             F.col("s") / F.col("n_bigrams").cast("double"),
         ).alias("lm_score"),
+    )
+
+
+def lm_buckets(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split by LM fluency,
+    per source (CCNet buckets per LANGUAGE by wiki-LM perplexity
+    percentiles; here the grouping dim is ``source`` and the score is
+    the self-trained :func:`lm_score`, higher = more fluent = head).
+
+    Equal-height terciles need per-source global ranks — a sort no
+    100 TB job should run — so the split is **bin-granular**: scores
+    land in ``floor(score * LM_BUCKET_BINS)`` fixed-width bins (one
+    map-side-combinable groupBy over the corpus), the tercile
+    boundaries are computed on the tiny (source × ≤bins) count frame
+    (a bin belongs to the bucket of its FIRST-ranked doc:
+    ``3·cum_before < total`` → head, ``< 2·total`` → middle — all
+    BIGINT arithmetic, exact and portable), and each doc joins back to
+    its bin's label. Windows touch only the grouped bin frame, never
+    the corpus. Docs without a score (<2 tokens) keep a row with
+    bucket='unscored' — a filter stage must see every document."""
+    scored = lm_score(docs, cache_registry)
+    s = scored.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "lm_score",
+        F.when(
+            F.col("lm_score").isNotNull(),
+            F.floor(F.col("lm_score") * LM_BUCKET_BINS),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    binc = (
+        s.filter(F.col("bin").isNotNull())
+        .groupBy("source", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("bin").desc())
+    ranked = binc.select(
+        "source",
+        "bin",
+        (F.sum("n").over(w) - F.col("n")).cast("long").alias("cum_before"),
+    )
+    totals = binc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    lab = ranked.join(totals, "source").select(
+        "source",
+        "bin",
+        F.when(3 * F.col("cum_before") < F.col("total"), F.lit("head"))
+        .when(3 * F.col("cum_before") < 2 * F.col("total"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return s.join(lab, ["source", "bin"], "left").select(
+        "doc_id",
+        "source",
+        "lm_score",
+        F.coalesce("bucket", F.lit("unscored")).alias("bucket"),
     )

@@ -1234,6 +1234,43 @@ be_w AS (
 {final}"""
 
 
+def bpe_vocab_sql(d: str, docs: str = "documents",
+                  n_merges: int | None = None) -> str:
+    """Mirror of operators.bpe.bpe_vocab: lexicographically-ranked
+    base chars (weight = freq-weighted occurrence count over the word
+    table) then the b1..bK merges at ids C..C+K-1."""
+    from .operators.bpe import BPE_MERGES
+
+    n_merges = BPE_MERGES if n_merges is None else n_merges
+    if d == SPARK:
+        char_rows = "SELECT explode(split(word, '')) AS token, freq FROM bw"
+    else:
+        char_rows = (
+            "SELECT unnest(string_split(word, '')) AS token, freq FROM bw"
+        )
+    merge_union = "\n  UNION ALL\n".join(
+        f"  SELECT (SELECT c FROM bv_c) + CAST({i} AS BIGINT) - 1 AS token_id,"
+        f" bl || br AS token, 'merge' AS kind,"
+        f" CAST(pf AS BIGINT) AS weight FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""WITH {_tok_cte(d, docs)},
+{_bpe_cte_chain(d, n_merges)},
+bv_chars AS (
+  SELECT token, CAST(sum(freq) AS BIGINT) AS weight
+  FROM ({char_rows}) GROUP BY token
+),
+bv_ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id,
+         token, 'char' AS kind, weight
+  FROM bv_chars
+),
+bv_c AS (SELECT CAST(count(*) AS BIGINT) AS c FROM bv_chars)
+SELECT token_id, token, kind, weight FROM bv_ranked
+UNION ALL
+{merge_union}"""
+
+
 def ngram_counts_sql(d: str, docs: str = "documents", n: int = 3) -> str:
     """Mirror of textstats.ngram_counts: positional word n-grams →
     global counts + distinct-doc counts → deterministic top-N."""
@@ -2857,9 +2894,10 @@ FROM ip_o"""
 
 
 # --------------------------------------------------- bigram-LM scoring
-def lm_score_sql(d: str, docs: str = "documents") -> str:
-    """Mirror of operators.textstats.lm_score: add-one-smoothed mean
-    bigram transition probability, self-trained. Every p is ONE
+def _lm_cte_chain(d: str, docs: str = "documents") -> str:
+    """The lm_score computation as a CTE-chain body (appended after
+    ``dd_tok``), exposing ``lm_out`` = (doc_id, n_bigrams, lm_score) —
+    shared by lm_score_sql and lm_buckets_sql. Every p is ONE
     int/int→double division; the per-doc mean is the ordered left fold
     + one double division (bit-exact recipe)."""
     from .operators.textstats import LM_SMOOTH
@@ -2883,8 +2921,7 @@ def lm_score_sql(d: str, docs: str = "documents") -> str:
         )
         unnest_pairs = "SELECT doc_id, unnest(pairs) AS bg FROM lm_pl"
         unnest_toks = "SELECT unnest(toks) AS tok FROM dd_tok"
-    return f"""WITH {_tok_cte(d, docs)},
-lm_pl AS (
+    return f"""lm_pl AS (
   SELECT doc_id, {pairs} AS pairs FROM dd_tok
 ),
 lm_rows AS (
@@ -2912,8 +2949,59 @@ lm_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          {_ordered_fold("p", "ord", d)} AS s
   FROM lm_sc GROUP BY doc_id
+),
+lm_out AS (
+  SELECT dd.doc_id,
+         CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CASE WHEN n_bigrams > 0 THEN s / CAST(n_bigrams AS DOUBLE) END AS lm_score
+  FROM {docs} dd LEFT JOIN lm_doc ON dd.doc_id = lm_doc.doc_id
+)"""
+
+
+def lm_score_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.lm_score (see _lm_cte_chain)."""
+    return f"""WITH {_tok_cte(d, docs)},
+{_lm_cte_chain(d, docs)}
+SELECT doc_id, n_bigrams, lm_score FROM lm_out"""
+
+
+def lm_buckets_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.lm_buckets: fixed-width score
+    bins (floor(score·BINS), one IEEE multiply + floor — bit-exact),
+    per-source tercile boundaries on the bin-count frame via BIGINT
+    rational compares (3·cum_before < total), label joined back;
+    unscored docs keep a row."""
+    from .operators.textstats import LM_BUCKET_BINS
+
+    return f"""WITH {_tok_cte(d, docs)},
+{_lm_cte_chain(d, docs)},
+lb_s AS (
+  SELECT o.doc_id, dd.source, o.lm_score,
+         CASE WHEN o.lm_score IS NOT NULL
+              THEN CAST(floor(o.lm_score * {LM_BUCKET_BINS}) AS BIGINT) END AS bin
+  FROM lm_out o JOIN {docs} dd ON o.doc_id = dd.doc_id
+),
+lb_binc AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS n
+  FROM lb_s WHERE bin IS NOT NULL GROUP BY source, bin
+),
+lb_ranked AS (
+  SELECT source, bin,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY bin DESC) - n
+              AS BIGINT) AS cum_before
+  FROM lb_binc
+),
+lb_tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM lb_binc GROUP BY source
+),
+lb_lab AS (
+  SELECT r.source, r.bin,
+         CASE WHEN 3 * r.cum_before < t.total THEN 'head'
+              WHEN 3 * r.cum_before < 2 * t.total THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM lb_ranked r JOIN lb_tot t ON r.source = t.source
 )
-SELECT dd.doc_id,
-       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       CASE WHEN n_bigrams > 0 THEN s / CAST(n_bigrams AS DOUBLE) END AS lm_score
-FROM {docs} dd LEFT JOIN lm_doc ON dd.doc_id = lm_doc.doc_id"""
+SELECT s.doc_id, s.source, s.lm_score,
+       coalesce(l.bucket, 'unscored') AS bucket
+FROM lb_s s LEFT JOIN lb_lab l
+  ON s.source = l.source AND s.bin = l.bin"""

@@ -617,6 +617,26 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_score(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("lm_buckets", oracle=O.lm_buckets_sql(G.DUCK))
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split by LM fluency per source —
+    bin-granular equal-height terciles (fixed-width score bins +
+    BIGINT rational boundaries on the tiny bin-count frame), so the
+    split distributes without a per-source global sort."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return textstats.lm_buckets(docs)
+
+
+@register("bpe_vocab", oracle=O.bpe_vocab_sql(G.DUCK))
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loadable BPE vocab artifact: lexicographically-ranked base
+    chars (ids 0..C-1, corpus occurrence weights) + the trained merges
+    at ids C..C+K-1 — the (token_id, token) table a trainer ships next
+    to the merge list."""
+    return bpe.bpe_vocab(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("interleaved_packing", oracle=O.interleaved_packing_sql(G.DUCK))
 def q_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal sequence packing over the interleaved spans IR: tape
@@ -1415,6 +1435,12 @@ _QUERY_ORDER = [
     "dedup_winnow_pairs",
     "dedup_simhash_pairs",
     "ann_pq_search",
+    # new post-window this round: the r5 driver head was already full
+    # (50 = 15 first-green + 30 rotation-due + 5 touched), so these two
+    # carry the local type-strict parity gate this round and rotate
+    # into the r6 head for their first driver row
+    "lm_buckets",
+    "bpe_vocab",
 ]
 
 

@@ -343,3 +343,95 @@ def test_lm_score_matches_python_reference(spark, texts):
             s = s + (big[(ts[j], ts[j + 1])] + 1) / (uni[ts[j]] + v)
         assert r["lm_score"] == s / n
         assert 0.0 < r["lm_score"] <= 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab x", min_size=0, max_size=30),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_lm_buckets_matches_python_bucketing(spark, rows_in):
+    """lm_buckets == python re-bucketing of the engine's own scores
+    under the documented bin rule: per source, bins ordered DESC, a
+    bin is head/middle/tail by its first-ranked doc (3*cum_before vs
+    total), unscored docs labeled 'unscored'."""
+    import math
+    from collections import defaultdict
+
+    from pdf_ocr_comparison_tool_spark.operators import textstats
+
+    rows = [(i, t, s) for i, (t, s) in enumerate(rows_in)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in textstats.lm_score(docs).collect()
+    }
+    got = {r["doc_id"]: r["bucket"] for r in textstats.lm_buckets(docs).collect()}
+    assert set(got) == set(scores)
+
+    bins: dict = defaultdict(lambda: defaultdict(int))
+    for i, _, src in rows:
+        if scores[i] is not None:
+            bins[src][math.floor(scores[i] * textstats.LM_BUCKET_BINS)] += 1
+    labels: dict = {}
+    for src, bc in bins.items():
+        total = sum(bc.values())
+        cum = 0
+        for b in sorted(bc, reverse=True):
+            labels[(src, b)] = (
+                "head" if 3 * cum < total
+                else "middle" if 3 * cum < 2 * total
+                else "tail"
+            )
+            cum += bc[b]
+    for i, _, src in rows:
+        if scores[i] is None:
+            assert got[i] == "unscored"
+        else:
+            assert got[i] == labels[(src, math.floor(scores[i] * textstats.LM_BUCKET_BINS))]
+
+
+def test_bpe_vocab_artifact_shape(spark):
+    """bpe_vocab ids are contiguous 0..n-1; the char block is the
+    lexicographically-sorted alphabet with freq-weighted occurrence
+    counts; the merge block follows in merge order with pair_freq
+    weights (== bpe_fit_py)."""
+    from collections import Counter
+
+    from pdf_ocr_comparison_tool_spark.operators import bpe
+
+    rows = [
+        (1, "low lower lowest low low newer new newest wider wide"),
+        (2, "aaaa aaa aa low new wide wider banana bandana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (
+            (r["token_id"], r["token"], r["kind"], r["weight"])
+            for r in bpe.bpe_vocab(docs).collect()
+        )
+    )
+    assert [t[0] for t in out] == list(range(len(out)))
+    wf: dict = {}
+    for _, t in rows:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    char_w = Counter()
+    for w, f in wf.items():
+        for ch in w:
+            char_w[ch] += f
+    chars = [t for t in out if t[2] == "char"]
+    assert [t[1] for t in chars] == sorted(char_w)
+    assert all(t[3] == char_w[t[1]] for t in chars)
+    merges = [t for t in out if t[2] == "merge"]
+    ref = bpe.bpe_fit_py(wf)
+    assert [(t[1], t[3]) for t in merges] == [
+        (merged, pf) for _, _, _, merged, pf in ref
+    ]
+    assert merges[0][0] == len(chars)  # ids continue after the char block
