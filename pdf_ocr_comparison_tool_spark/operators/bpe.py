@@ -195,6 +195,14 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         )
     else:
         _, state = _run_merges(docs, n_merges)
+    return encode_with_state(docs, state)
+
+
+def encode_with_state(docs: DataFrame, state: DataFrame) -> DataFrame:
+    """Encode ``docs`` against an already-fitted (word, syms) vocab
+    state — the multi-consumer path (``--job tokenize`` fits once and
+    feeds this plus the artifact tables). See :func:`bpe_encode` for
+    the join-shape rationale."""
     rows = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("ord", "word")
     )
@@ -210,13 +218,19 @@ def bpe_encode(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     )
 
 
-def bpe_vocab(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+def bpe_vocab(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    merges: DataFrame | None = None,
+) -> DataFrame:
     """The loadable tokenizer VOCAB artifact (what a trainer ships
     next to the merge table): base characters first — ranked
     lexicographically, ids 0..C-1, weight = corpus occurrence count —
     then the merged tokens in merge order, ids C..C+K-1, weight =
     pair frequency at merge time. Output: (token_id, token, kind
-    'char'|'merge', weight).
+    'char'|'merge', weight). Pass an already-fitted ``merges`` table
+    to skip the internal refit (``--job tokenize`` fits once for all
+    three artifacts).
 
     Scale shape: char weights are one map-side-combinable groupBy over
     the word-frequency table (vocab-sized, not corpus-sized); the only
@@ -239,8 +253,9 @@ def bpe_vocab(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         "weight",
     )
     c_df = chars.agg(F.count("*").cast("long").alias("c"))
+    merge_df = merges if merges is not None else bpe_fit(docs, n_merges)
     merges = (
-        bpe_fit(docs, n_merges)
+        merge_df
         .crossJoin(F.broadcast(c_df))
         .select(
             (F.col("c") + F.col("merge_rank") - 1).cast("long").alias("token_id"),

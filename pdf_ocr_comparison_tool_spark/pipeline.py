@@ -33,12 +33,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--cores", default=None)
     p.add_argument(
         "--job",
-        choices=("extract", "corpus", "match"),
+        choices=("extract", "corpus", "match", "tokenize"),
         default="extract",
         help="extract = spans pipeline; corpus = admission filter + split "
         "(+ --publish for the final shard layout); match = the "
         "reference's primary workflow (voucher-vs-reference staged "
-        "match + merged islands + summary reports)",
+        "match + merged islands + summary reports); tokenize = BPE fit "
+        "+ vocab + corpus encode (the tokenizer artifacts + the "
+        "tensor-ready token table)",
     )
     p.add_argument(
         "--publish",
@@ -100,6 +102,40 @@ def main(argv: list[str] | None = None) -> None:
             "pages_matched": n_best,
             "islands": n_merged,
             "status_counts": {x["status"]: x["n"] for x in rows},
+        }))
+        spark.stop()
+        return
+
+    if args.job == "tokenize":
+        # the tokenizer-training workflow: ONE fit run feeds all three
+        # artifacts (merge table, vocab, encoded corpus) — bpe_fit /
+        # bpe_encode / bpe_vocab each refit when called standalone
+        from .operators import bpe
+        from .operators.dedup import _release_local_checkpoint
+
+        docs = synth.load_table(spark, args.input, "documents").repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        merge_frames, state = bpe._run_merges(docs, bpe.BPE_MERGES)
+        merge_df = merge_frames[0]
+        for mdf in merge_frames[1:]:
+            merge_df = merge_df.unionByName(mdf)
+        merge_df.write.mode("overwrite").parquet(f"{args.output}/bpe_merges")
+        fitted = spark.read.parquet(f"{args.output}/bpe_merges")
+        bpe.bpe_vocab(docs, merges=fitted).write.mode("overwrite").parquet(
+            f"{args.output}/bpe_vocab"
+        )
+        tokens = bpe.encode_with_state(docs, state)
+        tokens.write.mode("overwrite").parquet(f"{args.output}/tokens")
+        _release_local_checkpoint(state)
+        n_tokens = spark.read.parquet(f"{args.output}/tokens").count()
+        n_vocab = spark.read.parquet(f"{args.output}/bpe_vocab").count()
+        print(json.dumps({
+            "job": "tokenize",
+            "run_id": run_id,
+            "n_merges": bpe.BPE_MERGES,
+            "vocab_size": n_vocab,
+            "tokens_emitted": n_tokens,
         }))
         spark.stop()
         return
