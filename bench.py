@@ -126,7 +126,12 @@ def _run_headline(cores: str) -> dict:
     }
 
 
-_SCALE_REP_DEFAULTS = {"extract": "512", "line_dedup": "512", "match_best": "4"}
+_SCALE_REP_DEFAULTS = {
+    "extract": "512",
+    "line_dedup": "512",
+    "match_best": "4",
+    "media_decode": "8",
+}
 SCALE_REPLICATION = int(
     os.environ.get("SPARK_GRAFT_SCALE_REP")
     or _SCALE_REP_DEFAULTS.get(
@@ -271,6 +276,19 @@ def _run_scaling_child(n_executors: str) -> dict:
         v, r = _featured_from_pages(spark, pages)
         ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
         out = matching.best_matches(v, ranked)
+    elif job == "media_decode":
+        # the ARROW-UDF counterpart of the (expression-only) extraction
+        # job: spans → media manifest → payload fetch (pandas UDF) →
+        # mapInPandas struct parse — two JVM↔Arrow↔pandas round trips
+        # per batch, the north rule's vectorized-UDF path. Narrow end
+        # to end, so the ratio measures Python-worker fan-out + Arrow
+        # serialization rather than shuffle.
+        from pdf_ocr_comparison_tool_spark.operators import multimodal
+
+        ext = extract_ordered_spans(synth.spans_from_docs(rep))
+        out = multimodal.decode_media(
+            multimodal.fetch_bytes(multimodal.media_manifest(ext))
+        )
     else:
         out = extract_ordered_spans(synth.spans_from_docs(rep))
     out.write.format("noop").mode("overwrite").save()  # warm: codegen + JIT
