@@ -616,18 +616,29 @@ def lm_buckets(docs: DataFrame, cache_registry: list | None = None) -> DataFrame
     BIGINT arithmetic, exact and portable), and each doc joins back to
     its bin's label. Windows touch only the grouped bin frame, never
     the corpus. Docs without a score (<2 tokens) keep a row with
-    bucket='unscored' — a filter stage must see every document."""
+    bucket='unscored' — a filter stage must see every document.
+
+    The pruned scored frame feeds TWO consumers (the bin-count frame
+    and the final label join-back); it is eagerly localCheckpoint'ed
+    so the lm_score DAG runs ONCE — uncached, Catalyst would replay
+    the full scoring joins (and the corpus scan) per branch. The
+    checkpoint stays alive for the result's lifetime (same contract as
+    the fitted k-means / BPE vocab states)."""
     scored = lm_score(docs, cache_registry)
-    s = scored.join(docs.select("doc_id", "source"), "doc_id").select(
-        "doc_id",
-        "source",
-        "lm_score",
-        F.when(
-            F.col("lm_score").isNotNull(),
-            F.floor(F.col("lm_score") * LM_BUCKET_BINS),
+    s = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lm_score",
+            F.when(
+                F.col("lm_score").isNotNull(),
+                F.floor(F.col("lm_score") * LM_BUCKET_BINS),
+            )
+            .cast("long")
+            .alias("bin"),
         )
-        .cast("long")
-        .alias("bin"),
+        .localCheckpoint()
     )
     binc = (
         s.filter(F.col("bin").isNotNull())

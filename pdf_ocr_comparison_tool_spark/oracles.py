@@ -1103,8 +1103,16 @@ def _bpe_cte_chain(d: str, n_merges: int) -> str:
     merge via gaps-and-islands (odd run positions merge, successors
     drop), and the ordered rebuild. Exposes b1..bK (per-iteration
     argmax pairs) and s0..sK (vocab states; sK = the fitted
-    word → syms encoding) — shared by bpe_merges_sql and
-    bpe_encode_sql."""
+    word → syms encoding) — shared by bpe_merges_sql,
+    bpe_encode_sql and bpe_vocab_sql.
+
+    SPARK-dialect caveat: Spark SQL has no MATERIALIZED CTE, so the
+    SPARK branch of this chain hits the same tree-copy blowup in
+    Catalyst ANALYSIS (hangs for n_merges≈6) that the DataFrame
+    operator breaks with per-iteration localCheckpoint — the SPARK
+    string is generated for dialect symmetry but only the DUCK branch
+    is runnable at the default merge count (and only DUCK is
+    registered as an oracle)."""
     # DuckDB re-inlines every CTE reference (the same tree-copy blowup
     # Catalyst has); multi-referenced iteration CTEs must MATERIALIZE
     # or 6 unrolled merges evaluate ~5^6 subtrees
