@@ -709,38 +709,7 @@ def substring_dup_stats(docs: DataFrame, k: int = SUBSTR_GRAM_K) -> DataFrame:
     but stage 2 reduces it map-side to a single (hash, count) row; the
     join-back fan-out equals the input's own position rows, never more.
     """
-    toks = tokens_col(F.col("text"))
-    # k-gram strings via k−1 chained shifted zips (NULL-masked tails),
-    # NOT transform(sequence, i -> slice(toks, i+1, k)): an expression
-    # referenced inside a HOF lambda re-evaluates per element, so the
-    # slice form re-tokenizes the document per gram position — O(n²)
-    # interpreted (measured 12.6 s vs 1.6 s at sf0.1). Each zip's inputs
-    # are whole arrays, evaluated once per row.
-    g = toks
-    for j in range(1, k):
-        s = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
-        g = F.zip_with(
-            g,
-            s,
-            lambda a, b: F.when(
-                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
-            ),
-        )
-    grams = F.filter(
-        F.transform(
-            g,
-            lambda x, i: F.struct(
-                i.cast("int").alias("pos"), F.md5(x).alias("gh")
-            ),
-        ),
-        lambda st: st["gh"].isNotNull(),
-    )
-    base = docs.select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens"), grams.alias("g")
-    )
-    pos_rows = base.select(
-        "doc_id", F.explode("g").alias("s")
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    base, pos_rows = _gram_pos_frames(docs, k)
     dup_hashes = (
         pos_rows.groupBy("gh")
         .agg(F.count("*").alias("n_occ"))
@@ -775,6 +744,116 @@ def substring_dup_stats(docs: DataFrame, k: int = SUBSTR_GRAM_K) -> DataFrame:
                 F.coalesce("dup_tokens", F.lit(0)).cast("double")
                 / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
             ).alias("dup_token_frac"),
+        )
+    )
+
+
+def _gram_pos_frames(docs: DataFrame, k: int) -> tuple:
+    """Shared k-gram position builder for the ExactSubstr family:
+    returns (base = (doc_id, n_tokens, gram structs), pos_rows =
+    (doc_id, pos, gh)). See :func:`substring_dup_stats` for the
+    chained-zip rationale (the transform(sequence, slice) form is the
+    O(n²) HOF re-evaluation trap)."""
+    toks = tokens_col(F.col("text"))
+    # k-gram strings via k−1 chained shifted zips (NULL-masked tails),
+    # NOT transform(sequence, i -> slice(toks, i+1, k)): an expression
+    # referenced inside a HOF lambda re-evaluates per element, so the
+    # slice form re-tokenizes the document per gram position — O(n²)
+    # interpreted (measured 12.6 s vs 1.6 s at sf0.1). Each zip's inputs
+    # are whole arrays, evaluated once per row.
+    g = toks
+    for j in range(1, k):
+        s = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        g = F.zip_with(
+            g,
+            s,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        )
+    grams = F.filter(
+        F.transform(
+            g,
+            lambda x, i: F.struct(
+                i.cast("int").alias("pos"), F.md5(x).alias("gh")
+            ),
+        ),
+        lambda st: st["gh"].isNotNull(),
+    )
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens"), grams.alias("g")
+    )
+    pos_rows = base.select(
+        "doc_id", F.explode("g").alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    return base, pos_rows
+
+
+def substring_rewrite(docs: DataFrame, k: int = SUBSTR_GRAM_K) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 §4.2 — "remove all but
+    one"): every k-token verbatim window occurring ≥2 times in the
+    corpus is removed except its FIRST occurrence (min (doc_id, pos)
+    corpus-wide); emits the rewritten token stream per document,
+    (doc_id, n_tokens, n_removed, kept_text). Operates on the shared
+    token stream (the suffix-array byte form is single-node), so
+    kept_text is the surviving tokens space-joined — the filter-stage
+    rewrite, not a byte-identical excision.
+
+    Scale shape: the keeper is groupBy(gh) min(struct(doc_id, pos)) —
+    map-side combinable, NEVER row_number over the gram hash (a
+    boilerplate gram repeated 10⁹× would single-reduce a window;
+    CLAUDE.md hot-key rule); removed-window starts fan out to covered
+    positions via sequence-explode (≤k rows per removed window, only
+    duplicated spans pay it); survivors via LEFT ANTI equi-join on
+    (doc_id, pos); the rebuild is the ordered-fold recipe keyed by the
+    doc itself. The first occurrence of a span whose OTHER copies are
+    elsewhere can still lose tokens to a different overlapping
+    duplicated window — inherent to windowed ExactSubstr, documented
+    in Lee et al.'s appendix as well."""
+    base, pos_rows = _gram_pos_frames(docs, k)
+    occ = pos_rows.groupBy("gh").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("keep"),
+    )
+    removed = (
+        pos_rows.join(occ.filter(F.col("n_occ") >= 2), "gh")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    covered = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"),
+    )
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("p", "tok")
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "tok"))),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
+    reb = (
+        tok_rows.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_kept"), kept_text.alias("kept_text"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
 

@@ -2592,11 +2592,11 @@ LEFT JOIN cp_rank r ON a.part = r.part
 LEFT JOIN cp_spans s ON a.part = s.part"""
 
 
-def substring_dup_stats_sql(d: str, docs: str = "documents") -> str:
-    """Mirror of operators.dedup.substring_dup_stats: positional
-    k-token verbatim windows, duplicated = text occurs ≥2 times in the
-    corpus; exact interval-union token coverage per doc via the
-    lead-window closed form (min(k, next−pos), last counts k)."""
+def _substr_cte_chain(d: str, docs: str = "documents") -> str:
+    """Shared ExactSubstr gram CTEs (appended after ``dd_tok``):
+    ``ss_g`` = (doc_id, n_tokens, positional k-gram hashes) and
+    ``ss_p`` = (doc_id, pos, gh) — used by substring_dup_stats_sql and
+    substring_rewrite_sql."""
     from .operators.dedup import SUBSTR_GRAM_K as k
 
     if d == G.SPARK:
@@ -2618,11 +2618,21 @@ def substring_dup_stats_sql(d: str, docs: str = "documents") -> str:
             "SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos, "
             "unnest(grams) AS gh FROM ss_g"
         )
-    return f"""WITH {_tok_cte(d, docs)},
-ss_g AS (
+    return f"""ss_g AS (
   SELECT doc_id, {_arr_size('toks', d)} AS n_tokens, {grams} AS grams FROM dd_tok
 ),
-ss_p AS ({pos_rows}),
+ss_p AS ({pos_rows})"""
+
+
+def substring_dup_stats_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.substring_dup_stats: positional
+    k-token verbatim windows, duplicated = text occurs ≥2 times in the
+    corpus; exact interval-union token coverage per doc via the
+    lead-window closed form (min(k, next−pos), last counts k)."""
+    from .operators.dedup import SUBSTR_GRAM_K as k
+
+    return f"""WITH {_tok_cte(d, docs)},
+{_substr_cte_chain(d, docs)},
 ss_dup AS (
   SELECT gh FROM ss_p GROUP BY gh HAVING count(*) >= 2
 ),
@@ -2644,6 +2654,65 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
        CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
          / CAST(greatest(b.n_tokens, 1) AS DOUBLE) AS dup_token_frac
 FROM ss_g b LEFT JOIN ss_cov c ON b.doc_id = c.doc_id"""
+
+
+def substring_rewrite_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.substring_rewrite: keep-first
+    ExactSubstr removal. The oracle uses the simple window form for
+    the keeper (row_number over gh) — value-identical to the engine's
+    scale-safe groupBy-min(struct); positions covered by removed
+    windows expand via a series, survivors rebuild ordered."""
+    from .operators.dedup import SUBSTR_GRAM_K as k
+
+    if d == G.SPARK:
+        cov = (
+            f"SELECT doc_id, explode(sequence(pos, pos + {k - 1})) AS p "
+            "FROM sr_rm"
+        )
+        tok_rows = (
+            "SELECT doc_id, pos AS p, tok FROM dd_tok "
+            "LATERAL VIEW posexplode(toks) u AS pos, tok"
+        )
+        agg_text = (
+            "array_join(transform(array_sort(collect_list("
+            "named_struct('o', p, 'x', tok))), s -> s.x), ' ')"
+        )
+    else:
+        cov = (
+            f"SELECT doc_id, unnest(range(pos, pos + {k})) AS p FROM sr_rm"
+        )
+        tok_rows = (
+            "SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p, "
+            "unnest(toks) AS tok FROM dd_tok"
+        )
+        agg_text = "string_agg(tok, ' ' ORDER BY p)"
+    return f"""WITH {_tok_cte(d, docs)},
+{_substr_cte_chain(d, docs)},
+sr_rm AS (
+  SELECT doc_id, pos FROM (
+    SELECT p.doc_id, p.pos,
+           row_number() OVER (PARTITION BY p.gh ORDER BY p.doc_id, p.pos) AS rn,
+           count(*) OVER (PARTITION BY p.gh) AS n_occ
+    FROM ss_p p
+  ) q WHERE n_occ >= 2 AND rn > 1
+),
+sr_cov AS ({cov}),
+sr_tok AS ({tok_rows}),
+sr_kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM sr_tok t LEFT JOIN (SELECT DISTINCT doc_id, p FROM sr_cov) c
+    ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.p IS NULL
+),
+sr_reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         {agg_text} AS kept_text
+  FROM sr_kept GROUP BY doc_id
+)
+SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       CAST(g.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.kept_text, '') AS kept_text
+FROM ss_g g LEFT JOIN sr_reb r ON g.doc_id = r.doc_id"""
 
 
 def engine_passthrough_sql(d: str, docs: str = "documents") -> str:

@@ -799,6 +799,18 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dup_stats(docs)
 
 
+@register("substring_rewrite", oracle=O.substring_rewrite_sql(G.DUCK))
+def q_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022 'remove all but one'):
+    duplicated k-token windows removed except the corpus-wide first
+    occurrence; emits the rewritten token stream — keeper via
+    map-side-combinable groupBy-min(struct), never a window over the
+    hot gram hash."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.substring_rewrite(docs)
+
+
 # ----------------------------------------------------------------- dedup
 @register("dedup_exact", oracle=O.exact_dups_sql(G.DUCK))
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1436,11 +1448,12 @@ _QUERY_ORDER = [
     "dedup_simhash_pairs",
     "ann_pq_search",
     # new post-window this round: the r5 driver head was already full
-    # (50 = 15 first-green + 30 rotation-due + 5 touched), so these two
+    # (50 = 15 first-green + 30 rotation-due + 5 touched), so these
     # carry the local type-strict parity gate this round and rotate
     # into the r6 head for their first driver row
     "lm_buckets",
     "bpe_vocab",
+    "substring_rewrite",
 ]
 
 

@@ -202,6 +202,11 @@ def test_pipeline_ops_stay_equijoin_shaped(spark):
     sd_windows = [ln for ln in sd_plan.splitlines() if "Window [" in ln]
     assert sd_windows, "expected the per-doc interval-union window"
     assert not any("gh#" in w for w in sd_windows), sd_windows
+    # the rewrite twin must stay window-FREE: the keep-first keeper is
+    # groupBy-min(struct), never row_number over the hot gram hash
+    sr_plan = _plan(dedup.substring_rewrite(docs))
+    assert "CartesianProduct" not in sr_plan
+    assert "Window [" not in sr_plan, "substring_rewrite must not window"
     # cluster cap sample: broadcast-centroid argmin + salted cap; no
     # cartesian beyond the broadcast centroid side
     emb = synth.load_table(spark, SF_DIR, "embeddings")

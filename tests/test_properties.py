@@ -435,3 +435,32 @@ def test_bpe_vocab_artifact_shape(spark):
         (merged, pf) for _, _, _, merged, pf in ref
     ]
     assert merges[0][0] == len(chars)  # ids continue after the char block
+
+
+def test_substring_rewrite_keep_first(spark):
+    """Keep-first ExactSubstr removal: a shared verbatim k-window
+    survives only in the lowest (doc_id, pos) occurrence; unique text
+    is untouched; a within-doc repeat keeps its first copy."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    span = " ".join(f"w{i}" for i in range(dedup.SUBSTR_GRAM_K))
+    rows = [
+        (1, f"intro one {span} outro one"),
+        (2, f"different lead {span} different tail"),
+        (3, f"{span} middle bit {span}"),
+        (4, "totally unique text with no repeats here at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.substring_rewrite(docs).collect()}
+    # doc 1 holds the corpus-wide first occurrence -> fully kept
+    assert out[1]["n_removed"] == 0
+    assert out[1]["kept_text"] == f"intro one {span} outro one"
+    # doc 2's copy is removed, its unique lead/tail kept
+    assert out[2]["n_removed"] == dedup.SUBSTR_GRAM_K
+    assert out[2]["kept_text"] == "different lead different tail"
+    # doc 3: both copies are non-first occurrences -> only the middle
+    # survives (the within-doc first copy at pos 0 is still a
+    # non-keeper because doc 1 holds the corpus-wide minimum)
+    assert out[3]["kept_text"] == "middle bit"
+    assert out[4]["n_removed"] == 0
+    assert out[4]["kept_text"] == rows[3][1]
