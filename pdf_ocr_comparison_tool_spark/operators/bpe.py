@@ -98,16 +98,21 @@ def _apply_merge(pr: DataFrame, best: DataFrame) -> DataFrame:
 
 
 def _run_merges(
-    docs: DataFrame, n_merges: int
+    docs: DataFrame, n_merges: int, wf: DataFrame | None = None
 ) -> tuple[list[DataFrame], DataFrame]:
     """The shared fit loop: returns (per-iteration merge frames, FINAL
     (word, freq, syms) state). The final state is a live
     localCheckpoint — bpe_fit releases it (unused there); bpe_encode's
     result depends on it, so there it stays alive for the session
-    (same lifetime contract as the kmeans-fitted centroid tables)."""
+    (same lifetime contract as the kmeans-fitted centroid tables).
+    Pass a precomputed ``wf`` (word_freqs frame) to skip the corpus
+    tokenization pass (``--job tokenize`` shares one across fit +
+    vocab)."""
     from .dedup import _release_local_checkpoint
 
-    state = word_freqs(docs).select(
+    if wf is None:
+        wf = word_freqs(docs)
+    state = wf.select(
         "word", "freq", F.split(F.col("word"), "").alias("syms")
     ).localCheckpoint()
     merges = []
@@ -161,6 +166,12 @@ def bpe_fit(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
 
     merges, state = _run_merges(docs, n_merges)
     _release_local_checkpoint(state)
+    return _union_merges(merges)
+
+
+def _union_merges(merges: list) -> DataFrame:
+    """Per-iteration merge frames → the single merge table (shared by
+    bpe_fit and the tokenize CLI job)."""
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
@@ -202,7 +213,15 @@ def encode_with_state(docs: DataFrame, state: DataFrame) -> DataFrame:
     """Encode ``docs`` against an already-fitted (word, syms) vocab
     state — the multi-consumer path (``--job tokenize`` fits once and
     feeds this plus the artifact tables). See :func:`bpe_encode` for
-    the join-shape rationale."""
+    the join-shape rationale.
+
+    Contract: the state must cover every word of ``docs`` (true
+    whenever the state was fitted on the same corpus, as all current
+    callers do) — the inner join silently DROPS out-of-vocabulary
+    words, leaving gaps in the ``ord`` sequence. Encoding a NEW shard
+    against a saved vocab needs an OOV policy first (e.g. left join +
+    char-split fallback for unmatched words), which is a semantics
+    change the oracle would have to mirror."""
     rows = docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("ord", "word")
     )
@@ -222,6 +241,7 @@ def bpe_vocab(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
     merges: DataFrame | None = None,
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """The loadable tokenizer VOCAB artifact (what a trainer ships
     next to the merge table): base characters first — ranked
@@ -229,17 +249,17 @@ def bpe_vocab(
     then the merged tokens in merge order, ids C..C+K-1, weight =
     pair frequency at merge time. Output: (token_id, token, kind
     'char'|'merge', weight). Pass an already-fitted ``merges`` table
-    to skip the internal refit (``--job tokenize`` fits once for all
-    three artifacts).
+    and/or a precomputed ``wf`` word-frequency frame to skip the
+    internal refit / re-tokenization (``--job tokenize`` fits once for
+    all three artifacts).
 
     Scale shape: char weights are one map-side-combinable groupBy over
     the word-frequency table (vocab-sized, not corpus-sized); the only
     window ranks the ALPHABET-bounded char frame (≤ |charset| rows at
     any corpus size), with C riding alongside via an unpartitioned
     count over the same tiny frame."""
-    from pyspark.sql import Window
-
-    wf = word_freqs(docs)
+    if wf is None:
+        wf = word_freqs(docs)
     chars = (
         wf.select(F.explode(F.split("word", "")).alias("token"), "freq")
         .groupBy("token")
@@ -254,7 +274,7 @@ def bpe_vocab(
     )
     c_df = chars.agg(F.count("*").cast("long").alias("c"))
     merge_df = merges if merges is not None else bpe_fit(docs, n_merges)
-    merges = (
+    merge_block = (
         merge_df
         .crossJoin(F.broadcast(c_df))
         .select(
@@ -264,7 +284,7 @@ def bpe_vocab(
             F.col("pair_freq").cast("long").alias("weight"),
         )
     )
-    return ranked.unionByName(merges)
+    return ranked.unionByName(merge_block)
 
 
 def bpe_fit_py(word_freq: dict[str, int], n_merges: int = BPE_MERGES) -> list:

@@ -623,7 +623,15 @@ def lm_buckets(docs: DataFrame, cache_registry: list | None = None) -> DataFrame
     so the lm_score DAG runs ONCE — uncached, Catalyst would replay
     the full scoring joins (and the corpus scan) per branch. The
     checkpoint stays alive for the result's lifetime (same contract as
-    the fitted k-means / BPE vocab states)."""
+    the fitted k-means / BPE vocab states). With no caller-owned
+    ``cache_registry``, an internal one covers the checkpoint
+    materialization (lm_score's tokenized frame feeds three consumers
+    — uncached, the regex tokenization would run 3× inside the
+    materialize) and unpersists immediately after, since the eager
+    checkpoint is the only consumer."""
+    own_registry = cache_registry is None
+    if own_registry:
+        cache_registry = []
     scored = lm_score(docs, cache_registry)
     s = (
         scored.join(docs.select("doc_id", "source"), "doc_id")
@@ -640,6 +648,9 @@ def lm_buckets(docs: DataFrame, cache_registry: list | None = None) -> DataFrame
         )
         .localCheckpoint()
     )
+    if own_registry:
+        for df in cache_registry:
+            df.unpersist()
     binc = (
         s.filter(F.col("bin").isNotNull())
         .groupBy("source", "bin")

@@ -116,18 +116,21 @@ def main(argv: list[str] | None = None) -> None:
         docs = synth.load_table(spark, args.input, "documents").repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions"))
         )
-        merge_frames, state = bpe._run_merges(docs, bpe.BPE_MERGES)
-        merge_df = merge_frames[0]
-        for mdf in merge_frames[1:]:
-            merge_df = merge_df.unionByName(mdf)
+        # ONE corpus tokenization pass feeds fit + vocab (eager
+        # checkpoint; encode's positional explode is inherently a
+        # second pass — it needs per-occurrence order, not counts)
+        wf = bpe.word_freqs(docs).localCheckpoint()
+        merge_frames, state = bpe._run_merges(docs, bpe.BPE_MERGES, wf=wf)
+        merge_df = bpe._union_merges(merge_frames)
         merge_df.write.mode("overwrite").parquet(f"{args.output}/bpe_merges")
         fitted = spark.read.parquet(f"{args.output}/bpe_merges")
-        bpe.bpe_vocab(docs, merges=fitted).write.mode("overwrite").parquet(
-            f"{args.output}/bpe_vocab"
-        )
+        bpe.bpe_vocab(docs, merges=fitted, wf=wf).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/bpe_vocab")
         tokens = bpe.encode_with_state(docs, state)
         tokens.write.mode("overwrite").parquet(f"{args.output}/tokens")
         _release_local_checkpoint(state)
+        _release_local_checkpoint(wf)
         n_tokens = spark.read.parquet(f"{args.output}/tokens").count()
         n_vocab = spark.read.parquet(f"{args.output}/bpe_vocab").count()
         print(json.dumps({
