@@ -44,6 +44,7 @@ HEADLINE = [
     "decontaminate",
     "ngram_counts",
     "substring_dup",
+    "substring_rewrite",
     "quality_score",
     "gopher_quality",
     "redact_pages",
@@ -56,6 +57,7 @@ HEADLINE = [
     "seq_packing",
     "interleaved_packing",
     "lm_score",
+    "lm_buckets",
     "bpe_encode",
     "text_repetition",
     "ann_brute_topk",
