@@ -76,6 +76,70 @@ def data_split(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    n: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Train/held-out LEAKAGE AUDIT — decontamination run across one's
+    own split boundary (the check GPT-3 appendix C / The Pile report
+    for their dev/test sets): per TRAIN-split document, how many
+    test-split documents share word n-grams with it and the maximum
+    fraction of any test doc's distinct n-grams it contains;
+    ``contaminated`` at ≥ ``threshold``. Splits are the deterministic
+    :func:`data_split` assignment (pure function of doc_id), so the
+    audit is reproducible without materializing the split.
+
+    Scale shape = :func:`dedup.decontaminate`'s: distinct-gram rows
+    both sides, equi-join on the FULL 128-bit gram md5 (48 bits would
+    birthday-collide at 10^13 grams), test side is the small one (5%
+    of corpus — AQE broadcasts it), map-side-combinable pair counts,
+    LEFT JOIN keeps every train doc. Splits are disjoint so no
+    self-pair filter is needed."""
+    from .dedup import DECON_FRAC, DECON_NGRAM, _ngrams_col, tokens_col
+
+    n = DECON_NGRAM if n is None else n
+    threshold = DECON_FRAC if threshold is None else threshold
+    b = hash_bucket(F.col("doc_id"), SPLIT_BUCKETS)
+    toks = tokens_col(F.col("text"))
+    gh = F.md5(F.col("gram"))
+
+    def dgrams(src: DataFrame) -> DataFrame:
+        return src.select(
+            "doc_id",
+            F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),
+        ).select("doc_id", gh.alias("h"))
+
+    train = docs.filter(b < SPLIT_TRAIN)
+    grams = dgrams(train)
+    egrams = dgrams(docs.filter(b >= SPLIT_VALID)).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    etotals = egrams.groupBy("eval_id").agg(F.count("*").alias("n_eval_grams"))
+    shared = (
+        grams.join(egrams, "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_eval_grams").cast("double")
+    per_doc = (
+        shared.join(etotals, "eval_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_docs_hit"),
+            F.max(frac).alias("max_overlap_frac"),
+        )
+    )
+    return train.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_eval_docs_hit", F.lit(0)).cast("long").alias("n_eval_docs_hit"),
+        F.coalesce("max_overlap_frac", F.lit(0.0)).alias("max_overlap_frac"),
+        (F.coalesce("max_overlap_frac", F.lit(0.0)) >= threshold).alias(
+            "contaminated"
+        ),
+    )
+
+
 def split_summary(assigned: DataFrame) -> DataFrame:
     """Stratification report over :func:`data_split` output — doc
     counts per (source, split), the mixture table a training job reads

@@ -1096,6 +1096,74 @@ SELECT dd.doc_id,
 FROM {docs} dd LEFT JOIN dc_p p ON dd.doc_id = p.doc_id"""
 
 
+def split_leakage_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.split_leakage: decontaminate's
+    128-bit distinct-gram join run across the deterministic
+    data_split boundary — probe = train buckets, eval = test buckets;
+    splits are disjoint so no self-pair filter."""
+    from .operators.dedup import DECON_FRAC, DECON_NGRAM
+    from .operators.pipeline import SPLIT_BUCKETS, SPLIT_TRAIN, SPLIT_VALID
+
+    n = DECON_NGRAM
+    if d == SPARK:
+        grams = (
+            f"CASE WHEN size(toks) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )
+        gram_select = (
+            "SELECT doc_id, explode(array_distinct(grams)) AS gram FROM sl_ga"
+        )
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+        gram_select = (
+            "SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM sl_ga"
+        )
+    bucket = f"({G.hexint(G.cast_str('doc_id', d), d)}) % {SPLIT_BUCKETS}"
+    return f"""WITH {_tok_cte(d, docs)},
+sl_ga AS (
+  SELECT doc_id, {grams} AS grams FROM dd_tok
+),
+sl_g AS (
+  SELECT doc_id, md5(gram) AS h FROM ({gram_select})
+),
+sl_train AS (
+  SELECT doc_id FROM {docs} WHERE {bucket} < {SPLIT_TRAIN}
+),
+sl_p AS (
+  SELECT g.doc_id, g.h FROM sl_g g JOIN sl_train t ON g.doc_id = t.doc_id
+),
+sl_e AS (
+  SELECT doc_id AS eval_id, h FROM sl_g
+  WHERE doc_id IN (SELECT doc_id FROM {docs} WHERE {bucket} >= {SPLIT_VALID})
+),
+sl_t AS (
+  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_eval_grams
+  FROM sl_e GROUP BY eval_id
+),
+sl_s AS (
+  SELECT p.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM sl_p p JOIN sl_e e ON p.h = e.h
+  GROUP BY p.doc_id, e.eval_id
+),
+sl_pd AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_eval_docs_hit,
+         max(CAST(s.n_shared AS DOUBLE) / CAST(t.n_eval_grams AS DOUBLE))
+           AS max_overlap_frac
+  FROM sl_s s JOIN sl_t t ON s.eval_id = t.eval_id
+  GROUP BY s.doc_id
+)
+SELECT tr.doc_id,
+       coalesce(p.n_eval_docs_hit, 0) AS n_eval_docs_hit,
+       coalesce(p.max_overlap_frac, 0.0) AS max_overlap_frac,
+       coalesce(p.max_overlap_frac, 0.0) >= {DECON_FRAC} AS contaminated
+FROM sl_train tr LEFT JOIN sl_pd p ON tr.doc_id = p.doc_id"""
+
+
 def _bpe_cte_chain(d: str, n_merges: int) -> str:
     """The unrolled BPE fit as a CTE-chain body (appended after
     ``dd_tok``): per iteration a lead-window pair expansion, the

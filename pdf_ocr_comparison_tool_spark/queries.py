@@ -1285,6 +1285,17 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_filter(docs)
 
 
+@register("split_leakage", oracle=O.split_leakage_sql(G.DUCK))
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out leakage audit (GPT-3 appendix C across one's own
+    split boundary): per train-split doc, n-gram overlap with the
+    test split of the deterministic data_split — 128-bit gram join,
+    test side broadcastable, every train doc keeps a verdict row."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return pipeline.split_leakage(docs)
+
+
 @register("bpe_merges", oracle=O.bpe_merges_sql(G.DUCK))
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING: 6 merge iterations over the
@@ -1454,6 +1465,7 @@ _QUERY_ORDER = [
     "lm_buckets",
     "bpe_vocab",
     "substring_rewrite",
+    "split_leakage",
 ]
 
 

@@ -395,3 +395,29 @@ def test_interleaved_packing_costs_and_tape(spark):
         exp = ref.get(r["doc_id"])
         exp_t, exp_m = (exp["t"], exp["m"]) if exp else (0, 0)
         assert (r["n_text_tokens"], r["n_media"]) == (exp_t, exp_m)
+
+
+def test_split_leakage_flags_cross_split_copy(spark):
+    """A train doc sharing its full text with a test-split doc is
+    flagged contaminated (max_overlap_frac 1.0); unique train docs get
+    a clean verdict row; output spine = exactly the train split."""
+    ids = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    assign = {r["doc_id"]: r["split"]
+              for r in pipeline.data_split(ids, passthrough=()).collect()}
+    train_ids = [i for i, s in assign.items() if s == "train"]
+    test_id = next(i for i, s in assign.items() if s == "test")
+    leaked, clean = train_ids[0], train_ids[1]
+    shared = " ".join(f"tok{j}" for j in range(12))
+    rows = [
+        (leaked, f"prefix {shared} suffix"),
+        (clean, "completely different words in this training document"),
+        (test_id, shared),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pipeline.split_leakage(docs).collect()}
+    assert set(out) == {leaked, clean}  # train docs only
+    assert out[leaked]["contaminated"] is True
+    assert out[leaked]["max_overlap_frac"] == 1.0
+    assert out[leaked]["n_eval_docs_hit"] == 1
+    assert out[clean]["contaminated"] is False
+    assert out[clean]["n_eval_docs_hit"] == 0
