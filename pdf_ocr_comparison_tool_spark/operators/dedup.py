@@ -527,6 +527,46 @@ def decontaminate(
     )
 
 
+def gram_novelty(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization/duplication
+    signal corpus analyses report (what fraction of a doc's distinct
+    word n-grams occurs in NO other document): (doc_id, n_grams,
+    n_novel, novelty_frac). 1.0 = fully original text; low values =
+    boilerplate/template documents even when no single near-dup pair
+    fires.
+
+    Scale shape: distinct-gram rows (128-bit md5 keys, same width
+    analysis as decontaminate), gram document-frequencies via ONE
+    map-side-combinable groupBy (a 10⁹-doc boilerplate gram reduces to
+    one (h, df) row), join back on the hash, per-doc counts; LEFT JOIN
+    keeps short docs (<n tokens) with n_grams=0 and NULL fraction."""
+    toks = tokens_col(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),
+    ).select("doc_id", F.md5(F.col("gram")).alias("h"))
+    # grams are per-doc distinct already, so plain count == distinct
+    # doc count without the distinct-aggregation state
+    df_counts = grams.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        grams.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("novelty_frac"),
+    )
+
+
 LINE_SEG_TOKENS = 16
 
 

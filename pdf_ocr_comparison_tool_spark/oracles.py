@@ -1096,6 +1096,56 @@ SELECT dd.doc_id,
 FROM {docs} dd LEFT JOIN dc_p p ON dd.doc_id = p.doc_id"""
 
 
+def gram_novelty_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.gram_novelty: distinct n-gram hashes
+    per doc, gram document frequency, per-doc novel fraction (df=1);
+    short docs keep a row with n_grams=0 and NULL fraction."""
+    from .operators.dedup import DECON_NGRAM
+
+    n = DECON_NGRAM
+    if d == SPARK:
+        grams = (
+            f"CASE WHEN size(toks) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )
+        gram_select = (
+            "SELECT doc_id, explode(array_distinct(grams)) AS gram FROM gn_ga"
+        )
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+        gram_select = (
+            "SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM gn_ga"
+        )
+    return f"""WITH {_tok_cte(d, docs)},
+gn_ga AS (
+  SELECT doc_id, {grams} AS grams FROM dd_tok
+),
+gn_g AS (
+  SELECT doc_id, md5(gram) AS h FROM ({gram_select})
+),
+gn_df AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS df FROM gn_g GROUP BY h
+),
+gn_pd AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM gn_g g JOIN gn_df f ON g.h = f.h
+  GROUP BY g.doc_id
+)
+SELECT dd.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE) END
+         AS novelty_frac
+FROM {docs} dd LEFT JOIN gn_pd p ON dd.doc_id = p.doc_id"""
+
+
 def split_leakage_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.split_leakage: decontaminate's
     128-bit distinct-gram join run across the deterministic

@@ -1285,6 +1285,17 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_filter(docs)
 
 
+@register("gram_novelty", oracle=O.gram_novelty_sql(G.DUCK))
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (fraction of a doc's distinct 8-grams
+    occurring in no other document) — the memorization/boilerplate
+    signal corpus analyses report; one map-side-combinable gram-df
+    groupBy + hash equi-join."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.gram_novelty(docs)
+
+
 @register("split_leakage", oracle=O.split_leakage_sql(G.DUCK))
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/held-out leakage audit (GPT-3 appendix C across one's own
@@ -1466,6 +1477,7 @@ _QUERY_ORDER = [
     "bpe_vocab",
     "substring_rewrite",
     "split_leakage",
+    "gram_novelty",
 ]
 
 

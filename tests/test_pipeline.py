@@ -421,3 +421,26 @@ def test_split_leakage_flags_cross_split_copy(spark):
     assert out[leaked]["n_eval_docs_hit"] == 1
     assert out[clean]["contaminated"] is False
     assert out[clean]["n_eval_docs_hit"] == 0
+
+
+def test_gram_novelty_semantics(spark):
+    """novelty_frac: shared spans lower it symmetrically; fully unique
+    docs read 1.0; sub-n-token docs keep a row with NULL fraction."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    shared = " ".join(f"s{j}" for j in range(dedup.DECON_NGRAM))
+    rows = [
+        (1, f"{shared} unique one tail words here to extend the doc a bit"),
+        (2, f"{shared} other unique ending that differs from doc one fully"),
+        (3, "entirely original text never repeated anywhere in the corpus"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.gram_novelty(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # docs 1 and 2 share exactly the one leading n-gram
+    for i in (1, 2):
+        assert out[i]["n_novel"] == out[i]["n_grams"] - 1
+        assert 0 < out[i]["novelty_frac"] < 1.0
+    assert out[3]["novelty_frac"] == 1.0
+    assert out[4]["n_grams"] == 0 and out[4]["novelty_frac"] is None
