@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "line_dedup",
     "decontaminate",
+    "split_leakage",
+    "gram_novelty",
     "ngram_counts",
     "substring_dup",
     "substring_rewrite",

@@ -636,6 +636,125 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def keep_best_in_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "avg_score_milli",
+) -> DataFrame:
+    """Quality-aware keeper selection per near-dup cluster — the
+    refinement real pipelines apply over min-id keep: retain the
+    highest-quality member (tie → smallest id) instead of an arbitrary
+    one. ``clusters`` = (id, cluster_id, ...) from
+    :func:`connected_components`; ``scores`` = (id, score) from e.g.
+    textstats.quality_score.
+
+    Scale shape: two map-side-combinable groupBys on cluster_id (max,
+    then min over the arg-max members) + equi-joins back — a 10⁶-member
+    cluster is combiner-reduced, never a single-reducer window."""
+    scored = clusters.select(id_col, "cluster_id").join(
+        scores.select(id_col, score_col), id_col
+    )
+    best = scored.groupBy("cluster_id").agg(F.max(score_col).alias("_best"))
+    keeper = (
+        scored.join(best, "cluster_id")
+        .filter(F.col(score_col) == F.col("_best"))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("_keeper"))
+    )
+    return scored.join(keeper, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.col(id_col) == F.col("_keeper")).alias("keep_best"),
+    )
+
+
+def span_dedup(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Exact dedup over the ordered INTERLEAVED span sequence — the
+    multimodal-aware twin of the text-hash exact dedup (T1): the
+    fingerprint covers (kind, media_ref, text) in extraction order, so
+    two docs with identical text but different media are NOT collapsed.
+    Emits (doc_id, span_fp, n_occ, keep) for every doc with ≥1
+    extracted span; keep = smallest doc_id of the group.
+
+    Scale shape: the fingerprint tape is a narrow array fold inside the
+    extraction projection (no shuffle), then the exact-dedup groupBy on
+    the 128-bit fp (map-side combinable) + join-back — never a window
+    over a hot fingerprint."""
+    from .extraction import extract_ordered_spans
+
+    ex = extract_ordered_spans(docs, spans_col)
+    piece = lambda s: F.concat_ws(  # noqa: E731
+        "|", s["kind"], s["media_ref"], s["text"]
+    )
+    tape = F.array_join(
+        F.transform(F.col(spans_col), piece), "\x1f"
+    )
+    fps = ex.filter(F.size(spans_col) > 0).select(
+        "doc_id", F.md5(tape).alias("span_fp")
+    )
+    groups = fps.groupBy("span_fp").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    return fps.join(groups, "span_fp").select(
+        "doc_id",
+        "span_fp",
+        "n_occ",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )
+
+
+def doc_line_trim(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repeated-line removal — the WITHIN-doc member of
+    the C4/Gopher line-rule family (:func:`line_dedup` is the
+    corpus-wide twin): drop every repeat of a normalized segment after
+    its first occurrence within the same document and rebuild the kept
+    text in reading order. Emits (doc_id, n_segs, n_kept, kept_text);
+    docs with no nonempty lines keep a row with empty text.
+
+    Scale shape: every group key carries doc_id (no corpus-wide hot
+    key — a navbar repeated across 10⁹ docs never concentrates a
+    reducer here), the rebuild is the extraction ordered-concat
+    pattern (collect_list bounded by document size), and the final
+    left join restores unsegmentable docs."""
+    segs = line_segments(docs, text_col)
+    occ = F.struct(
+        F.col("line_no").cast("long").alias("line_no"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+    )
+    firsts = segs.groupBy("doc_id", "seg").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min(occ).alias("first_occ"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("first_occ").alias("o"), F.col("seg").alias("s")
+                )
+            )
+        ),
+        lambda s: s["s"],
+    )
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("long").alias("n_segs"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(ordered, "\n").alias("kept_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct tokens: per bit, sum ±1 weighted by
     the token-hash bit, sign → bit. Token hash = first 8 md5 hex chars

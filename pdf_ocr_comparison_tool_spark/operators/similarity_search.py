@@ -287,6 +287,42 @@ def ivf_search(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF search against the brute-force ground truth
+    — the eval metric an ANN deployment is actually judged by. Per
+    query: n_hits = |approx top-k ∩ exact top-k|, recall = n_hits/k
+    (one int/int division).
+
+    Scale shape: the ground truth is the explicitly BOUNDED brute
+    baseline (n_queries eval probes, never the corpus); the approx side
+    is the production inverted-list equi-join path; the comparison is
+    one (q_id, c_id) equi-join + a tiny per-query groupBy."""
+    truth = ann_brute_topk(embeddings, n_queries, k).select("q_id", "c_id")
+    approx = ivf_search(
+        embeddings, n_queries, k, n_centroids, nprobe, centroids=centroids
+    ).select("q_id", "c_id")
+    hits = (
+        approx.join(truth, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    qids = truth.select("q_id").distinct()
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("long")
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        n_hits.alias("n_hits"),
+        F.lit(k).cast("long").alias("k"),
+        (n_hits.cast("double") / F.lit(k).cast("double")).alias("recall"),
+    )
+
+
 def lsh_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.35,

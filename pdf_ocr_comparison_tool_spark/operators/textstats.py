@@ -264,6 +264,67 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# vocabulary coverage checkpoints — spec constant shared with the
+# oracle (oracles.token_coverage_sql); change both sides together.
+VOCAB_COVERAGE_SIZES: tuple[int, ...] = (16, 64, 256)
+
+
+def token_coverage(
+    docs: DataFrame, sizes: tuple[int, ...] | None = None
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size N,
+    the fraction of all corpus token OCCURRENCES covered by the N most
+    frequent tokens (ties broken token-asc) — the tokenizer-sizing
+    diagnostic an LM pipeline reports before committing to a vocab.
+
+    Scale shape: one explode + one map-side-combinable groupBy(token);
+    the top-N selection is ``orderBy().limit(kmax)`` (distributed
+    TakeOrderedAndProject — each partition contributes at most kmax
+    candidates), so the only window runs over ≤ kmax rows. Coverage is
+    a theta-join of the tiny sizes dim against the tiny ranked frame;
+    the int/int division is the sole float op (bit-exact)."""
+    sizes = tuple(sorted(VOCAB_COVERAGE_SIZES if sizes is None else sizes))
+    kmax = sizes[-1]
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    freqs = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = freqs.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_tokens")
+    )
+    # ranked top-kmax vocabulary — ≤ kmax rows after the TakeOrdered,
+    # so the unpartitioned row_number window is over a constant-size
+    # frame at ANY corpus size.
+    top = freqs.orderBy(F.desc("cnt"), F.asc("token")).limit(kmax)
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("rk"),
+    )
+    sizes_df = docs.sparkSession.createDataFrame(
+        [(int(s),) for s in sizes], "vocab_size long"
+    )
+    cov = (
+        sizes_df.join(ranked, ranked["rk"] <= sizes_df["vocab_size"], "left")
+        .groupBy("vocab_size")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+    )
+    frac = F.when(
+        F.col("total_tokens") > 0,
+        F.col("covered_tokens").cast("double")
+        / F.col("total_tokens").cast("double"),
+    )
+    return cov.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        frac.alias("coverage_frac"),
+    )
+
+
 # ---------------------------------------------------------------- model
 # fastText-style linear quality scorer (Joulin et al. 2016, the standard
 # CCNet/LLaMA-pipeline quality-classifier shape): a trained artifact of

@@ -860,6 +860,37 @@ def dedup_clusters_sql(d: str, docs: str = "documents", threshold: float = 0.5) 
     return _cc_closure_sql(near_dup_pairs_sql(d, docs, threshold))
 
 
+def dedup_keep_best_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
+    """Mirror of operators.dedup.keep_best_in_cluster over the verified
+    MinHash-LSH clusters + the linear quality scorer: per cluster keep
+    the highest-avg_score_milli member, ties broken by smallest doc_id.
+    Both component statements nest as CTE bodies (DuckDB supports WITH
+    / WITH RECURSIVE inside a CTE)."""
+    return f"""WITH kb_cl AS (
+{_cc_closure_sql(near_dup_pairs_sql(d, docs, threshold))}
+),
+kb_qs AS (
+{quality_score_sql(d, docs)}
+),
+kb_s AS (
+  SELECT c.doc_id, c.cluster_id, q.avg_score_milli
+  FROM kb_cl c JOIN kb_qs q ON c.doc_id = q.doc_id
+),
+kb_b AS (
+  SELECT cluster_id, max(avg_score_milli) AS best
+  FROM kb_s GROUP BY cluster_id
+),
+kb_k AS (
+  SELECT s.cluster_id, min(s.doc_id) AS keeper
+  FROM kb_s s JOIN kb_b b
+    ON s.cluster_id = b.cluster_id AND s.avg_score_milli = b.best
+  GROUP BY s.cluster_id
+)
+SELECT s.doc_id, s.cluster_id, s.avg_score_milli,
+       s.doc_id = k.keeper AS keep_best
+FROM kb_s s JOIN kb_k k ON s.cluster_id = k.cluster_id"""
+
+
 def emb_dup_clusters_sql(d: str, threshold: float = 0.35) -> str:
     """Cluster formation over the LSH-bucketed embedding near-dup
     pairs — the same keep-policy stage on the embedding modality."""
@@ -1436,13 +1467,11 @@ SELECT CAST(rank AS BIGINT) AS rank, gram, n_occ, n_docs
 FROM ng_r WHERE rank <= {NGRAM_TOP}"""
 
 
-def line_dedup_sql(d: str, docs: str = "documents") -> str:
-    """Mirror of operators.dedup.line_dedup: newline-split lines,
+def _line_seg_cte(d: str, docs: str = "documents") -> str:
+    """Shared segment-row CTE chain (→ ln_s): newline-split lines,
     normalized (lower, ws-collapse, trim, empties dropped), sub-chunked
-    every LINE_SEG_TOKENS whitespace tokens; per segment text the
-    corpus-wide occurrence count and the kept-first-occurrence verdict
-    (C4 keep-one rule). The operator's groupBy-min + join-back equals
-    the window row_number stated here."""
+    every LINE_SEG_TOKENS whitespace tokens — mirror of
+    operators.dedup.line_segments."""
     from .operators.dedup import LINE_SEG_TOKENS
 
     norm = f"lower(trim({G.replace_all('line', chr(92) + 's+', ' ', d)}))"
@@ -1474,7 +1503,7 @@ def line_dedup_sql(d: str, docs: str = "documents") -> str:
         )
         agg = "string_agg(tok, ' ' ORDER BY pos ASC)"
     seg_idx = P.idiv("pos", str(LINE_SEG_TOKENS), d)
-    return f"""WITH ln_l AS (
+    return f"""ln_l AS (
   {sel_line}
   {from_raw}
 ),
@@ -1487,7 +1516,15 @@ ln_s AS (
   SELECT doc_id, line_no, CAST({seg_idx} AS BIGINT) AS seg_idx, {agg} AS seg
   FROM ln_p
   GROUP BY doc_id, line_no, {seg_idx}
-),
+)"""
+
+
+def line_dedup_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.line_dedup: per segment text the
+    corpus-wide occurrence count and the kept-first-occurrence verdict
+    (C4 keep-one rule). The operator's groupBy-min + join-back equals
+    the window row_number stated here."""
+    return f"""WITH {_line_seg_cte(d, docs)},
 ln_g AS (
   SELECT *,
          count(*) OVER (PARTITION BY seg) AS n_occ,
@@ -1499,6 +1536,44 @@ ln_g AS (
 SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, seg_idx, seg,
        CAST(n_occ AS BIGINT) AS n_occ, rn = 1 AS keep
 FROM ln_g"""
+
+
+def doc_line_trim_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.doc_line_trim: drop every repeat of a
+    normalized segment AFTER its first occurrence WITHIN the same
+    document, rebuild the kept text in reading order. The operator's
+    groupBy(doc,seg)-min + ordered concat equals the per-doc window
+    row_number stated here (the window key carries doc_id, so the
+    oracle form is hot-key-safe too)."""
+    if d == SPARK:
+        rebuild = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(line_no, seg_idx, seg))), s -> s.seg), char(10))"
+        )
+    else:
+        rebuild = "string_agg(seg, chr(10) ORDER BY line_no, seg_idx)"
+    return f"""WITH {_line_seg_cte(d, docs)},
+dt_g AS (
+  SELECT doc_id, line_no, seg_idx, seg,
+         count(*) OVER (PARTITION BY doc_id, seg) AS n_occ,
+         row_number() OVER (
+           PARTITION BY doc_id, seg ORDER BY line_no, seg_idx
+         ) AS rn
+  FROM ln_s
+),
+dt_k AS (SELECT * FROM dt_g WHERE rn = 1),
+dt_d AS (
+  SELECT doc_id,
+         CAST(sum(n_occ) AS BIGINT) AS n_segs,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         {rebuild} AS kept_text
+  FROM dt_k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(k.n_segs, 0) AS n_segs,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_text, '') AS kept_text
+FROM {docs} d LEFT JOIN dt_d k ON d.doc_id = k.doc_id"""
 
 
 # ------------------------------------------------------------------- ANN
@@ -1661,6 +1736,32 @@ is_r AS (
   FROM is_s
 )
 SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, sim FROM is_r WHERE rank <= {k}"""
+
+
+def ann_recall_sql(
+    d: str, n_queries: int = 8, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+) -> str:
+    """Mirror of similarity_search.ann_recall: per-query recall@k of
+    the IVF search vs the brute-force top-k ground truth. Both
+    component statements nest as CTE bodies."""
+    return f"""WITH ar_t AS (
+{ann_topk_sql(d, n_queries, k)}
+),
+ar_a AS (
+{ivf_search_sql(d, n_queries, k, n_centroids, nprobe)}
+),
+ar_h AS (
+  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ar_a a JOIN ar_t t ON a.q_id = t.q_id AND a.c_id = t.c_id
+  GROUP BY a.q_id
+),
+ar_q AS (SELECT DISTINCT q_id FROM ar_t)
+SELECT q.q_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST({k} AS BIGINT) AS k,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM ar_q q LEFT JOIN ar_h h ON q.q_id = h.q_id"""
 
 
 # ----------------------------------------------------- cascade / project
@@ -2309,6 +2410,42 @@ def token_counts_sql(d: str, docs: str = "documents") -> str:
        CAST({_arr_size(ws, d)} AS BIGINT) AS n_ws_tokens,
        CAST({bpe} AS BIGINT) AS n_bpe_est
 FROM {docs}"""
+
+
+def token_coverage_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.token_coverage: token frequencies, rank by
+    (cnt desc, token asc), coverage of the top-N vocabulary at each
+    checkpoint size. The operator's TakeOrdered-limit + tiny window
+    equals the full-rank window stated here (only ranks ≤ max(N)
+    contribute to any checkpoint)."""
+    from .operators.textstats import VOCAB_COVERAGE_SIZES
+
+    sizes = ", ".join(f"({int(s)})" for s in sorted(VOCAB_COVERAGE_SIZES))
+    return f"""WITH {_tok_cte(d, docs)},
+tc_tok AS (SELECT {explode('toks', 'token', d)} FROM dd_tok),
+tc_f AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tc_tok GROUP BY token
+),
+tc_total AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total_tokens FROM tc_f
+),
+tc_rk AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk
+  FROM tc_f
+),
+tc_sizes(vocab_size) AS (VALUES {sizes}),
+tc_cov AS (
+  SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+         CAST(coalesce(sum(r.cnt), 0) AS BIGINT) AS covered_tokens
+  FROM tc_sizes s LEFT JOIN tc_rk r ON r.rk <= s.vocab_size
+  GROUP BY s.vocab_size
+)
+SELECT c.vocab_size, c.covered_tokens, t.total_tokens,
+       CASE WHEN t.total_tokens > 0
+            THEN CAST(c.covered_tokens AS DOUBLE)
+                 / CAST(t.total_tokens AS DOUBLE)
+       END AS coverage_frac
+FROM tc_cov c, tc_total t"""
 
 
 def data_split_sql(d: str, docs: str = "documents") -> str:

@@ -136,6 +136,33 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_DEDUP_ORACLE = f"""
+WITH ext AS ({G.extraction_sql(G.DUCK)}),
+sd_t AS (
+  SELECT doc_id,
+         md5(string_agg(kind || '|' || media_ref || '|' || text,
+                        chr(31) ORDER BY ord)) AS span_fp
+  FROM ext GROUP BY doc_id
+),
+sd_g AS (
+  SELECT span_fp, CAST(count(*) AS BIGINT) AS n_occ,
+         min(doc_id) AS keeper_id
+  FROM sd_t GROUP BY span_fp
+)
+SELECT t.doc_id, t.span_fp, g.n_occ, t.doc_id = g.keeper_id AS keep
+FROM sd_t t JOIN sd_g g ON t.span_fp = g.span_fp
+"""
+
+
+@register("span_dedup", oracle=_SPAN_DEDUP_ORACLE)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the ordered interleaved span sequence — the
+    multimodal-aware twin of text-hash dedup: the fingerprint covers
+    (kind, media_ref, text) in extraction order, so media-differing
+    docs are not collapsed. Narrow tape fold + 128-bit-fp groupBy."""
+    return dedup.span_dedup(synth.spans_df(spark, sf_dir))
+
+
 @register("extract_grounded", oracle=G.grounded_parse_sql(G.DUCK))
 def q_extract_grounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: synthesize raw grounded-output blobs, parse them back into
@@ -849,6 +876,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(verified)
 
 
+@register("dedup_keep_best", oracle=O.dedup_keep_best_sql(G.DUCK))
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection per near-dup cluster: CC clusters
+    over the verified MinHash-LSH pairs, joined to the trained linear
+    quality scorer, keep = arg-max score (tie → min doc_id) — the
+    keep policy production dedup jobs actually apply."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    withsig = dedup.with_minhash(docs).cache()
+    pairs = dedup.lsh_candidate_pairs(withsig)
+    verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
+    clusters = dedup.connected_components(verified)
+    scores = textstats.quality_score(docs, textstats.quality_model_dim(spark))
+    return dedup.keep_best_in_cluster(clusters, scores)
+
+
 @register("dedup_winnow", oracle=O.winnow_sql(G.DUCK))
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints (rolling min-in-window over
@@ -1015,6 +1058,16 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF ANN search: nprobe nearest centroids →
     inverted-list equi-join → exact-cosine rerank → top-k."""
     return similarity_search.ivf_search(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("ann_recall", oracle=O.ann_recall_sql(G.DUCK))
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k eval of the IVF search vs the bounded brute-force
+    ground truth — the metric an ANN index deployment is judged by;
+    one (q_id, c_id) equi-join between the two search outputs."""
+    return similarity_search.ann_recall(
         synth.load_table(spark, sf_dir, "embeddings")
     )
 
@@ -1307,6 +1360,28 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.split_leakage(docs)
 
 
+@register("doc_line_trim", oracle=O.doc_line_trim_sql(G.DUCK))
+def q_doc_line_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (within-doc twin of the
+    corpus-wide line_dedup): keep each normalized segment's first
+    occurrence per doc, rebuild the kept text in reading order — every
+    group key carries doc_id, so no corpus-wide hot key exists."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.doc_line_trim(docs)
+
+
+@register("token_coverage", oracle=O.token_coverage_sql(G.DUCK))
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (tokenizer-sizing diagnostic): the
+    fraction of corpus token occurrences covered by the top-N tokens
+    at each checkpoint size — one map-side-combinable token groupBy +
+    a distributed TakeOrdered; the only window is over ≤ max(N) rows."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return textstats.token_coverage(docs)
+
+
 @register("bpe_merges", oracle=O.bpe_merges_sql(G.DUCK))
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING: 6 merge iterations over the
@@ -1478,6 +1553,11 @@ _QUERY_ORDER = [
     "substring_rewrite",
     "split_leakage",
     "gram_novelty",
+    "token_coverage",
+    "doc_line_trim",
+    "span_dedup",
+    "dedup_keep_best",
+    "ann_recall",
 ]
 
 
