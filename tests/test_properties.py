@@ -464,3 +464,117 @@ def test_substring_rewrite_keep_first(spark):
     assert out[3]["kept_text"] == "middle bit"
     assert out[4]["n_removed"] == 0
     assert out[4]["kept_text"] == rows[3][1]
+
+
+@_FAST
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+def test_token_coverage_monotone(spark, texts):
+    """Coverage is monotone nondecreasing in vocab_size, bounded by
+    [0, 1], and covered == total once the vocab holds every token."""
+    from pdf_ocr_comparison_tool_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = sorted(
+        textstats.token_coverage(docs).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    prev = -1
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["total_tokens"]
+        assert r["covered_tokens"] >= prev
+        prev = r["covered_tokens"]
+        if r["total_tokens"] > 0:
+            assert 0.0 <= r["coverage_frac"] <= 1.0
+    # the synthetic vocab is tiny (< max checkpoint), so the largest
+    # checkpoint covers everything
+    if rows and rows[-1]["total_tokens"] > 0:
+        assert rows[-1]["covered_tokens"] == rows[-1]["total_tokens"]
+
+
+_line = st.lists(st.sampled_from(["alpha", "beta", "gamma", "nav bar"]),
+                 min_size=0, max_size=4).map(" ".join)
+
+
+@_FAST
+@given(st.lists(st.lists(_line, min_size=0, max_size=6).map("\n".join),
+                min_size=1, max_size=4))
+def test_doc_line_trim_idempotent(spark, texts):
+    """A second trim pass over the kept text finds nothing to remove
+    (n_segs == n_kept everywhere), and kept counts never exceed
+    original counts."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = dedup.doc_line_trim(docs)
+    for r in once.collect():
+        assert r["n_kept"] <= r["n_segs"]
+    again = dedup.doc_line_trim(
+        once.select("doc_id", F.col("kept_text").alias("text"))
+    )
+    for r in again.collect():
+        assert r["n_segs"] == r["n_kept"]
+
+
+def test_span_dedup_media_aware(spark):
+    """Identical docs collapse (keeper = min doc_id); docs equal in
+    text but differing in media_ref do NOT collapse."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    spans_t = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    mk = lambda media: [  # noqa: E731
+        ("text", "hello world line", "", 2),
+        ("media", "", media, 1),
+    ]
+    rows = [
+        (1, mk("m://a/0")),
+        (2, mk("m://a/0")),   # exact dup of 1
+        (3, mk("m://b/0")),   # same text, different media
+    ]
+    docs = spark.createDataFrame(rows, f"doc_id long, spans {spans_t}")
+    out = {r["doc_id"]: r for r in dedup.span_dedup(docs).collect()}
+    assert out[1]["span_fp"] == out[2]["span_fp"]
+    assert out[1]["span_fp"] != out[3]["span_fp"]
+    assert out[1]["keep"] and not out[2]["keep"] and out[3]["keep"]
+    assert out[1]["n_occ"] == 2 and out[3]["n_occ"] == 1
+
+
+def test_dedup_keep_best_invariants(spark):
+    """Exactly one keeper per cluster; the keeper holds the cluster's
+    max score and, among max-scorers, the smallest id."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 2.0), (3, 2.0), (4, -1.0), (5, -1.0)],
+        "doc_id long, avg_score_milli double",
+    )
+    out = dedup.keep_best_in_cluster(clusters, scores).collect()
+    keepers = {r["cluster_id"]: r["doc_id"] for r in out if r["keep_best"]}
+    assert len([r for r in out if r["keep_best"]]) == len(keepers) == 2
+    assert keepers[10] == 2  # max score 2.0, tie (2,3) -> min id
+    assert keepers[40] == 4  # tie (4,5) -> min id
+
+
+def test_ann_recall_full_probe_is_exhaustive(spark):
+    """Probing every centroid makes IVF scan the whole corpus, so
+    recall@k against the brute ground truth is exactly 1.0."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as ss
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    out = ss.ann_recall(
+        emb, n_queries=4, k=5,
+        n_centroids=ss.IVF_N_CENTROIDS, nprobe=ss.IVF_N_CENTROIDS,
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_hits"] == r["k"] == 5
+        assert r["recall"] == 1.0
