@@ -44,6 +44,10 @@ HEADLINE = [
     "decontaminate",
     "split_leakage",
     "gram_novelty",
+    "token_coverage",
+    "doc_line_trim",
+    "span_dedup",
+    "dedup_keep_best",
     "ngram_counts",
     "substring_dup",
     "substring_rewrite",
@@ -65,6 +69,7 @@ HEADLINE = [
     "ann_brute_topk",
     "ann_lsh_search",
     "ann_ivf_search",
+    "ann_recall",
     "ann_kmeans_fit",
     "ann_pq_fit",
     "emb_knn_join",

@@ -1546,8 +1546,8 @@ _QUERY_ORDER = [
     "ann_pq_search",
     # new post-window this round: the r5 driver head was already full
     # (50 = 15 first-green + 30 rotation-due + 5 touched), so these
-    # carry the local type-strict parity gate this round and rotate
-    # into the r6 head for their first driver row
+    # (through ann_recall) carry the local type-strict parity gate
+    # this round and rotate into the r6 head for their first driver row
     "lm_buckets",
     "bpe_vocab",
     "substring_rewrite",

@@ -239,3 +239,38 @@ def test_kmeans_fit_stays_broadcast_shaped(spark):
     for df in (SS.kmeans_centroid_rows(emb), SS.pq_fit_rows(emb)):
         p = _plan(df)
         assert "CartesianProduct" not in p
+
+
+def test_r5_late_ops_plan_shapes(spark):
+    """token_coverage's top-N must be a distributed TakeOrderedAndProject
+    (never a global vocab sort feeding the window); doc_line_trim and
+    span_dedup must stay groupBy-shaped (no window over a potentially
+    hot segment/fingerprint key, no cartesian); dedup_keep_best and
+    ann_recall must stay equi-join shaped."""
+    from pdf_ocr_comparison_tool_spark.operators import (
+        dedup,
+        similarity_search as SS,
+        textstats,
+    )
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    tc_plan = _plan(textstats.token_coverage(docs))
+    assert "TakeOrderedAndProject" in tc_plan, tc_plan
+    dt_plan = _plan(dedup.doc_line_trim(docs))
+    assert "CartesianProduct" not in dt_plan
+    assert "Window [" not in dt_plan, "doc_line_trim must not window"
+    sp_plan = _plan(dedup.span_dedup(synth.spans_df(spark, SF_DIR)))
+    assert "CartesianProduct" not in sp_plan
+    assert "Window [" not in sp_plan, "span_dedup must not window"
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "doc_id long, avg_score_milli double"
+    )
+    kb_plan = _plan(dedup.keep_best_in_cluster(clusters, scores))
+    assert "CartesianProduct" not in kb_plan
+    assert "Window [" not in kb_plan, "keeper selection must not window"
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    ar_plan = _plan(SS.ann_recall(emb))
+    assert "CartesianProduct" not in ar_plan
