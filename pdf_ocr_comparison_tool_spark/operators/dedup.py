@@ -636,6 +636,77 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_calibration(
+    docs: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Sketch-quality calibration over the LSH candidate pairs: the
+    MinHash signature-agreement estimate of Jaccard (matching
+    positions / NUM_HASHES — the unbiased estimator the sketch is
+    built on) side-by-side with the exact shingle Jaccard and the
+    absolute error — the measurement that justifies (or indicts) the
+    signature size before a 100 TB dedup run commits to it.
+
+    Scale shape: candidates come from the banded bucket equi-join
+    (hot-bucket guarded); the comparison is narrow per-pair array math
+    (16 ints + set ops on the pair's own shingles)."""
+    withsig = with_minhash(docs)
+    pairs = lsh_candidate_pairs(withsig, max_bucket=max_bucket)
+    sa = withsig.select(
+        F.col("doc_id").alias("a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = withsig.select(
+        F.col("doc_id").alias("b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    est = n_agree.cast("double") / F.lit(NUM_HASHES).cast("double")
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            n_agree.cast("long").alias("n_agree"),
+            est.alias("est_jaccard"),
+            j.alias("jaccard"),
+            F.abs(est - j).alias("abs_err"),
+        )
+    )
+
+
+def cluster_size_stats(clusters: DataFrame) -> DataFrame:
+    """Near-dup cluster-size distribution — the dataset-card profile a
+    dedup run reports (how much of the corpus sits in 2-clusters vs a
+    handful of mega-clusters). (id, cluster_id, ...) →
+    (cluster_size, n_clusters, n_docs).
+
+    Scale shape: two map-side-combinable groupBys (per-cluster count,
+    then per-size count); the output is at most |distinct sizes| rows."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    counts = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    return counts.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+
+
 def keep_best_in_cluster(
     clusters: DataFrame,
     scores: DataFrame,

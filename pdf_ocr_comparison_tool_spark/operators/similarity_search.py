@@ -287,27 +287,10 @@ def ivf_search(
     )
 
 
-def ann_recall(
-    embeddings: DataFrame,
-    n_queries: int = 8,
-    k: int = 10,
-    n_centroids: int = IVF_N_CENTROIDS,
-    nprobe: int = IVF_NPROBE,
-    centroids: DataFrame | None = None,
-) -> DataFrame:
-    """Recall@k of the IVF search against the brute-force ground truth
-    — the eval metric an ANN deployment is actually judged by. Per
-    query: n_hits = |approx top-k ∩ exact top-k|, recall = n_hits/k
-    (one int/int division).
-
-    Scale shape: the ground truth is the explicitly BOUNDED brute
-    baseline (n_queries eval probes, never the corpus); the approx side
-    is the production inverted-list equi-join path; the comparison is
-    one (q_id, c_id) equi-join + a tiny per-query groupBy."""
-    truth = ann_brute_topk(embeddings, n_queries, k).select("q_id", "c_id")
-    approx = ivf_search(
-        embeddings, n_queries, k, n_centroids, nprobe, centroids=centroids
-    ).select("q_id", "c_id")
+def _recall_against(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approx (q_id, c_id) result set against
+    an exact one: |approx ∩ exact| / k (one int/int division). One
+    (q_id, c_id) equi-join + a tiny per-query groupBy."""
     hits = (
         approx.join(truth, ["q_id", "c_id"])
         .groupBy("q_id")
@@ -321,6 +304,27 @@ def ann_recall(
         F.lit(k).cast("long").alias("k"),
         (n_hits.cast("double") / F.lit(k).cast("double")).alias("recall"),
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF search against the brute-force ground truth
+    — the eval metric an ANN deployment is actually judged by.
+
+    Scale shape: the ground truth is the explicitly BOUNDED brute
+    baseline (n_queries eval probes, never the corpus); the approx side
+    is the production inverted-list equi-join path."""
+    truth = ann_brute_topk(embeddings, n_queries, k).select("q_id", "c_id")
+    approx = ivf_search(
+        embeddings, n_queries, k, n_centroids, nprobe, centroids=centroids
+    ).select("q_id", "c_id")
+    return _recall_against(truth, approx, k)
 
 
 def lsh_near_dups(
@@ -684,3 +688,57 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("rank").cast("long").alias("rank"), "c_id", "adc_dist")
     )
+
+
+def brute_l2_topk(
+    embeddings: DataFrame, n_queries: int = PQ_N_QUERIES, k: int = PQ_TOPK
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth for the PQ/ADC path
+    (which ranks by approximate squared L2, not cosine). Bounded to the
+    eval probe set like ann_brute_topk; distances use the order-fixed
+    |v|²−2⟨v,c⟩+|c|² construction shared with ivf_assign."""
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
+    )
+    q = norms.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    c = norms.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    dist = (
+        F.col("q_nsq").cast("double")
+        - 2.0 * _dot("qv", "cv").cast("double")
+        + F.col("c_nsq").cast("double")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", dist.alias("l2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("l2"), F.asc("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "c_id")
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = PQ_N_QUERIES,
+    k: int = PQ_TOPK,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the PQ/ADC search against the exact-L2 ground truth
+    — quantization loss measured the way a deployment reports it. Same
+    bounded-eval shape as :func:`ann_recall`."""
+    truth = brute_l2_topk(embeddings, n_queries, k).select("q_id", "c_id")
+    approx = pq_search(embeddings, n_queries, k, codebook=codebook).select(
+        "q_id", "c_id"
+    )
+    return _recall_against(truth, approx, k)

@@ -860,6 +860,53 @@ def dedup_clusters_sql(d: str, docs: str = "documents", threshold: float = 0.5) 
     return _cc_closure_sql(near_dup_pairs_sql(d, docs, threshold))
 
 
+def minhash_calibration_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.minhash_calibration: per LSH candidate
+    pair, the signature-agreement Jaccard estimate vs the exact shingle
+    Jaccard and the absolute error."""
+    from .operators.dedup import NUM_HASHES
+
+    if d == SPARK:
+        agree = "size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))"
+        inter = "size(array_intersect(sa.sh, sb.sh))"
+        uni = "size(array_union(sa.sh, sb.sh))"
+    else:
+        agree = "len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))"
+        inter = "len(list_intersect(sa.sh, sb.sh))"
+        uni = "len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    est = f"CAST({agree} AS DOUBLE) / CAST({NUM_HASHES} AS DOUBLE)"
+    j = f"CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE)"
+    return f"""WITH {dedup_cte(d, docs)},
+{_lsh_pairs_cte(d, "dd")}
+SELECT p.a, p.b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       {est} AS est_jaccard,
+       {j} AS jaccard,
+       abs({est} - {j}) AS abs_err
+FROM dd_pairs p
+JOIN dd_sig sa ON sa.doc_id = p.a
+JOIN dd_sig sb ON sb.doc_id = p.b"""
+
+
+def dup_cluster_stats_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
+    """Mirror of operators.dedup.cluster_size_stats over the verified
+    MinHash-LSH clusters: cluster-size distribution."""
+    return f"""WITH cs_cl AS (
+{_cc_closure_sql(near_dup_pairs_sql(d, docs, threshold))}
+),
+cs_s AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cs_cl GROUP BY cluster_id
+),
+cs_c AS (
+  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+  FROM cs_s GROUP BY cluster_size
+)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM cs_c"""
+
+
 def dedup_keep_best_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
     """Mirror of operators.dedup.keep_best_in_cluster over the verified
     MinHash-LSH clusters + the linear quality scorer: per cluster keep
@@ -1762,6 +1809,45 @@ SELECT q.q_id,
        CAST({k} AS BIGINT) AS k,
        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
 FROM ar_q q LEFT JOIN ar_h h ON q.q_id = h.q_id"""
+
+
+def pq_recall_sql(d: str) -> str:
+    """Mirror of similarity_search.pq_recall: recall@k of the ADC
+    search vs the exact squared-L2 top-k ground truth (the PQ path
+    ranks by L2, so the truth must too)."""
+    m, sub, kk, n_q, topk = _pq_consts()
+    dist = (
+        f"CAST(q.q_nsq AS DOUBLE) - 2.0 * CAST({_dot_sql('q.qv', 'c.cv', d)} AS DOUBLE)"
+        f" + CAST(c.c_nsq AS DOUBLE)"
+    )
+    return f"""WITH pr_t AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {dist} ASC, c.c_id ASC) AS rank
+    FROM (SELECT vec_id AS c_id, embedding AS cv,
+                 {_dot_sql('embedding', 'embedding', d)} AS c_nsq
+          FROM embeddings) c
+    CROSS JOIN (SELECT vec_id AS q_id, embedding AS qv,
+                       {_dot_sql('embedding', 'embedding', d)} AS q_nsq
+                FROM embeddings WHERE vec_id < {n_q}) q
+    WHERE c.c_id <> q.q_id
+  ) x WHERE rank <= {topk}
+),
+pr_a AS (
+{pq_search_sql(d)}
+),
+pr_h AS (
+  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM pr_a a JOIN pr_t t ON a.q_id = t.q_id AND a.c_id = t.c_id
+  GROUP BY a.q_id
+),
+pr_q AS (SELECT DISTINCT q_id FROM pr_t)
+SELECT q.q_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST({topk} AS BIGINT) AS k,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST({topk} AS DOUBLE) AS recall
+FROM pr_q q LEFT JOIN pr_h h ON q.q_id = h.q_id"""
 
 
 # ----------------------------------------------------- cascade / project

@@ -892,6 +892,30 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keep_best_in_cluster(clusters, scores)
 
 
+@register("minhash_calibration", oracle=O.minhash_calibration_sql(G.DUCK))
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality calibration: per LSH candidate pair, the MinHash
+    signature-agreement Jaccard estimate vs the exact shingle Jaccard
+    + absolute error — the pre-flight check before a 100 TB dedup run
+    commits to a signature size."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.minhash_calibration(docs)
+
+
+@register("dup_cluster_stats", oracle=O.dup_cluster_stats_sql(G.DUCK))
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (dataset-card profile of the
+    dedup run): CC clusters → per-size cluster/doc counts — two
+    map-side-combinable groupBys."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    withsig = dedup.with_minhash(docs).cache()
+    pairs = dedup.lsh_candidate_pairs(withsig)
+    verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
+    return dedup.cluster_size_stats(dedup.connected_components(verified))
+
+
 @register("dedup_winnow", oracle=O.winnow_sql(G.DUCK))
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints (rolling min-in-window over
@@ -1058,6 +1082,15 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF ANN search: nprobe nearest centroids →
     inverted-list equi-join → exact-cosine rerank → top-k."""
     return similarity_search.ivf_search(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register("pq_recall", oracle=O.pq_recall_sql(G.DUCK))
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC search vs the exact squared-L2 top-k —
+    quantization loss measured the way a deployment reports it."""
+    return similarity_search.pq_recall(
         synth.load_table(spark, sf_dir, "embeddings")
     )
 
@@ -1558,6 +1591,9 @@ _QUERY_ORDER = [
     "span_dedup",
     "dedup_keep_best",
     "ann_recall",
+    "minhash_calibration",
+    "dup_cluster_stats",
+    "pq_recall",
 ]
 
 
