@@ -637,7 +637,9 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_calibration(
-    docs: DataFrame, max_bucket: int = MAX_BUCKET
+    docs: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    withsig: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch-quality calibration over the LSH candidate pairs: the
     MinHash signature-agreement estimate of Jaccard (matching
@@ -648,8 +650,10 @@ def minhash_calibration(
 
     Scale shape: candidates come from the banded bucket equi-join
     (hot-bucket guarded); the comparison is narrow per-pair array math
-    (16 ints + set ops on the pair's own shingles)."""
-    withsig = with_minhash(docs)
+    (16 ints + set ops on the pair's own shingles). Pass ``withsig``
+    (a with_minhash frame, e.g. the caller's cached one) to share the
+    signature build with other dedup stages."""
+    withsig = with_minhash(docs) if withsig is None else withsig
     pairs = lsh_candidate_pairs(withsig, max_bucket=max_bucket)
     sa = withsig.select(
         F.col("doc_id").alias("a"),

@@ -33,14 +33,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--cores", default=None)
     p.add_argument(
         "--job",
-        choices=("extract", "corpus", "match", "tokenize"),
+        choices=("extract", "corpus", "match", "tokenize", "dedup"),
         default="extract",
         help="extract = spans pipeline; corpus = admission filter + split "
         "(+ --publish for the final shard layout); match = the "
         "reference's primary workflow (voucher-vs-reference staged "
         "match + merged islands + summary reports); tokenize = BPE fit "
         "+ vocab + corpus encode (the tokenizer artifacts + the "
-        "tensor-ready token table)",
+        "tensor-ready token table); dedup = near-dup pipeline end to "
+        "end (LSH candidates → verify → CC → quality-aware keeper + "
+        "cluster profile + sketch calibration)",
     )
     p.add_argument(
         "--publish",
@@ -139,6 +141,45 @@ def main(argv: list[str] | None = None) -> None:
             "n_merges": bpe.BPE_MERGES,
             "vocab_size": n_vocab,
             "tokens_emitted": n_tokens,
+        }))
+        spark.stop()
+        return
+
+    if args.job == "dedup":
+        # the dedup workflow end to end: candidates → exact-Jaccard
+        # verify → CC clusters → quality-aware keeper, plus the two
+        # run reports (cluster-size profile, sketch calibration) —
+        # ONE cached signature build feeds every stage
+        from .operators import dedup, textstats
+
+        docs = synth.load_table(spark, args.input, "documents").repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        withsig = dedup.with_minhash(docs).cache()
+        pairs = dedup.lsh_candidate_pairs(withsig)
+        verified = dedup.verified_near_dups(withsig, pairs)
+        clusters = dedup.connected_components(verified.select("a", "b"))
+        scores = textstats.quality_score(
+            docs, textstats.quality_model_dim(spark)
+        )
+        keep = dedup.keep_best_in_cluster(clusters, scores)
+        keep.write.mode("overwrite").parquet(f"{args.output}/dedup_keep")
+        dedup.cluster_size_stats(clusters).write.mode("overwrite").parquet(
+            f"{args.output}/cluster_stats"
+        )
+        dedup.minhash_calibration(docs, withsig=withsig).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/calibration")
+        withsig.unpersist()
+        written = spark.read.parquet(f"{args.output}/dedup_keep")
+        n_clustered = written.count()
+        n_keep = written.filter(F.col("keep_best")).count()
+        print(json.dumps({
+            "job": "dedup",
+            "run_id": run_id,
+            "clustered_docs": n_clustered,
+            "keepers": n_keep,
+            "dropped": n_clustered - n_keep,
         }))
         spark.stop()
         return
