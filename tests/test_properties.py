@@ -578,3 +578,56 @@ def test_ann_recall_full_probe_is_exhaustive(spark):
     for r in out:
         assert r["n_hits"] == r["k"] == 5
         assert r["recall"] == 1.0
+
+
+def test_minhash_calibration_invariants(spark):
+    """Estimate and exact Jaccard live in [0,1]; abs_err is exactly
+    |est − jaccard|; n_agree is bounded by the signature size."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    for r in dedup.minhash_calibration(docs).collect():
+        assert 0 <= r["n_agree"] <= dedup.NUM_HASHES
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["jaccard"])
+
+
+def test_cluster_size_stats_accounts_every_doc(spark):
+    """Σ n_docs over the size distribution equals the clustered doc
+    count, and no cluster of size < 2 exists (CC only emits nodes that
+    appear in a pair)."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    withsig = dedup.with_minhash(docs).cache()
+    pairs = dedup.lsh_candidate_pairs(withsig)
+    verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
+    clusters = dedup.connected_components(verified)
+    stats = dedup.cluster_size_stats(clusters).collect()
+    assert sum(r["n_docs"] for r in stats) == clusters.count()
+    assert all(r["cluster_size"] >= 2 for r in stats)
+
+
+def test_pq_recall_bounds_and_floor(spark):
+    """PQ recall is a valid fraction per query; the floor only guards
+    collapse-to-zero — the exact value (0.3125 at sf0.001 for the
+    first-K codebook stand-in) is pinned by the driver oracle, and
+    recall is NOT monotone in codebook quality (see the kmeans
+    recall-floor note), so no tighter bound is asserted."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as ss
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    rows = ss.pq_recall(emb).collect()
+    assert len(rows) == ss.PQ_N_QUERIES
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hits"] <= r["k"]
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.15, f"PQ mean recall collapsed: {mean}"
