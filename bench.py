@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_line_trim",
     "span_dedup",
     "dedup_keep_best",
+    "dup_cluster_stats",
+    "minhash_calibration",
     "ngram_counts",
     "substring_dup",
     "substring_rewrite",
@@ -70,6 +72,7 @@ HEADLINE = [
     "ann_lsh_search",
     "ann_ivf_search",
     "ann_recall",
+    "pq_recall",
     "ann_kmeans_fit",
     "ann_pq_fit",
     "emb_knn_join",
