@@ -586,6 +586,7 @@ def corpus_filter(
     docs: DataFrame,
     cache_registry: list | None = None,
     quality_model: DataFrame | None = None,
+    decontaminate: bool = False,
 ) -> DataFrame:
     """Compose the admission verdict for a ``documents``-shaped frame
     (doc_id, text). See module docstring for stages and precedence.
@@ -595,6 +596,12 @@ def corpus_filter(
     docs whose model label is ``drop`` gain the ``model_low_quality``
     drop reason, ranked after the heuristic ``low_quality`` stage. The
     default (None) leaves the verdict — and its oracle — unchanged.
+
+    ``decontaminate`` (opt-in): run the benchmark eval-overlap scan
+    (dedup.decontaminate, GPT-3 appendix-C) and give contaminated docs
+    the ``contaminated`` drop reason, ranked after
+    ``model_low_quality``. Default (False) leaves the verdict — and
+    its oracle — unchanged.
 
     Cache LIFETIME is owned by the caller (same contract as
     matching.match_pages): the MinHash signature frame below is cached
@@ -640,12 +647,20 @@ def corpus_filter(
         )
         joined = joined.join(scored, "doc_id", "left")
         model_drop = F.coalesce("model_drop", F.lit(False))
+    contaminated = F.lit(False)
+    if decontaminate:
+        decon = dedup.decontaminate(docs).select(
+            "doc_id", F.col("contaminated").alias("decon_hit")
+        )
+        joined = joined.join(decon, "doc_id", "left")
+        contaminated = F.coalesce("decon_hit", F.lit(False))
     reason = (
         F.when(~F.col("exact_keep"), F.lit("exact_dup"))
         .when(~F.col("neardup_keep"), F.lit("near_dup"))
         .when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
         .when(F.col("quality") == "low", F.lit("low_quality"))
         .when(model_drop, F.lit("model_low_quality"))
+        .when(contaminated, F.lit("contaminated"))
         .when(F.col("top_2gram_char_frac") > MAX_TOP2_FRAC, F.lit("repetitive_2gram"))
         .when(F.col("dup_3gram_frac") > MAX_DUP3_FRAC, F.lit("repetitive_3gram"))
     )

@@ -203,3 +203,53 @@ def events_topk(events: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("user_id", F.col("rn").cast("long").alias("rn"), "event_id", "value")
     )
+
+
+# strict-order funnel stage spec — shared with oracles.events_funnel_sql
+# (change both sides together)
+FUNNEL_STAGES: tuple[str, ...] = ("view", "click", "purchase")
+
+
+def events_funnel(
+    events: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES
+) -> DataFrame:
+    """Strict-order conversion funnel: per user, the first time each
+    stage completes strictly AFTER the previous stage's first
+    completion (the standard product-analytics funnel over an event
+    log). Emits one row per user with the per-stage first-completion
+    epochs (NULL once a stage is missed), the count of stages reached
+    and the end-to-end conversion verdict.
+
+    Scale shape: one map-side-combinable groupBy(user_id) per stage +
+    equi-join-backs — never a per-user ordered window scan, so a hot
+    user's million events are combiner-reduced, not single-reducer
+    sorted."""
+    epoch = ntz_epoch("ts")
+    e = events.select(
+        "user_id", F.col("event_type").alias("et"), epoch.alias("epoch")
+    )
+    out = e.select("user_id").distinct()
+    prev = None
+    tcols = []
+    for s in stages:
+        se = e.filter(F.col("et") == s)
+        if prev is not None:
+            se = se.join(
+                out.filter(F.col(prev).isNotNull()).select("user_id", prev),
+                "user_id",
+            ).filter(F.col("epoch") > F.col(prev))
+        t = se.groupBy("user_id").agg(
+            F.min("epoch").cast("long").alias(f"t_{s}")
+        )
+        out = out.join(t, "user_id", "left")
+        prev = f"t_{s}"
+        tcols.append(prev)
+    reached = sum(
+        (F.col(c).isNotNull().cast("int") for c in tcols), F.lit(0)
+    ).cast("long")
+    return out.select(
+        "user_id",
+        *tcols,
+        reached.alias("stages_reached"),
+        F.col(tcols[-1]).isNotNull().alias("converted"),
+    )

@@ -629,6 +629,57 @@ SELECT user_id, CAST(session AS BIGINT) AS session,
 FROM es_isl GROUP BY user_id, session"""
 
 
+def events_funnel_sql(d: str) -> str:
+    """Mirror of reports.events_funnel: strict-order per-user funnel —
+    each stage's first completion strictly after the previous stage's
+    first completion; NULL once a stage is missed."""
+    from .operators.reports import FUNNEL_STAGES
+
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    ctes = [
+        "fu_u AS (SELECT DISTINCT user_id FROM events)",
+        f"fu_e AS (SELECT user_id, event_type, {epoch} AS epoch FROM events)",
+    ]
+    prev = None
+    for i, s in enumerate(FUNNEL_STAGES, start=1):
+        if prev is None:
+            body = (
+                f"SELECT user_id, CAST(min(epoch) AS BIGINT) AS t_{s}\n"
+                f"  FROM fu_e WHERE event_type = '{s}' GROUP BY user_id"
+            )
+        else:
+            body = (
+                f"SELECT e.user_id, CAST(min(e.epoch) AS BIGINT) AS t_{s}\n"
+                f"  FROM fu_e e JOIN fu_{i - 1} p ON e.user_id = p.user_id\n"
+                f"  WHERE e.event_type = '{s}' AND e.epoch > p.t_{prev}\n"
+                f"  GROUP BY e.user_id"
+            )
+        ctes.append(f"fu_{i} AS (\n  {body}\n)")
+        prev = s
+    tsel = ",\n       ".join(
+        f"fu_{i}.t_{s}" for i, s in enumerate(FUNNEL_STAGES, start=1)
+    )
+    reached = " + ".join(
+        f"CASE WHEN fu_{i}.t_{s} IS NOT NULL THEN 1 ELSE 0 END"
+        for i, s in enumerate(FUNNEL_STAGES, start=1)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN fu_{i} ON fu_{i}.user_id = u.user_id"
+        for i in range(1, len(FUNNEL_STAGES) + 1)
+    )
+    last = len(FUNNEL_STAGES)
+    cte_block = ",\n".join(ctes)
+    return f"""WITH {cte_block}
+SELECT u.user_id,
+       {tsel},
+       CAST({reached} AS BIGINT) AS stages_reached,
+       fu_{last}.t_{FUNNEL_STAGES[-1]} IS NOT NULL AS converted
+FROM fu_u u
+{joins}"""
+
+
 def events_session_window_sql(d: str, gap_sec: int = 1800) -> str:
     """Oracle for Spark's native session_window: sessions merge while
     the NEXT event starts strictly before prev_ts + gap (note: STRICT

@@ -57,6 +57,12 @@ def main(argv: list[str] | None = None) -> None:
         "(textstats.quality_model_dim) as a model_low_quality "
         "admission stage",
     )
+    p.add_argument(
+        "--decontaminate",
+        action="store_true",
+        help="corpus only: add the benchmark eval-overlap scan "
+        "(dedup.decontaminate) as a contaminated admission stage",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name=f"{args.job}-job", cores=args.cores)
@@ -203,7 +209,7 @@ def main(argv: list[str] | None = None) -> None:
             qm = textstats.quality_model_dim(spark)
         done = cp.run_corpus_job(
             spark, docs, args.output, run_id=run_id, n_parts=args.n_parts,
-            quality_model=qm,
+            quality_model=qm, decontaminate=args.decontaminate,
         )
     lineage = cp.committed_parts(spark, args.output)
     stats = lineage.agg(

@@ -488,6 +488,15 @@ def q_doc_processing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.doc_processing_stats(ex)
 
 
+@register("events_funnel", oracle=O.events_funnel_sql(G.DUCK))
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel (view → click → purchase): per
+    user the first completion of each stage strictly after the prior
+    stage — one combiner-reduced groupBy per stage, never a per-user
+    ordered window scan."""
+    return reports.events_funnel(synth.load_table(spark, sf_dir, "events"))
+
+
 @register("events_sessions", oracle=O.events_sessions_sql(G.DUCK))
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization (gaps-and-islands on event time)."""
@@ -1594,6 +1603,7 @@ _QUERY_ORDER = [
     "minhash_calibration",
     "dup_cluster_stats",
     "pq_recall",
+    "events_funnel",
 ]
 
 

@@ -203,6 +203,7 @@ def run_corpus_job(
     n_parts: int = 8,
     fail_after_parts: int | None = None,
     quality_model: DataFrame | None = None,
+    decontaminate: bool = False,
 ) -> int:
     """Resumable corpus-build job: admission verdict (exact dedup →
     near-dup cluster keep → length/quality/repetition) + deterministic
@@ -218,6 +219,8 @@ def run_corpus_job(
     ``quality_model`` (opt-in) adds the trained linear-scorer stage to
     the verdict (pipeline.corpus_filter) — resume-safe because the
     model dim is a deterministic input like the corpus itself.
+    ``decontaminate`` (opt-in) adds the benchmark eval-overlap stage,
+    equally deterministic and so equally resume-safe.
     """
     from ..operators.pipeline import corpus_filter, data_split
 
@@ -230,7 +233,8 @@ def run_corpus_job(
     try:
         verdict = (
             corpus_filter(
-                docs, cache_registry=cached, quality_model=quality_model
+                docs, cache_registry=cached, quality_model=quality_model,
+                decontaminate=decontaminate,
             )
             .filter(F.col("keep"))
             .select("doc_id")

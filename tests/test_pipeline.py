@@ -444,3 +444,30 @@ def test_gram_novelty_semantics(spark):
         assert 0 < out[i]["novelty_frac"] < 1.0
     assert out[3]["novelty_frac"] == 1.0
     assert out[4]["n_grams"] == 0 and out[4]["novelty_frac"] is None
+
+
+def test_corpus_filter_decontaminate_flag(spark):
+    """decontaminate opt-in: default verdict unchanged; with the flag,
+    docs the eval-overlap scan flags gain the contaminated reason,
+    ranked after model stages and before the repetition rules."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    base = {r["doc_id"]: r["drop_reason"]
+            for r in pipeline.corpus_filter(docs).collect()}
+    flagged = {r["doc_id"]: r["drop_reason"]
+               for r in pipeline.corpus_filter(docs, decontaminate=True).collect()}
+    hits = {r["doc_id"]: r["contaminated"]
+            for r in dedup.decontaminate(docs).collect()}
+    assert set(base) == set(flagged)
+    pre_decon = {None, "repetitive_2gram", "repetitive_3gram"}
+    for d, r in flagged.items():
+        if r == "contaminated":
+            assert base[d] in pre_decon
+            assert hits[d]
+        elif base[d] in pre_decon and hits[d]:
+            assert r == "contaminated", (d, base[d], r)
+        else:
+            assert r == base[d]
