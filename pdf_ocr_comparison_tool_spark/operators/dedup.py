@@ -196,15 +196,11 @@ def exact_dup_groups(
 MAX_BUCKET = 64
 
 
-def lsh_candidate_pairs(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair.
-
-    Hot-bucket guard: a bucket of b docs yields b(b−1)/2 pairs — at
-    10^12 docs a boilerplate bucket would explode the self-join.
-    Buckets larger than ``max_bucket`` are dropped here; their members
-    are near-exact clusters that the exact-hash dedup path already
-    collapses far more cheaply."""
-    bands = sigs.select(
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, minhash, ...) → one (doc_id, band, bucket) row per
+    signature band — the banding spec shared by the self-join candidate
+    generator and the cross-corpus incremental path."""
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -221,6 +217,17 @@ def lsh_candidate_pairs(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFr
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Hot-bucket guard: a bucket of b docs yields b(b−1)/2 pairs — at
+    10^12 docs a boilerplate bucket would explode the self-join.
+    Buckets larger than ``max_bucket`` are dropped here; their members
+    are near-exact clusters that the exact-hash dedup path already
+    collapses far more cheaply."""
+    bands = _band_rows(sigs)
     sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
     small = bands.join(
         sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
@@ -633,6 +640,93 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("n_occ").cast("long").alias("n_occ"),
             (occ == F.col("first_occ")).alias("keep"),
         )
+    )
+
+
+def incremental_dedup(
+    old: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Incremental-ingest dedup — the production shape of 'a new crawl
+    lands against a 10¹²-doc existing corpus': verdict for every NEW
+    doc against the OLD corpus (a cross-corpus join, never a unioned
+    self-join that would re-pair the old corpus against itself).
+    Emits (doc_id, exact_dup_of, near_dup_of, near_jaccard, status)
+    with status ∈ exact_dup / near_dup / new; exact matches name the
+    smallest old holder, near matches the highest-Jaccard (tie →
+    smallest old id) verified neighbor ≥ threshold.
+
+    Scale shape: the exact stage pre-reduces the old side to one row
+    per distinct content hash (groupBy-min — a boilerplate hash can't
+    fan out) and equi-joins on the 128-bit hash; near-dup candidates
+    come from a band-bucket equi-join of new×old signatures with the
+    hot-bucket guard applied to the OLD (unbounded) side; the best
+    match per new doc is groupBy-max + arg-min join, never a window."""
+    from .features import text_hash
+
+    oldh = (
+        old.select(
+            text_hash(F.col("text")).alias("h"),
+            F.col("doc_id").alias("o_id"),
+        )
+        .groupBy("h")
+        .agg(F.min("o_id").alias("exact_dup_of"))
+    )
+    exact = new.select(
+        "doc_id", text_hash(F.col("text")).alias("h")
+    ).join(oldh, "h", "left").select("doc_id", "exact_dup_of")
+
+    osig = with_minhash(old)
+    nsig = with_minhash(new)
+    ob = _band_rows(osig).select(
+        F.col("doc_id").alias("o_id"), "band", "bucket"
+    )
+    nb = _band_rows(nsig).select(
+        F.col("doc_id").alias("n_id"), "band", "bucket"
+    )
+    sizes = ob.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+    obs = ob.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    cands = nb.join(obs, ["band", "bucket"]).select("n_id", "o_id").distinct()
+    sn = nsig.select(
+        F.col("doc_id").alias("n_id"), F.col("shingles").alias("sh_n")
+    )
+    so = osig.select(
+        F.col("doc_id").alias("o_id"), F.col("shingles").alias("sh_o")
+    )
+    j = F.size(F.array_intersect("sh_n", "sh_o")).cast("double") / F.size(
+        F.array_union("sh_n", "sh_o")
+    ).cast("double")
+    verified = (
+        cands.join(sn, "n_id")
+        .join(so, "o_id")
+        .select("n_id", "o_id", j.alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
+    best_j = verified.groupBy("n_id").agg(F.max("jacc").alias("near_jaccard"))
+    best = (
+        verified.join(best_j, "n_id")
+        .filter(F.col("jacc") == F.col("near_jaccard"))
+        .groupBy("n_id", "near_jaccard")
+        .agg(F.min("o_id").alias("near_dup_of"))
+        .withColumnRenamed("n_id", "doc_id")
+    )
+    out = exact.join(best, "doc_id", "left")
+    status = (
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    return out.select(
+        "doc_id",
+        "exact_dup_of",
+        "near_dup_of",
+        "near_jaccard",
+        status.alias("status"),
     )
 
 

@@ -822,14 +822,12 @@ SELECT text_hash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc
 FROM h GROUP BY text_hash HAVING count(*) > 1"""
 
 
-def _lsh_pairs_cte(d: str, prefix: str = "dd") -> str:
-    """The banded-LSH candidate-pair CTE chain (band buckets → cap-64
-    hot-bucket guard → distinct a<b pairs) — the SINGLE home of the
-    banding spec, parametrized by CTE prefix so every consumer
-    (near-dup jaccard verify, containment scoring) shares it. Band
-    count and cap come from the operators module constants (change
-    both sides never one)."""
-    from .operators.dedup import BAND_SIZE, MAX_BUCKET, NUM_HASHES
+def _bands_select(d: str) -> str:
+    """One (doc_id, band, bucket) row per signature band FROM dd_sig —
+    the banding spec's SINGLE SQL home (mirror of dedup._band_rows),
+    shared by the self-join pair chain and the incremental cross-corpus
+    path."""
+    from .operators.dedup import BAND_SIZE, NUM_HASHES
 
     n_bands = NUM_HASHES // BAND_SIZE
     cast_slice = lambda b: G.ltransform(  # noqa: E731
@@ -837,14 +835,25 @@ def _lsh_pairs_cte(d: str, prefix: str = "dd") -> str:
         f"x -> {G.cast_str('x', d)}",
         d,
     )
-    bands = "\n  UNION ALL\n".join(
+    return "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band,"
         f" md5({G.array_join(cast_slice(b), chr(39) + '|' + chr(39), d)}) AS bucket"
         f" FROM dd_sig"
         for b in range(n_bands)
     )
+
+
+def _lsh_pairs_cte(d: str, prefix: str = "dd") -> str:
+    """The banded-LSH candidate-pair CTE chain (band buckets → cap-64
+    hot-bucket guard → distinct a<b pairs) — the SINGLE home of the
+    banding spec, parametrized by CTE prefix so every consumer
+    (near-dup jaccard verify, containment scoring) shares it. Band
+    count and cap come from the operators module constants (change
+    both sides never one)."""
+    from .operators.dedup import MAX_BUCKET
+
     return f"""{prefix}_bands AS (
-{bands}
+{_bands_select(d)}
 ),
 {prefix}_small AS (
   SELECT band, bucket FROM {prefix}_bands
@@ -909,6 +918,91 @@ FROM cc_reach GROUP BY node"""
 def dedup_clusters_sql(d: str, docs: str = "documents", threshold: float = 0.5) -> str:
     """Cluster formation over the verified MinHash-LSH near-dup pairs."""
     return _cc_closure_sql(near_dup_pairs_sql(d, docs, threshold))
+
+
+def incremental_dedup_sql(
+    d: str, docs: str = "documents", threshold: float = 0.5,
+    old_max_bucket: int = 7,
+) -> str:
+    """Mirror of the incremental_dedup query: old corpus = md5-buckets
+    0..6, new crawl = buckets 7..9; per new doc the exact-hash verdict
+    (min old holder) → verified best near-dup ≥ threshold → 'new'.
+    (h, shingles, sig) are computed ONCE over all docs and split by the
+    bucket predicate, exactly like the operator's two with_minhash
+    branches over disjoint row subsets."""
+    from .operators.dedup import MAX_BUCKET
+
+    b = f"({G.hexint(G.cast_str('doc_id', d), d)}) % 10"
+    ws = G.replace_all("text", r"[ \t\n\x0B\f\r]+", "", d)
+    h = f"md5(lower({ws}))"
+    if d == SPARK:
+        inter = "size(array_intersect(sn.sh, so.sh))"
+        uni = "size(array_union(sn.sh, so.sh))"
+    else:
+        inter = "len(list_intersect(sn.sh, so.sh))"
+        uni = "len(list_distinct(list_concat(sn.sh, so.sh)))"
+    j = f"CAST({inter} AS DOUBLE) / CAST({uni} AS DOUBLE)"
+    return f"""WITH {dedup_cte(d, docs)},
+ii_b AS (SELECT doc_id, {b} AS b FROM {docs}),
+ii_h AS (SELECT doc_id, {h} AS h FROM {docs}),
+ii_oe AS (
+  SELECT hh.h, min(hh.doc_id) AS exact_dup_of
+  FROM ii_h hh JOIN ii_b bb ON hh.doc_id = bb.doc_id
+  WHERE bb.b < {old_max_bucket} GROUP BY hh.h
+),
+ii_nh AS (
+  SELECT hh.doc_id, hh.h
+  FROM ii_h hh JOIN ii_b bb ON hh.doc_id = bb.doc_id
+  WHERE bb.b >= {old_max_bucket}
+),
+ii_x AS (
+  SELECT n.doc_id, e.exact_dup_of
+  FROM ii_nh n LEFT JOIN ii_oe e ON n.h = e.h
+),
+ii_bands AS (
+{_bands_select(d)}
+),
+ii_ob AS (
+  SELECT x.doc_id AS o_id, x.band, x.bucket
+  FROM ii_bands x JOIN ii_b bb ON x.doc_id = bb.doc_id
+  WHERE bb.b < {old_max_bucket}
+),
+ii_nb AS (
+  SELECT x.doc_id AS n_id, x.band, x.bucket
+  FROM ii_bands x JOIN ii_b bb ON x.doc_id = bb.doc_id
+  WHERE bb.b >= {old_max_bucket}
+),
+ii_small AS (
+  SELECT band, bucket FROM ii_ob
+  GROUP BY band, bucket HAVING count(*) <= {MAX_BUCKET}
+),
+ii_obs AS (
+  SELECT o.* FROM ii_ob o JOIN ii_small s
+    ON o.band = s.band AND o.bucket = s.bucket
+),
+ii_c AS (
+  SELECT DISTINCT n.n_id, o.o_id
+  FROM ii_nb n JOIN ii_obs o ON n.band = o.band AND n.bucket = o.bucket
+),
+ii_v AS (
+  SELECT c.n_id, c.o_id, {j} AS jacc
+  FROM ii_c c
+  JOIN dd_sh sn ON sn.doc_id = c.n_id
+  JOIN dd_sh so ON so.doc_id = c.o_id
+  WHERE {j} >= {threshold}
+),
+ii_bj AS (SELECT n_id, max(jacc) AS near_jaccard FROM ii_v GROUP BY n_id),
+ii_best AS (
+  SELECT v.n_id AS doc_id, bj.near_jaccard, min(v.o_id) AS near_dup_of
+  FROM ii_v v JOIN ii_bj bj
+    ON v.n_id = bj.n_id AND v.jacc = bj.near_jaccard
+  GROUP BY v.n_id, bj.near_jaccard
+)
+SELECT x.doc_id, x.exact_dup_of, nb.near_dup_of, nb.near_jaccard,
+       CASE WHEN x.exact_dup_of IS NOT NULL THEN 'exact_dup'
+            WHEN nb.near_dup_of IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM ii_x x LEFT JOIN ii_best nb ON x.doc_id = nb.doc_id"""
 
 
 def minhash_calibration_sql(d: str, docs: str = "documents") -> str:

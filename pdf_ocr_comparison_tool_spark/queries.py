@@ -901,6 +901,22 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keep_best_in_cluster(clusters, scores)
 
 
+@register("incremental_dedup", oracle=O.incremental_dedup_sql(G.DUCK))
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a deterministic 30% 'new crawl' slice
+    verdict-checked against the 70% 'existing corpus' slice — exact
+    hash → verified cross-corpus LSH near-dup → new; the production
+    shape of landing a crawl against a 10¹²-doc corpus."""
+    from .operators.features import hash_bucket
+
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    b = hash_bucket(F.col("doc_id"), 10)
+    old = docs.filter(b < 7).select("doc_id", "text")
+    new = docs.filter(b >= 7).select("doc_id", "text")
+    return dedup.incremental_dedup(old, new)
+
+
 @register("minhash_calibration", oracle=O.minhash_calibration_sql(G.DUCK))
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality calibration: per LSH candidate pair, the MinHash
@@ -1604,6 +1620,7 @@ _QUERY_ORDER = [
     "dup_cluster_stats",
     "pq_recall",
     "events_funnel",
+    "incremental_dedup",
 ]
 
 

@@ -471,3 +471,33 @@ def test_corpus_filter_decontaminate_flag(spark):
             assert r == "contaminated", (d, base[d], r)
         else:
             assert r == base[d]
+
+
+def test_incremental_dedup_semantics(spark):
+    """A verbatim copy of an old doc → exact_dup naming the old holder;
+    a near-copy → near_dup; novel text → new. The old corpus never
+    pairs against itself."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm stone wall near the garden")
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different ancient text about rivers "
+                        "and mountains flowing under the old bridge")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                                   # exact copy
+            (11, base.replace("lazy dog", "sleepy dog")), # near copy
+            (12, "totally novel content nothing shares any shingle "
+                 "with the existing corpus at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(old, new).collect()}
+    assert out[10]["status"] == "exact_dup" and out[10]["exact_dup_of"] == 1
+    assert out[11]["status"] == "near_dup" and out[11]["near_dup_of"] == 1
+    assert 0.5 <= out[11]["near_jaccard"] < 1.0
+    assert out[12]["status"] == "new"
+    assert out[12]["exact_dup_of"] is None and out[12]["near_dup_of"] is None
