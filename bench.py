@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_keep_best",
     "dup_cluster_stats",
     "minhash_calibration",
+    "incremental_dedup",
     "ngram_counts",
     "substring_dup",
     "substring_rewrite",
@@ -78,6 +79,7 @@ HEADLINE = [
     "emb_knn_join",
     "mixture_sample",
     "events_sessions",
+    "events_funnel",
     "lineitem_rollup",
 ]
 

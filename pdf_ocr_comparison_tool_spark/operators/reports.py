@@ -253,3 +253,49 @@ def events_funnel(
         reached.alias("stages_reached"),
         F.col(tcols[-1]).isNotNull().alias("converted"),
     )
+
+
+RETENTION_WEEK_SEC = 604_800  # cohort granularity (7 days)
+
+
+def events_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention — the classic product/engagement rollup: users
+    cohorted by the absolute week of their FIRST event; for each
+    (cohort_week, week_offset), how many cohort members were active
+    and the retained fraction. Week index = epoch DIV 604800 (pure
+    integer arithmetic); retention = one int/int division.
+
+    Scale shape: distinct (user, week) activity rows → per-user min
+    (map-side combinable) → two small groupBys + an equi-join back on
+    the cohort key — no window, no per-user event-stream scan."""
+    epoch = ntz_epoch("ts")
+    weeks = (
+        events.select("user_id", epoch.alias("epoch"))
+        .select(
+            "user_id",
+            F.expr(f"epoch DIV {RETENTION_WEEK_SEC}")
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    w0 = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = weeks.join(w0, "user_id").select(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    sizes = w0.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort").cast("double"))
+        .alias("retention_frac"),
+    )

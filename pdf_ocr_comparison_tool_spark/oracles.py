@@ -680,6 +680,43 @@ FROM fu_u u
 {joins}"""
 
 
+def events_retention_sql(d: str) -> str:
+    """Mirror of reports.events_retention: weekly cohort retention with
+    integer week indexing and one int/int division."""
+    from .operators.reports import RETENTION_WEEK_SEC
+
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    week = P.idiv("epoch", str(RETENTION_WEEK_SEC), d)
+    return f"""WITH rt_e AS (
+  SELECT user_id, {epoch} AS epoch FROM events
+),
+rt_w AS (
+  SELECT DISTINCT user_id, CAST({week} AS BIGINT) AS week FROM rt_e
+),
+rt_0 AS (
+  SELECT user_id, min(week) AS cohort_week FROM rt_w GROUP BY user_id
+),
+rt_a AS (
+  SELECT z.cohort_week, CAST(w.week - z.cohort_week AS BIGINT) AS week_offset,
+         w.user_id
+  FROM rt_w w JOIN rt_0 z ON w.user_id = z.user_id
+),
+rt_s AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM rt_0 GROUP BY cohort_week
+),
+rt_r AS (
+  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM rt_a GROUP BY cohort_week, week_offset
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+       CAST(r.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+         AS retention_frac
+FROM rt_r r JOIN rt_s s ON r.cohort_week = s.cohort_week"""
+
+
 def events_session_window_sql(d: str, gap_sec: int = 1800) -> str:
     """Oracle for Spark's native session_window: sessions merge while
     the NEXT event starts strictly before prev_ts + gap (note: STRICT

@@ -488,6 +488,17 @@ def q_doc_processing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.doc_processing_stats(ex)
 
 
+@register("events_retention", oracle=O.events_retention_sql(G.DUCK))
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event log: users cohorted by
+    first-event week; per (cohort_week, week_offset) the active count
+    + retained fraction — distinct activity rows, per-user min, two
+    combiner-reduced groupBys; no per-user window."""
+    return reports.events_retention(
+        synth.load_table(spark, sf_dir, "events")
+    )
+
+
 @register("events_funnel", oracle=O.events_funnel_sql(G.DUCK))
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order conversion funnel (view → click → purchase): per
@@ -1621,6 +1632,7 @@ _QUERY_ORDER = [
     "pq_recall",
     "events_funnel",
     "incremental_dedup",
+    "events_retention",
 ]
 
 

@@ -209,3 +209,80 @@ def streaming_first_seen_dedup(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------- incremental admission
+INC_OUTPUT_SCHEMA = (
+    "doc_id long, text_hash string, exact_dup_of long, status string"
+)
+INC_STATE_SCHEMA = "admitted long"
+
+
+def _inc_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (h,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    keeper = state.get[0] if state.exists else None
+    statuses = []
+    for _, r in rows.iterrows():
+        if pd.notna(r["exact_dup_of"]):
+            statuses.append("exact_dup")
+        elif keeper is not None:
+            statuses.append("in_stream_dup")
+        else:
+            keeper = int(r["doc_id"])
+            statuses.append("new")
+    if keeper is not None:
+        state.update((keeper,))
+    yield pd.DataFrame(
+        {
+            "doc_id": rows["doc_id"].astype("int64"),
+            "text_hash": h,
+            "exact_dup_of": rows["exact_dup_of"].astype("Int64"),
+            "status": statuses,
+        }
+    )
+
+
+def streaming_incremental_dedup(
+    new_stream: DataFrame, old_corpus: DataFrame
+) -> DataFrame:
+    """Streaming twin of the incremental-ingest exact stage: each
+    arriving doc is checked against the STATIC existing corpus via a
+    stream-static LEFT equi-join on the 128-bit content hash (the
+    static side is a normal batch relation joined per micro-batch —
+    pre-reduced to one row per hash, so a boilerplate hash never fans
+    out), and against everything already admitted in THIS run via
+    per-hash state (first-seen keeps the smallest doc_id, batch-global
+    across chunks like _dedup_update). Emits one verdict row per
+    arriving doc: exact_dup (of the old corpus) / in_stream_dup / new.
+
+    The LSH near-dup stage stays batch-side by design: a streaming
+    near-dup verdict would need the candidate bucket join against
+    per-bucket state — the batch incremental_dedup covers it; real
+    ingest pipelines run exact admission online and near-dup sweeps
+    in the nightly batch."""
+    from ..operators.features import text_hash
+
+    oldh = (
+        old_corpus.select(
+            text_hash(F.col("text")).alias("text_hash"),
+            F.col("doc_id").alias("o_id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("o_id").alias("exact_dup_of"))
+    )
+    s = new_stream.select(
+        "doc_id", text_hash(F.col("text")).alias("text_hash")
+    )
+    joined = s.join(oldh, "text_hash", "left")
+    return joined.groupBy("text_hash").applyInPandasWithState(
+        _inc_update,
+        outputStructType=INC_OUTPUT_SCHEMA,
+        stateStructType=INC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -274,3 +274,25 @@ def test_r5_late_ops_plan_shapes(spark):
     emb = synth.load_table(spark, SF_DIR, "embeddings")
     ar_plan = _plan(SS.ann_recall(emb))
     assert "CartesianProduct" not in ar_plan
+
+
+def test_incremental_and_funnel_plan_shapes(spark):
+    """incremental_dedup must stay cross-corpus equi-join shaped (no
+    cartesian, no window — best match is groupBy-max + arg-min);
+    events_funnel must never window over a user's event stream;
+    minhash_calibration inherits the guarded bucket equi-join."""
+    from pdf_ocr_comparison_tool_spark.operators import dedup, reports
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    ip = _plan(dedup.incremental_dedup(old, new))
+    assert "CartesianProduct" not in ip
+    assert "Window [" not in ip, "incremental_dedup must not window"
+    events = synth.load_table(spark, SF_DIR, "events")
+    fp = _plan(reports.events_funnel(events))
+    assert "CartesianProduct" not in fp
+    assert "Window [" not in fp, "events_funnel must not window"
+    cp = _plan(dedup.minhash_calibration(docs))
+    assert "CartesianProduct" not in cp
+    assert "Window [" not in cp

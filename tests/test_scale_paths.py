@@ -381,3 +381,66 @@ def test_streaming_quality_model_stage_matches_batch(spark):
     assert got == batch
     assert got[2] == "model_low_quality" and got[1] is None
     assert got[3] == "too_short"
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """The stream-static incremental admission (exact stage) emits the
+    batch verdict exactly when ingestion order follows doc_id: copies
+    of old-corpus docs → exact_dup naming the old holder; in-stream
+    repeats → in_stream_dup (first copy admitted, incl. across
+    triggers); novel docs → new."""
+    import os
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark.operators.features import text_hash
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    old_rows = [(1, "old text alpha"), (2, "old text beta")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    rows1 = [
+        (10, "old text alpha"),   # exact dup of old 1
+        (11, "fresh text one"),   # new
+        (12, "fresh text one"),   # in-stream dup of 11
+    ]
+    rows2 = [
+        (13, "fresh text one"),   # in-stream dup ACROSS triggers
+        (14, "old text beta"),    # exact dup of old 2
+        (15, "fresh text two"),   # new
+    ]
+    with tempfile.TemporaryDirectory() as tdir:
+        for j, rows in ((1, rows1), (2, rows2)):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{tdir}/f{j}")
+            for root, _, files in os.walk(f"{tdir}/f{j}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (j * 1000, j * 1000))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tdir}/f*")
+        )
+        out = stateful.streaming_incremental_dedup(stream, old)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_inc")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["doc_id"]: (r["status"], r["exact_dup_of"])
+            for r in spark.sql("SELECT * FROM stream_inc").collect()
+        }
+    assert got == {
+        10: ("exact_dup", 1),
+        11: ("new", None),
+        12: ("in_stream_dup", None),
+        13: ("in_stream_dup", None),
+        14: ("exact_dup", 2),
+        15: ("new", None),
+    }
