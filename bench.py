@@ -80,6 +80,7 @@ HEADLINE = [
     "mixture_sample",
     "events_sessions",
     "events_funnel",
+    "events_retention",
     "lineitem_rollup",
 ]
 

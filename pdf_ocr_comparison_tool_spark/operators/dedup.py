@@ -643,11 +643,31 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def old_corpus_hashes(old: DataFrame, hash_col: str = "h") -> DataFrame:
+    """Pre-reduce an existing corpus to one row per distinct content
+    hash with the smallest holding doc_id (`exact_dup_of`) — the
+    exact-admission dimension shared by batch ``incremental_dedup``
+    and its streaming twin (streaming/stateful.py). One home so a
+    change to exact-stage semantics (hash normalization, tie-break)
+    can't drift between the two."""
+    from .features import text_hash
+
+    return (
+        old.select(
+            text_hash(F.col("text")).alias(hash_col),
+            F.col("doc_id").alias("o_id"),
+        )
+        .groupBy(hash_col)
+        .agg(F.min("o_id").alias("exact_dup_of"))
+    )
+
+
 def incremental_dedup(
     old: DataFrame,
     new: DataFrame,
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup — the production shape of 'a new crawl
     lands against a 10¹²-doc existing corpus': verdict for every NEW
@@ -663,23 +683,23 @@ def incremental_dedup(
     fan out) and equi-joins on the 128-bit hash; near-dup candidates
     come from a band-bucket equi-join of new×old signatures with the
     hot-bucket guard applied to the OLD (unbounded) side; the best
-    match per new doc is groupBy-max + arg-min join, never a window."""
+    match per new doc is groupBy-max + arg-min join, never a window.
+    Each side's tokenize+shingle+minhash build is cached because two
+    branches read it (banding, and its side of the Jaccard verify);
+    pass ``cache_registry`` to own the unpersist (the corpus_filter
+    contract), else the frames stay cached for the session."""
     from .features import text_hash
 
-    oldh = (
-        old.select(
-            text_hash(F.col("text")).alias("h"),
-            F.col("doc_id").alias("o_id"),
-        )
-        .groupBy("h")
-        .agg(F.min("o_id").alias("exact_dup_of"))
-    )
+    oldh = old_corpus_hashes(old)
     exact = new.select(
         "doc_id", text_hash(F.col("text")).alias("h")
     ).join(oldh, "h", "left").select("doc_id", "exact_dup_of")
 
-    osig = with_minhash(old)
-    nsig = with_minhash(new)
+    osig = with_minhash(old).cache()
+    nsig = with_minhash(new).cache()
+    if cache_registry is not None:
+        cache_registry.append(osig)
+        cache_registry.append(nsig)
     ob = _band_rows(osig).select(
         F.col("doc_id").alias("o_id"), "band", "bucket"
     )

@@ -230,19 +230,24 @@ def events_funnel(
     )
     out = e.select("user_id").distinct()
     prev = None
+    prev_t = None  # previous stage's (user_id, t_prev) aggregate
     tcols = []
     for s in stages:
         se = e.filter(F.col("et") == s)
-        if prev is not None:
-            se = se.join(
-                out.filter(F.col(prev).isNotNull()).select("user_id", prev),
-                "user_id",
-            ).filter(F.col("epoch") > F.col(prev))
+        if prev_t is not None:
+            # join the previous stage's AGGREGATE (exactly the users
+            # that completed it), not the accumulated left-join tree:
+            # keeps the plan linear in the number of stages instead of
+            # re-evaluating the whole uncached join prefix per stage
+            se = se.join(prev_t, "user_id").filter(
+                F.col("epoch") > F.col(prev)
+            )
         t = se.groupBy("user_id").agg(
             F.min("epoch").cast("long").alias(f"t_{s}")
         )
         out = out.join(t, "user_id", "left")
         prev = f"t_{s}"
+        prev_t = t
         tcols.append(prev)
     reached = sum(
         (F.col(c).isNotNull().cast("int") for c in tcols), F.lit(0)

@@ -1519,6 +1519,9 @@ _QUERY_ORDER = [
     "match_two_band",
     "quality_score",
     "checkpoint_parts",
+    "incremental_dedup",
+    "events_funnel",
+    "events_retention",
     # rotated back in (r3-green tail of round 4)
     "dedup_winnow_clusters",
     "dedup_simhash_clusters",
@@ -1550,16 +1553,23 @@ _QUERY_ORDER = [
     "ann_lsh_search",
     "ann_ivf_search",
     "emb_near_dups",
-    # touched this round (CC loop, loader rebalance, corpus_filter
-    # flag, _pack_tape refactor; emb_dup_clusters' CC path re-proves
-    # via dedup_clusters and rides the tail this round)
+    # touched this round (CC loop + relational-argmax rewrites — their
+    # r4 rows reflect pre-rewrite code, so they MUST re-verify;
+    # emb_dup_clusters' CC path re-proves via dedup_clusters and rides
+    # the tail this round)
     "dedup_clusters",
     "text_repetition",
+    # ---- tail: displaced to make room for the three newest
+    # never-verified queries above (corpus_filter's new stages are
+    # opt-in flags — the registered query path is byte-identical to its
+    # r4-green row; seq_packing's _pack_tape refactor re-proves via
+    # interleaved_packing in the head; extract_fulltext's whitespace
+    # surface re-proves via the local type-strict parity gate and the
+    # driver's entry() smoke on extract_spans) ----
     "corpus_filter",
     "seq_packing",
-    # extraction regex surface touched by the whitespace-class sweep
     "extract_fulltext",
-    # ---- tail: stable rows verified green in round 4 (extract_spans
+    # ---- stable rows verified green in round 4 (extract_spans
     # additionally re-proves every round via the driver's entry()
     # smoke; extract_grounded displaced to the tail-top by bpe_encode —
     # its official row is r4-green and the sweep-touched regex surface
@@ -1614,8 +1624,8 @@ _QUERY_ORDER = [
     "dedup_simhash_pairs",
     "ann_pq_search",
     # new post-window this round: the r5 driver head was already full
-    # (50 = 15 first-green + 30 rotation-due + 5 touched), so these
-    # (through ann_recall) carry the local type-strict parity gate
+    # (50 = 18 first-green + 30 rotation-due + 2 rewrite-touched), so
+    # these (through pq_recall) carry the local type-strict parity gate
     # this round and rotate into the r6 head for their first driver row
     "lm_buckets",
     "bpe_vocab",
@@ -1630,9 +1640,6 @@ _QUERY_ORDER = [
     "minhash_calibration",
     "dup_cluster_stats",
     "pq_recall",
-    "events_funnel",
-    "incremental_dedup",
-    "events_retention",
 ]
 
 

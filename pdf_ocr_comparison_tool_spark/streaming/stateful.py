@@ -224,7 +224,10 @@ def _inc_update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (h,) = key
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:  # unreachable with NoTimeout, but stay empty-safe
+        return
+    rows = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
     keeper = state.get[0] if state.exists else None
     statuses = []
     for _, r in rows.iterrows():
@@ -265,16 +268,10 @@ def streaming_incremental_dedup(
     per-bucket state — the batch incremental_dedup covers it; real
     ingest pipelines run exact admission online and near-dup sweeps
     in the nightly batch."""
+    from ..operators.dedup import old_corpus_hashes
     from ..operators.features import text_hash
 
-    oldh = (
-        old_corpus.select(
-            text_hash(F.col("text")).alias("text_hash"),
-            F.col("doc_id").alias("o_id"),
-        )
-        .groupBy("text_hash")
-        .agg(F.min("o_id").alias("exact_dup_of"))
-    )
+    oldh = old_corpus_hashes(old_corpus, hash_col="text_hash")
     s = new_stream.select(
         "doc_id", text_hash(F.col("text")).alias("text_hash")
     )
