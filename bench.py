@@ -77,6 +77,7 @@ HEADLINE = [
     "ann_kmeans_fit",
     "ann_pq_fit",
     "emb_knn_join",
+    "emb_semdedup",
     "mixture_sample",
     "events_sessions",
     "events_funnel",

@@ -742,3 +742,87 @@ def pq_recall(
         "q_id", "c_id"
     )
     return _recall_against(truth, approx, k)
+
+
+# ------------------------------------------------------- semantic dedup
+SEMDEDUP_THRESHOLD = 0.35  # cosine edge threshold (shared with oracle)
+SEMDEDUP_MAX_CELL = 4096  # hot-cell pair-gen guard (shared with oracle)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = IVF_N_CENTROIDS,
+    centroids: DataFrame | None = None,
+    max_cell: int = SEMDEDUP_MAX_CELL,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): the
+    corpus is coarse-clustered by the k-means quantizer, candidate
+    pairs form ONLY within a cell (a centroid_id equi-join — never
+    all-pairs, and data-adaptive where the LSH route is random), edges
+    are exact cosine >= threshold, components come from the shared CC
+    operator, and within each dup cluster the KEPT member is the one
+    FARTHEST from its centroid (the paper's low-centroid-similarity
+    keep policy, which preserves the cluster's most atypical example;
+    tie -> smallest vec_id). Emits one row per vector that appears in
+    any dup cluster: (vec_id, centroid_id, cluster_id, dist, keep).
+
+    Scale shape: at 10^12 vectors the quantizer is trained with k large
+    enough that cells stay bounded (k ~ n/10k); ``max_cell`` drops
+    oversized cells from PAIR GEN only, so a degenerate centroid can't
+    detonate the in-cell self-join. The assignment frame is cached
+    because four branches read it (cell sizes, both pair sides, the
+    keep-policy join-back); pass ``cache_registry`` to own the
+    unpersist (the corpus_filter contract)."""
+    from .dedup import connected_components
+
+    assign = ivf_assign(embeddings, n_centroids, centroids).cache()
+    if cache_registry is not None:
+        cache_registry.append(assign)
+    ok = (
+        assign.groupBy("centroid_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_cell)
+        .select("centroid_id")
+    )
+    asg = assign.join(ok, "centroid_id").select("vec_id", "centroid_id")
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
+    )
+    x = asg.join(norms, "vec_id").select(
+        F.col("vec_id").alias("a"), "centroid_id",
+        F.col("embedding").alias("av"), F.col("nsq").alias("a_nsq"),
+    )
+    y = asg.join(norms, "vec_id").select(
+        F.col("vec_id").alias("b"), "centroid_id",
+        F.col("embedding").alias("bv"), F.col("nsq").alias("b_nsq"),
+    )
+    sim = _dot("av", "bv").cast("double") / (
+        F.sqrt(F.col("a_nsq").cast("double"))
+        * F.sqrt(F.col("b_nsq").cast("double"))
+    )
+    pairs = (
+        x.join(y, "centroid_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    memb = (
+        connected_components(pairs.select("a", "b"))
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        .join(assign, "vec_id")
+    )
+    # keep = arg-max dist per cluster (tie -> min vec_id): groupBy-max
+    # + arg-min join-back, never a window (the match_best pattern)
+    mx = memb.groupBy("cluster_id").agg(F.max("dist").alias("_mx"))
+    keeper = (
+        memb.join(mx, "cluster_id")
+        .filter(F.col("dist") == F.col("_mx"))
+        .groupBy("cluster_id")
+        .agg(F.min("vec_id").alias("_keep_id"))
+    )
+    return memb.join(keeper, "cluster_id").select(
+        "vec_id", "centroid_id", "cluster_id", "dist",
+        (F.col("vec_id") == F.col("_keep_id")).alias("keep"),
+    )

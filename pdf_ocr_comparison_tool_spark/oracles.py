@@ -1126,6 +1126,72 @@ def emb_dup_clusters_sql(d: str, threshold: float = 0.35) -> str:
     return _cc_closure_sql(lsh_near_dups_sql(d, threshold), id_alias="vec_id")
 
 
+def semdedup_sql(
+    d: str,
+    threshold: float | None = None,
+    n_centroids: int | None = None,
+    max_cell: int | None = None,
+) -> str:
+    """Mirror of operators.similarity_search.semdedup: k-means-cell
+    bucketed cosine pairs → CC clusters → keep the member farthest
+    from its centroid (tie → min vec_id)."""
+    from .operators.similarity_search import (
+        IVF_N_CENTROIDS,
+        SEMDEDUP_MAX_CELL,
+        SEMDEDUP_THRESHOLD,
+    )
+
+    threshold = SEMDEDUP_THRESHOLD if threshold is None else threshold
+    n_centroids = IVF_N_CENTROIDS if n_centroids is None else n_centroids
+    max_cell = SEMDEDUP_MAX_CELL if max_cell is None else max_cell
+    sim = (
+        f"CAST({_dot_sql('x.av', 'y.bv', d)} AS DOUBLE)"
+        f" / (sqrt(CAST(x.a_nsq AS DOUBLE)) * sqrt(CAST(y.b_nsq AS DOUBLE)))"
+    )
+    pairs = f"""WITH sd_a AS ({ivf_assign_sql(d, n_centroids)}),
+sd_ok AS (
+  SELECT centroid_id FROM sd_a GROUP BY centroid_id
+  HAVING count(*) <= {max_cell}
+),
+sd_g AS (
+  SELECT a.vec_id, a.centroid_id
+  FROM sd_a a JOIN sd_ok o ON a.centroid_id = o.centroid_id
+),
+sd_n AS (
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq
+  FROM embeddings
+),
+sd_x AS (
+  SELECT g.vec_id AS a, g.centroid_id, n.embedding AS av, n.nsq AS a_nsq
+  FROM sd_g g JOIN sd_n n ON g.vec_id = n.vec_id
+),
+sd_y AS (
+  SELECT g.vec_id AS b, g.centroid_id, n.embedding AS bv, n.nsq AS b_nsq
+  FROM sd_g g JOIN sd_n n ON g.vec_id = n.vec_id
+),
+sd_s AS (
+  SELECT x.a, y.b, {sim} AS sim
+  FROM sd_x x JOIN sd_y y ON x.centroid_id = y.centroid_id AND x.a < y.b
+)
+SELECT a, b FROM sd_s WHERE sim >= {threshold}"""
+    cc = _cc_closure_sql(pairs, id_alias="vec_id")
+    return f"""WITH sd_cc AS ({cc}),
+sd_asg AS ({ivf_assign_sql(d, n_centroids)}),
+sd_m AS (
+  SELECT c.vec_id, a.centroid_id, c.cluster_id, a.dist
+  FROM sd_cc c JOIN sd_asg a ON c.vec_id = a.vec_id
+),
+sd_mx AS (SELECT cluster_id, max(dist) AS mx FROM sd_m GROUP BY cluster_id),
+sd_k AS (
+  SELECT m.cluster_id, min(m.vec_id) AS keep_id
+  FROM sd_m m JOIN sd_mx xx ON m.cluster_id = xx.cluster_id AND m.dist = xx.mx
+  GROUP BY m.cluster_id
+)
+SELECT m.vec_id, m.centroid_id, m.cluster_id, m.dist,
+       (m.vec_id = k.keep_id) AS keep
+FROM sd_m m JOIN sd_k k ON m.cluster_id = k.cluster_id"""
+
+
 def winnow_sql(d: str, docs: str = "documents", w: int = 4) -> str:
     """Mirror of operators.dedup.winnow_fingerprints (MOSS winnowing:
     positional 3-gram hashes → min per sliding window of w → dedupe)."""

@@ -1197,6 +1197,18 @@ def q_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_search.lsh_near_dups(emb)
 
 
+@register("emb_semdedup", oracle=O.semdedup_sql(G.DUCK))
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cell
+    bucketed cosine pairs (data-adaptive where the LSH route is
+    random) → CC clusters → keep the member FARTHEST from its centroid
+    — the paper's low-centroid-similarity keep policy, vs the min-id
+    keep of emb_dup_clusters and the quality-argmax of
+    dedup_keep_best."""
+    emb = synth.load_table(spark, sf_dir, "embeddings")
+    return similarity_search.semdedup(emb)
+
+
 @register("emb_dup_clusters", oracle=O.emb_dup_clusters_sql(G.DUCK))
 def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster formation on the embedding modality: connected
@@ -1640,6 +1652,7 @@ _QUERY_ORDER = [
     "minhash_calibration",
     "dup_cluster_stats",
     "pq_recall",
+    "emb_semdedup",
 ]
 
 

@@ -296,3 +296,21 @@ def test_incremental_and_funnel_plan_shapes(spark):
     cp = _plan(dedup.minhash_calibration(docs))
     assert "CartesianProduct" not in cp
     assert "Window [" not in cp
+
+
+def test_semdedup_plan_shape(spark):
+    """semdedup's pair generation must be the centroid_id equi-join
+    (bucketed, never all-pairs): no CartesianProduct anywhere — the
+    only nested loop is ivf_assign's broadcast against the k-row
+    centroid table — and the keep policy is groupBy-max + arg-min
+    join-back, so the only window is ivf_assign's own per-vector
+    argmin (partition key = the row's own vec_id)."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    p = _plan(SS.semdedup(emb))
+    assert "CartesianProduct" not in p
+    # windows: every Window node must partition by vec_id (ivf_assign)
+    for line in p.splitlines():
+        if "Window [" in line:
+            assert "vec_id" in line, line

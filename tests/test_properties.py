@@ -631,3 +631,29 @@ def test_pq_recall_bounds_and_floor(spark):
         assert r["n_hits"] <= r["k"]
     mean = sum(r["recall"] for r in rows) / len(rows)
     assert mean >= 0.15, f"PQ mean recall collapsed: {mean}"
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup keep policy: exactly one keeper per cluster; the keeper
+    holds the cluster-max centroid distance (tie → min vec_id); and a
+    cluster never crosses a cell (pairs form within cells only)."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as ss
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    rows = ss.semdedup(emb).collect()
+    assert rows, "fixture must produce at least one dup cluster"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) >= 2, "a cluster is at least one pair"
+        assert len({m["centroid_id"] for m in members}) == 1, (
+            f"cluster {cid} crosses cells"
+        )
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, f"cluster {cid}: {len(keepers)} keepers"
+        mx = max(m["dist"] for m in members)
+        argmax = min(m["vec_id"] for m in members if m["dist"] == mx)
+        assert keepers[0]["vec_id"] == argmax
