@@ -78,6 +78,7 @@ HEADLINE = [
     "ann_pq_fit",
     "emb_knn_join",
     "emb_semdedup",
+    "knn_label_noise",
     "mixture_sample",
     "events_sessions",
     "events_funnel",

@@ -826,3 +826,63 @@ def semdedup(
         "vec_id", "centroid_id", "cluster_id", "dist",
         (F.col("vec_id") == F.col("_keep_id")).alias("keep"),
     )
+
+
+def knn_label_noise(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    bits: int = LSH_SEARCH_BITS,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Confident-learning-style label-noise detection (Northcutt et
+    al., public): each labeled vector's k approximate nearest
+    neighbors vote; a row whose neighbor-majority label disagrees with
+    its own label is flagged ``suspect`` — the kNN screen curation
+    pipelines run before training on a labeled corpus. Ties in the
+    majority break to the smallest label id (arg-min join-back, the
+    match_best pattern — no window beyond knn_join's own self-keyed
+    top-k). Emits one row per vector that has any in-bucket neighbor:
+    (vec_id, label, n_nbrs, n_same, nbr_majority, suspect).
+
+    Scale shape: rides :func:`knn_join`'s LSH bucket equi-join
+    (hot-bucket guarded, never all-pairs); everything after is
+    map-side-combinable groupBys on (vec_id, label) + equi-joins
+    against the narrow (vec_id, label) projection."""
+    nn = knn_join(embeddings, k, bits, max_bucket).select("vec_id", "nbr_id")
+    own = embeddings.select("vec_id", "label")
+    nbr = embeddings.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+    )
+    votes = (
+        nn.join(nbr, "nbr_id")
+        .groupBy("vec_id", "nbr_label")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = votes.groupBy("vec_id").agg(
+        F.sum("n").alias("n_nbrs"), F.max("n").alias("_mx")
+    )
+    maj = (
+        votes.join(tot, "vec_id")
+        .filter(F.col("n") == F.col("_mx"))
+        .groupBy("vec_id", "n_nbrs")
+        .agg(F.min("nbr_label").alias("nbr_majority"))
+    )
+    same = (
+        votes.join(own, "vec_id")
+        .filter(F.col("nbr_label") == F.col("label"))
+        .select("vec_id", F.col("n").alias("n_same"))
+    )
+    return (
+        own.join(maj, "vec_id")
+        .join(same, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("n_nbrs").cast("long").alias("n_nbrs"),
+            F.coalesce(F.col("n_same"), F.lit(0).cast("long"))
+            .cast("long")
+            .alias("n_same"),
+            "nbr_majority",
+            (F.col("nbr_majority") != F.col("label")).alias("suspect"),
+        )
+    )

@@ -3015,6 +3015,39 @@ SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, sim
 FROM kj_r WHERE rank <= {k}"""
 
 
+def knn_label_noise_sql(
+    d: str, k: int = 3, bits: int = 8, max_bucket: int = 256
+) -> str:
+    """Mirror of similarity_search.knn_label_noise: kNN neighbor-label
+    votes -> majority (tie -> min label) vs own label."""
+    return f"""WITH kn_nn AS ({knn_join_sql(d, k, bits, max_bucket)}),
+kn_v AS (
+  SELECT n.vec_id, e.label AS nbr_label, count(*) AS n
+  FROM kn_nn n JOIN embeddings e ON n.nbr_id = e.vec_id
+  GROUP BY n.vec_id, e.label
+),
+kn_t AS (
+  SELECT vec_id, CAST(sum(n) AS BIGINT) AS n_nbrs, max(n) AS mx
+  FROM kn_v GROUP BY vec_id
+),
+kn_m AS (
+  SELECT v.vec_id, t.n_nbrs, min(v.nbr_label) AS nbr_majority
+  FROM kn_v v JOIN kn_t t ON v.vec_id = t.vec_id AND v.n = t.mx
+  GROUP BY v.vec_id, t.n_nbrs
+),
+kn_s AS (
+  SELECT v.vec_id, CAST(v.n AS BIGINT) AS n_same
+  FROM kn_v v JOIN embeddings e ON v.vec_id = e.vec_id AND v.nbr_label = e.label
+)
+SELECT e.vec_id, e.label, m.n_nbrs,
+       COALESCE(s.n_same, CAST(0 AS BIGINT)) AS n_same,
+       m.nbr_majority,
+       (m.nbr_majority <> e.label) AS suspect
+FROM embeddings e
+JOIN kn_m m ON e.vec_id = m.vec_id
+LEFT JOIN kn_s s ON e.vec_id = s.vec_id"""
+
+
 def corpus_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.corpus_filter: the composed C4/
     Gopher-style corpus admission verdict. Each stage's SQL is the

@@ -1363,6 +1363,17 @@ def q_emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_search.knn_join(synth.load_table(spark, sf_dir, "embeddings"))
 
 
+@register("knn_label_noise", oracle=O.knn_label_noise_sql(G.DUCK))
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning-style label-noise screen: each labeled
+    vector's approximate kNN neighbors vote; suspect = neighbor
+    majority (tie → min label) disagrees with the row's own label —
+    the curation pass run before training on a labeled corpus."""
+    return similarity_search.knn_label_noise(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("source_cap_sample", oracle=O.source_cap_sample_sql(G.DUCK))
 def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (per-domain downsampling): deterministic
@@ -1653,6 +1664,7 @@ _QUERY_ORDER = [
     "dup_cluster_stats",
     "pq_recall",
     "emb_semdedup",
+    "knn_label_noise",
 ]
 
 

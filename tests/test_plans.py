@@ -314,3 +314,17 @@ def test_semdedup_plan_shape(spark):
     for line in p.splitlines():
         if "Window [" in line:
             assert "vec_id" in line, line
+
+
+def test_knn_label_noise_plan_shape(spark):
+    """The label-vote stage must add only groupBys + equi-joins on top
+    of knn_join: no CartesianProduct, and no window beyond knn_join's
+    own self-keyed top-k."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    p = _plan(SS.knn_label_noise(emb))
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "Window [" in line:
+            assert "vec_id" in line, line

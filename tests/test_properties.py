@@ -657,3 +657,29 @@ def test_semdedup_invariants(spark):
         mx = max(m["dist"] for m in members)
         argmax = min(m["vec_id"] for m in members if m["dist"] == mx)
         assert keepers[0]["vec_id"] == argmax
+
+
+def test_knn_label_noise_invariants(spark):
+    """n_same never exceeds n_nbrs; suspect is exactly majority
+    disagreement; the majority label really is a mode of the neighbor
+    votes (recomputed off the knn_join output)."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as ss
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    nbrs: dict[int, list[int]] = {}
+    for r in ss.knn_join(emb).collect():
+        nbrs.setdefault(r["vec_id"], []).append(labels[r["nbr_id"]])
+    out = ss.knn_label_noise(emb).collect()
+    assert out and len(out) == len(nbrs)
+    for r in out:
+        votes = nbrs[r["vec_id"]]
+        assert r["n_nbrs"] == len(votes)
+        assert r["n_same"] == sum(1 for v in votes if v == r["label"])
+        assert 0 <= r["n_same"] <= r["n_nbrs"]
+        top = max(votes.count(v) for v in set(votes))
+        assert votes.count(r["nbr_majority"]) == top
+        assert r["nbr_majority"] == min(v for v in set(votes) if votes.count(v) == top)
+        assert r["suspect"] == (r["nbr_majority"] != r["label"])
