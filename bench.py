@@ -81,6 +81,8 @@ HEADLINE = [
     "knn_label_noise",
     "mixture_sample",
     "events_sessions",
+    "events_asof",
+    "session_errors",
     "events_funnel",
     "events_retention",
     "lineitem_rollup",
@@ -148,6 +150,7 @@ _SCALE_REP_DEFAULTS = {
     "line_dedup": "512",
     "match_best": "4",
     "media_decode": "8",
+    "dedup_clusters": "4096",
 }
 SCALE_REPLICATION = int(
     os.environ.get("SPARK_GRAFT_SCALE_REP")
@@ -217,22 +220,25 @@ def _run_scaling_child(n_executors: str) -> dict:
     # narrow extraction job tracks cores
     shuffle = (
         int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
-        if job in ("line_dedup", "match_best")
+        if job in ("line_dedup", "match_best", "dedup_clusters")
         else total_cores * 4
     )
-    # the shuffling job disables broadcast joins: the replicated corpus
+    # the shuffling jobs disable broadcast joins: the replicated corpus
     # compresses ~REPx, so AQE's compressed-shuffle-size heuristic
     # would broadcast the BIG side of the join-back and OOM the
     # executor on the deserialized hash relation — and a sort-merge
-    # join is precisely the cross-JVM shuffle path this job exists to
+    # join is precisely the cross-JVM shuffle path these jobs exist to
     # measure (real corpora don't compress 256x; production keeps AQE's
-    # choice)
+    # choice). For dedup_clusters the OOM is cumulative: each CC round
+    # re-broadcasts the REPx-compressed label table and the deserialized
+    # relations accumulate on the executor across ~25 rounds (measured:
+    # exit code 52 at REP=4096 on a 3 GiB executor).
     extra = (
         {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         }
-        if job == "line_dedup"
+        if job in ("line_dedup", "dedup_clusters")
         else {}
     )
     spark = get_spark(
@@ -257,6 +263,60 @@ def _run_scaling_child(n_executors: str) -> dict:
         .withColumn("doc_id", F.col("doc_id") * SCALE_REPLICATION + F.col("rep"))
         .drop("rep")
     )
+    if job == "dedup_clusters":
+        # the ITERATIVE counterpart: connected components itself —
+        # per-replica id-shifted copies of the corpus's verified
+        # near-dup edges form disjoint subgraphs with the SAME
+        # component structure, so the round count is fixed while the
+        # per-round label-propagation shuffle scales with volume. The
+        # edge build (signatures → LSH → verify, unreplicated) is
+        # localCheckpointed OUT of the measurement: the job times the
+        # driver-synchronized loop the r4 verdict flagged as
+        # latency-fragile — label joins + pointer jump + Observation
+        # fold + per-round localCheckpoint, across executor JVMs.
+        from pdf_ocr_comparison_tool_spark.operators.dedup import (
+            connected_components,
+            lsh_candidate_pairs,
+            verified_near_dups,
+            with_minhash,
+        )
+
+        withsig = with_minhash(base)
+        pairs = verified_near_dups(
+            withsig, lsh_candidate_pairs(withsig)
+        ).select("a", "b")
+        rep_pairs = (
+            pairs.repartition(shuffle)
+            .withColumn(
+                "rep",
+                F.explode(F.sequence(F.lit(1), F.lit(SCALE_REPLICATION))),
+            )
+            .select(
+                (F.col("a") * SCALE_REPLICATION + F.col("rep")).alias("a"),
+                (F.col("b") * SCALE_REPLICATION + F.col("rep")).alias("b"),
+            )
+            .localCheckpoint()
+        )
+        n_edges = rep_pairs.count()
+
+        def _run_cc() -> None:
+            connected_components(rep_pairs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        _run_cc()  # warm: codegen + JIT
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _run_cc()
+        wall = time.perf_counter() - t0
+        spark.stop()
+        return {
+            "executors": n_exec,
+            "cores_per_executor": 2,
+            "n_docs": n_edges,  # items = replicated edges for this job
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_edges / wall, 1),
+        }
     if job == "line_dedup":
         # the SHUFFLING counterpart of the (shuffle-free) extraction
         # job: segment rows → groupBy(segment) min+count → join back.

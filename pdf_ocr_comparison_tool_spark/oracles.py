@@ -601,14 +601,14 @@ SELECT CASE WHEN doc_id IS NULL THEN '合计' ELSE {G.cast_str('doc_id', d)} END
 FROM ext GROUP BY ROLLUP (doc_id)"""
 
 
-def events_sessions_sql(d: str, gap_sec: int = 1800) -> str:
+def events_sessions_sql(d: str, gap_sec: int = 1800, src: str = "events") -> str:
     epoch = (
         "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
     )
     return f"""WITH es_e AS (
   SELECT user_id, event_id, {epoch} AS epoch,
          CAST(value AS DECIMAL(28,6)) AS value_dec
-  FROM events
+  FROM {src}
 ),
 es_lag AS (
   SELECT *, lag(epoch) OVER (PARTITION BY user_id ORDER BY epoch, event_id) AS pv
@@ -748,6 +748,76 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(value_dec) AS DOUBLE) AS sum_value
 FROM sw_isl GROUP BY user_id, sess"""
+
+
+def events_asof_sql(d: str) -> str:
+    """Mirror of temporal.last_touch_attribution via DuckDB's NATIVE
+    ASOF JOIN (greatest touch epoch <= probe epoch per user) — the one
+    oracle where DuckDB has the operator built in and Spark composes it
+    (union-merge window). DUCK-only: Spark SQL has no ASOF JOIN, which
+    is the point of the operator.
+
+    Touches pre-reduce to one row per (user, second) keeping max
+    event_id (arg_max is deterministic: event_id is unique), so the
+    as-of match is unambiguous under second-granular epochs."""
+    if d == SPARK:
+        raise ValueError("ASOF JOIN is DuckDB-only; Spark side is the operator")
+    from .operators.temporal import ASOF_PROBE_TYPE, ASOF_TOUCH_TYPE
+
+    return f"""WITH ao_e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+  FROM events
+),
+ao_t AS (
+  SELECT user_id, epoch,
+         CAST(max(event_id) AS BIGINT) AS click_id,
+         arg_max(value, event_id) AS click_value
+  FROM ao_e WHERE event_type = '{ASOF_TOUCH_TYPE}'
+  GROUP BY user_id, epoch
+),
+ao_p AS (
+  SELECT user_id, event_id, epoch FROM ao_e
+  WHERE event_type = '{ASOF_PROBE_TYPE}'
+)
+SELECT p.user_id, CAST(p.event_id AS BIGINT) AS event_id,
+       p.epoch AS p_epoch, t.click_id,
+       t.epoch AS click_epoch,
+       CAST(p.epoch - t.epoch AS BIGINT) AS lag_sec,
+       t.click_value
+FROM ao_p p ASOF LEFT JOIN ao_t t
+  ON p.user_id = t.user_id AND p.epoch >= t.epoch"""
+
+
+def session_errors_sql(d: str) -> str:
+    """Mirror of temporal.session_error_attribution: sessions over the
+    non-error activity (nested events_sessions_sql CTE), then a closed
+    point-in-interval containment join of the error events — stated
+    here as the plain inequality join the bucketed Spark plan
+    equi-izes."""
+    ses = events_sessions_sql(
+        d, src="(SELECT * FROM events WHERE event_type <> 'error')"
+    )
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    return f"""WITH se_s AS (
+{ses}
+),
+se_err AS (
+  SELECT user_id, {epoch} AS err_epoch FROM events
+  WHERE event_type = 'error'
+),
+se_cnt AS (
+  SELECT s.user_id, s.session, CAST(count(e.err_epoch) AS BIGINT) AS n_errors
+  FROM se_s s LEFT JOIN se_err e
+    ON e.user_id = s.user_id
+   AND e.err_epoch >= s.t_start AND e.err_epoch <= s.t_end
+  GROUP BY s.user_id, s.session
+)
+SELECT s.user_id, s.session, s.n_events, s.t_start, s.t_end, c.n_errors
+FROM se_s s JOIN se_cnt c
+  ON s.user_id = c.user_id AND s.session = c.session"""
 
 
 def pages_exact_dups_sql(d: str, docs: str = "documents") -> str:

@@ -34,6 +34,7 @@ from .operators import (
     project,
     reports,
     similarity_search,
+    temporal,
     textstats,
 )
 
@@ -495,6 +496,30 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     + retained fraction — distinct activity rows, per-user min, two
     combiner-reduced groupBys; no per-user window."""
     return reports.events_retention(
+        synth.load_table(spark, sf_dir, "events")
+    )
+
+
+@register("events_asof", oracle=O.events_asof_sql(G.DUCK))
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (last-touch attribution): each purchase event matched
+    to the most recent click by the same user at or before it. Spark
+    side = union-merge window (one key shuffle, no inequality join);
+    oracle = DuckDB's NATIVE ASOF LEFT JOIN."""
+    return temporal.last_touch_attribution(
+        synth.load_table(spark, sf_dir, "events")
+    )
+
+
+@register("session_errors", oracle=O.session_errors_sql(G.DUCK))
+def q_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN: error events attributed to the
+    non-error user session containing them. Spark side equi-izes the
+    containment via fixed-width time buckets (interval rows explode
+    into covered buckets; a point matches in exactly its own bucket —
+    no dedup, no CartesianProduct); oracle states the plain
+    inequality join."""
+    return temporal.session_error_attribution(
         synth.load_table(spark, sf_dir, "events")
     )
 
@@ -1665,6 +1690,8 @@ _QUERY_ORDER = [
     "pq_recall",
     "emb_semdedup",
     "knn_label_noise",
+    "events_asof",
+    "session_errors",
 ]
 
 
