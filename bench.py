@@ -67,6 +67,7 @@ HEADLINE = [
     "interleaved_packing",
     "lm_score",
     "lm_buckets",
+    "dsir_weights",
     "bpe_encode",
     "text_repetition",
     "ann_brute_topk",

@@ -740,3 +740,91 @@ def lm_buckets(docs: DataFrame, cache_registry: list | None = None) -> DataFrame
         "lm_score",
         F.coalesce("bucket", F.lit("unscored")).alias("bucket"),
     )
+
+
+# DSIR spec — shared with oracles.dsir_weights_sql (change both sides)
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+DSIR_BUCKETS = 1024
+DSIR_TAU = 1.0
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    bigram features, per-bucket presence counts in the TARGET corpus
+    (the curated sources) vs the RAW pool, each raw document scored by
+    the mean add-one-smoothed likelihood ratio over its distinct
+    feature buckets; selected = ratio >= DSIR_TAU (more target-like
+    than raw-like on average).
+
+    Deliberate deviation from the paper: the per-feature statistic is
+    the RATIO p_t/p_r, not its log — ln is not correctly-rounded
+    cross-engine (the tfidf_keywords rational-idf rule), while
+    ((tc+1)(R+B)) / ((rc+1)(T+B)) is ONE IEEE division of two exact
+    BIGINT products. Monotone per feature; the aggregate is a mean of
+    ratios rather than a log-product, documented as part of the spec.
+
+    Scale shape: distinct (doc, bucket) feature rows → one
+    combiner-reduced groupBy(bucket) count table (<= DSIR_BUCKETS rows;
+    AQE broadcasts it back), corpus totals as a broadcast 1-row frame;
+    the per-doc mean is the ordered-fold bit-exact recipe. The corpus
+    shuffles only on the feature distinct + the per-doc groupBy."""
+    from .features import hash_bucket
+
+    is_t = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    dim = docs.select("doc_id", is_t.alias("is_t"))
+    rows = lm_bigram_rows(docs.select("doc_id", "text"))
+    feats = rows.select(
+        "doc_id",
+        hash_bucket(F.concat_ws("\x1f", "prev", "cur"), DSIR_BUCKETS)
+        .cast("long")
+        .alias("bucket"),
+    ).distinct()
+    tagged = feats.join(dim, "doc_id")
+    cnt = tagged.groupBy("bucket").agg(
+        F.sum(F.col("is_t").cast("long")).alias("tc"),
+        F.sum((~F.col("is_t")).cast("long")).alias("rc"),
+    )
+    tot = cnt.agg(F.sum("tc").alias("t_tot"), F.sum("rc").alias("r_tot"))
+    terms = (
+        tagged.filter(~F.col("is_t"))
+        .join(cnt, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                ((F.col("tc") + 1) * (F.col("r_tot") + DSIR_BUCKETS)).cast(
+                    "double"
+                )
+                / ((F.col("rc") + 1) * (F.col("t_tot") + DSIR_BUCKETS)).cast(
+                    "double"
+                )
+            ).alias("term"),
+        )
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            lambda s: s["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_feat"), folded.alias("s")
+    )
+    avg = F.col("s") / F.col("n_feat").cast("double")
+    return (
+        dim.filter(~F.col("is_t"))
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feat", F.lit(0)).cast("long").alias("n_feat"),
+            F.when(F.col("n_feat") > 0, avg).alias("avg_lr"),
+            F.coalesce(
+                F.when(F.col("n_feat") > 0, avg >= DSIR_TAU), F.lit(False)
+            ).alias("selected"),
+        )
+    )

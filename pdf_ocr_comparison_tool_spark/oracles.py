@@ -3663,14 +3663,10 @@ FROM ip_o"""
 
 
 # --------------------------------------------------- bigram-LM scoring
-def _lm_cte_chain(d: str, docs: str = "documents") -> str:
-    """The lm_score computation as a CTE-chain body (appended after
-    ``dd_tok``), exposing ``lm_out`` = (doc_id, n_bigrams, lm_score) —
-    shared by lm_score_sql and lm_buckets_sql. Every p is ONE
-    int/int→double division; the per-doc mean is the ordered left fold
-    + one double division (bit-exact recipe)."""
-    from .operators.textstats import LM_SMOOTH
-
+def _bigram_rows_cte(d: str) -> str:
+    """``lm_pl`` + ``lm_rows`` CTEs: (doc_id, ord, prev, cur) token
+    transitions from ``dd_tok`` — the bigram feature source shared by
+    the LM scorer and the DSIR importance weights."""
     if d == SPARK:
         # sequence(0, -1) would generate DESCENDING [0, -1]; guard the
         # <2-token case with a typed empty array instead
@@ -3682,21 +3678,34 @@ def _lm_cte_chain(d: str, docs: str = "documents") -> str:
             "'cur', element_at(toks, i + 2))) END"
         )
         unnest_pairs = "SELECT doc_id, explode(pairs) AS bg FROM lm_pl"
-        unnest_toks = "SELECT explode(toks) AS tok FROM dd_tok"
     else:
         pairs = (
             "list_transform(range(greatest(len(toks) - 1, 0)), "
             "i -> {'ord': i, 'prev': toks[i + 1], 'cur': toks[i + 2]})"
         )
         unnest_pairs = "SELECT doc_id, unnest(pairs) AS bg FROM lm_pl"
-        unnest_toks = "SELECT unnest(toks) AS tok FROM dd_tok"
     return f"""lm_pl AS (
   SELECT doc_id, {pairs} AS pairs FROM dd_tok
 ),
 lm_rows AS (
   SELECT doc_id, CAST(bg.ord AS BIGINT) AS ord, bg.prev AS prev, bg.cur AS cur
   FROM ({unnest_pairs})
-),
+)"""
+
+
+def _lm_cte_chain(d: str, docs: str = "documents") -> str:
+    """The lm_score computation as a CTE-chain body (appended after
+    ``dd_tok``), exposing ``lm_out`` = (doc_id, n_bigrams, lm_score) —
+    shared by lm_score_sql and lm_buckets_sql. Every p is ONE
+    int/int→double division; the per-doc mean is the ordered left fold
+    + one double division (bit-exact recipe)."""
+    from .operators.textstats import LM_SMOOTH
+
+    if d == SPARK:
+        unnest_toks = "SELECT explode(toks) AS tok FROM dd_tok"
+    else:
+        unnest_toks = "SELECT unnest(toks) AS tok FROM dd_tok"
+    return f"""{_bigram_rows_cte(d)},
 lm_unic AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS c_uni
   FROM ({unnest_toks}) GROUP BY tok
@@ -3774,3 +3783,65 @@ SELECT s.doc_id, s.source, s.lm_score,
        coalesce(l.bucket, 'unscored') AS bucket
 FROM lb_s s LEFT JOIN lb_lab l
   ON s.source = l.source AND s.bin = l.bin"""
+
+
+def dsir_weights_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.dsir_weights: hashed-bigram
+    importance weights for data selection. Per-feature ratio stays a
+    RATIO of exact BIGINT products (one IEEE division) — never a log —
+    and the per-doc mean is the ordered fold + one double division."""
+    from .operators.textstats import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCES,
+        DSIR_TAU,
+    )
+
+    B = DSIR_BUCKETS
+    tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    bucket = f"({G.hexint('prev || chr(31) || cur', d)}) % {B}"
+    return f"""WITH {_tok_cte(d, docs)},
+{_bigram_rows_cte(d)},
+ds_feat AS (
+  SELECT DISTINCT doc_id, CAST({bucket} AS BIGINT) AS bucket FROM lm_rows
+),
+ds_dim AS (
+  SELECT doc_id, (source IN ({tgt})) AS is_t FROM {docs}
+),
+ds_tag AS (
+  SELECT f.doc_id, f.bucket, dd.is_t
+  FROM ds_feat f JOIN ds_dim dd ON f.doc_id = dd.doc_id
+),
+ds_cnt AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc
+  FROM ds_tag GROUP BY bucket
+),
+ds_tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS t_tot,
+         CAST(SUM(rc) AS BIGINT) AS r_tot
+  FROM ds_cnt
+),
+ds_term AS (
+  SELECT g.doc_id, g.bucket,
+         CAST((c.tc + 1) * (t.r_tot + {B}) AS DOUBLE)
+           / CAST((c.rc + 1) * (t.t_tot + {B}) AS DOUBLE) AS term
+  FROM ds_tag g JOIN ds_cnt c ON g.bucket = c.bucket
+  CROSS JOIN ds_tot t
+  WHERE NOT g.is_t
+),
+ds_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         {_ordered_fold("term", "bucket", d)} AS s
+  FROM ds_term GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(coalesce(d2.n_feat, 0) AS BIGINT) AS n_feat,
+       CASE WHEN d2.n_feat > 0
+            THEN d2.s / CAST(d2.n_feat AS DOUBLE) END AS avg_lr,
+       coalesce(
+         CASE WHEN d2.n_feat > 0
+              THEN d2.s / CAST(d2.n_feat AS DOUBLE) >= {DSIR_TAU!r} END,
+         false) AS selected
+FROM (SELECT doc_id FROM ds_dim WHERE NOT is_t) r
+LEFT JOIN ds_doc d2 ON r.doc_id = d2.doc_id"""

@@ -700,6 +700,18 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_buckets(docs)
 
 
+@register("dsir_weights", oracle=O.dsir_weights_sql(G.DUCK))
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection: hashed-bigram
+    target-vs-raw presence counts, mean likelihood ratio per raw doc
+    (ratio kept rational — never a cross-engine ln), selected at
+    DSIR_TAU. One <=1024-row count table broadcast back; the corpus
+    shuffles only on the feature distinct + per-doc groupBy."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return textstats.dsir_weights(docs)
+
+
 @register("bpe_vocab", oracle=O.bpe_vocab_sql(G.DUCK))
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The loadable BPE vocab artifact: lexicographically-ranked base
@@ -1692,6 +1704,7 @@ _QUERY_ORDER = [
     "knn_label_noise",
     "events_asof",
     "session_errors",
+    "dsir_weights",
 ]
 
 

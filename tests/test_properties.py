@@ -683,3 +683,25 @@ def test_knn_label_noise_invariants(spark):
         assert votes.count(r["nbr_majority"]) == top
         assert r["nbr_majority"] == min(v for v in set(votes) if votes.count(v) == top)
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
+
+
+def test_dsir_weights_separates_target_like_docs(spark):
+    """A raw doc sharing its bigrams with the target corpus must score
+    a higher mean likelihood ratio than a raw doc with disjoint
+    vocabulary; empty raw docs keep a row with n_feat=0, unselected."""
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+
+    tgt_text = "alpha beta gamma delta epsilon alpha beta gamma"
+    rows = (
+        [(i, tgt_text, T.DSIR_TARGET_SOURCES[0]) for i in range(5)]
+        + [(10, "alpha beta gamma delta", "srcRAW")]
+        + [(11, "zeta eta theta iota kappa", "srcRAW")]
+        + [(12, "", "srcRAW")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in T.dsir_weights(docs).collect()}
+    assert set(out) == {10, 11, 12}  # raw pool only
+    assert out[10]["avg_lr"] > out[11]["avg_lr"]
+    assert out[10]["selected"] and not out[11]["selected"]
+    assert out[12]["n_feat"] == 0 and out[12]["selected"] is False
+    assert out[12]["avg_lr"] is None
