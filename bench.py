@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "line_dedup",
     "decontaminate",
+    "contamination_report",
     "split_leakage",
     "gram_novelty",
     "token_coverage",
@@ -69,6 +70,7 @@ HEADLINE = [
     "lm_buckets",
     "dsir_weights",
     "bpe_encode",
+    "tokenizer_fertility",
     "text_repetition",
     "ann_brute_topk",
     "ann_lsh_search",

@@ -315,3 +315,34 @@ def bpe_fit_py(word_freq: dict[str, int], n_merges: int = BPE_MERGES) -> list:
                     i += 1
             state[w] = out
     return merges
+
+
+def tokenizer_fertility(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Per-language tokenizer FERTILITY of the trained BPE — subword
+    tokens emitted per word, the standard multilingual tokenizer-equity
+    diagnostic (a language with fertility 2.1 pays ~2.1× the compute
+    and context budget per word of a fertility-1.0 language; reported
+    before committing a vocab, next to token_coverage).
+
+    Scale shape: the encode is the one corpus-sized join (see
+    :func:`bpe_encode`); after it, a combiner-reduced per-doc count,
+    a narrow word count, and a groupBy on the tiny lang dim. Fertility
+    is one int/int→double division per lang (bit-exact)."""
+    enc = bpe_encode(docs.select("doc_id", "text"), n_merges)
+    n_sub = enc.groupBy("doc_id").agg(F.count("*").alias("n_sub"))
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_words"),
+    )
+    per = words.join(n_sub, "doc_id", "left")
+    sub_sum = F.sum(F.coalesce("n_sub", F.lit(0)))
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        sub_sum.cast("long").alias("n_subwords"),
+        F.when(
+            F.sum("n_words") > 0,
+            sub_sum.cast("double") / F.sum("n_words").cast("double"),
+        ).alias("fertility"),
+    )

@@ -577,6 +577,31 @@ def gram_novelty(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
 LINE_SEG_TOKENS = 16
 
 
+def contamination_report(docs: DataFrame) -> DataFrame:
+    """Per-source CONTAMINATION REPORT — the dataset-card rollup of
+    :func:`decontaminate` a pretraining run publishes next to its
+    mixture table: per source, how many documents overlap the eval
+    set, the contamination rate, the worst single overlap fraction and
+    the total eval-pair hit mass.
+
+    Scale shape: the decontamination scan dominates (see
+    :func:`decontaminate`); the rollup adds one narrow doc_id join to
+    the source dim and a combiner-reduced groupBy(source). Rate is one
+    int/int division; worst_overlap is a max of already-exact doubles."""
+    dec = decontaminate(docs)
+    per = dec.join(docs.select("doc_id", "source"), "doc_id")
+    n_cont = F.sum(F.col("contaminated").cast("long"))
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        n_cont.cast("long").alias("n_contaminated"),
+        (n_cont.cast("double") / F.count("*").cast("double")).alias(
+            "contamination_rate"
+        ),
+        F.max("max_overlap_frac").alias("worst_overlap"),
+        F.sum("n_eval_docs_hit").cast("long").alias("total_eval_hits"),
+    )
+
+
 def line_segments(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """C4-style line/segment rows: split on newlines, normalize each
     line (lowercase, whitespace-collapsed, trimmed, empties dropped),

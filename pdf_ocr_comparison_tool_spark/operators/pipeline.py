@@ -566,6 +566,57 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def mixture_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-source MIXTURE DRIFT between two corpus snapshots — the
+    governance check before swapping training-corpus versions: did the
+    ingest delta silently shift the source mixture the sampler was
+    tuned on? Per source: doc/estimated-token mass in each snapshot,
+    each snapshot's token share, and the share delta.
+
+    Scale shape: two map-side-combinable groupBy(source) aggregates
+    over narrow (source, token-estimate) projections — content never
+    shuffles — full-outer joined on the tiny source dim, with the two
+    corpus totals riding in as broadcast 1-row frames. Shares are
+    int/int→double divisions; drift is one IEEE subtraction of those
+    exact quotients."""
+    est = F.expr("CAST((length(text) + 3) DIV 4 AS BIGINT)")
+
+    def _mass(df: DataFrame, sfx: str) -> DataFrame:
+        return (
+            df.select("source", est.alias("tok"))
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias(f"docs_{sfx}"),
+                F.sum("tok").cast("long").alias(f"tokens_{sfx}"),
+            )
+        )
+
+    o, n = _mass(old, "old"), _mass(new, "new")
+    tot_o = o.agg(F.sum("tokens_old").cast("long").alias("tot_old"))
+    tot_n = n.agg(F.sum("tokens_new").cast("long").alias("tot_new"))
+    share_old = F.coalesce("tokens_old", F.lit(0)).cast("double") / F.col(
+        "tot_old"
+    ).cast("double")
+    share_new = F.coalesce("tokens_new", F.lit(0)).cast("double") / F.col(
+        "tot_new"
+    ).cast("double")
+    return (
+        o.join(n, "source", "full_outer")
+        .crossJoin(F.broadcast(tot_o))
+        .crossJoin(F.broadcast(tot_n))
+        .select(
+            "source",
+            F.coalesce("docs_old", F.lit(0)).cast("long").alias("docs_old"),
+            F.coalesce("docs_new", F.lit(0)).cast("long").alias("docs_new"),
+            F.coalesce("tokens_old", F.lit(0)).cast("long").alias("tokens_old"),
+            F.coalesce("tokens_new", F.lit(0)).cast("long").alias("tokens_new"),
+            share_old.alias("share_old"),
+            share_new.alias("share_new"),
+            (share_new - share_old).alias("drift"),
+        )
+    )
+
+
 def pack_manifest(docs: DataFrame, ctx: int = CTX_TOKENS) -> DataFrame:
     """The pack-level view of :func:`seq_packing` — what a dataloader
     actually indexes: per context-window pack, how many documents START

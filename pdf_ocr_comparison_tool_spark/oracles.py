@@ -3845,3 +3845,90 @@ SELECT r.doc_id,
          false) AS selected
 FROM (SELECT doc_id FROM ds_dim WHERE NOT is_t) r
 LEFT JOIN ds_doc d2 ON r.doc_id = d2.doc_id"""
+
+
+def tokenizer_fertility_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.bpe.tokenizer_fertility: the trained-BPE
+    encode (nested bpe_encode_sql — DUCK-runnable only, like the BPE
+    chain itself), per-doc subword counts, word counts from the shared
+    tokenization, rolled up per language with one int/int fertility
+    division."""
+    nw = "size(toks)" if d == SPARK else "len(toks)"
+    return f"""WITH tf_enc AS (
+{bpe_encode_sql(d, docs)}
+),
+tf_sub AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sub FROM tf_enc GROUP BY doc_id
+),
+{_tok_cte(d, docs)},
+tf_w AS (
+  SELECT t.doc_id, dd.lang, CAST({nw} AS BIGINT) AS n_words
+  FROM dd_tok t JOIN {docs} dd ON t.doc_id = dd.doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(coalesce(n_sub, 0)) AS BIGINT) AS n_subwords,
+       CASE WHEN SUM(n_words) > 0
+            THEN CAST(SUM(coalesce(n_sub, 0)) AS DOUBLE)
+                   / CAST(SUM(n_words) AS DOUBLE) END AS fertility
+FROM tf_w w LEFT JOIN tf_sub s ON w.doc_id = s.doc_id
+GROUP BY lang"""
+
+
+def contamination_report_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.contamination_report: the per-source
+    dataset-card rollup of the decontamination scan (nested
+    decontaminate_sql CTE)."""
+    return f"""WITH cr_d AS (
+{decontaminate_sql(d, docs)}
+)
+SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN c.contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS contamination_rate,
+       max(c.max_overlap_frac) AS worst_overlap,
+       CAST(SUM(c.n_eval_docs_hit) AS BIGINT) AS total_eval_hits
+FROM cr_d c JOIN {docs} dd ON c.doc_id = dd.doc_id
+GROUP BY dd.source"""
+
+
+def mixture_drift_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.mixture_drift over the corpus_diff
+    snapshot pair (old = buckets 1-9, new = buckets 0-8 with bucket-1
+    texts revised): per-source doc/token mass, token shares and the
+    share delta. Token estimate = (len+3) DIV 4, the token_counts
+    heuristic."""
+    b = f"({G.hexint(G.cast_str('doc_id', d), d)}) % 10"
+    cat = "concat(text, ' rev2')" if d == SPARK else "text || ' rev2'"
+    est = lambda t: f"CAST({P.idiv(f'(length({t}) + 3)', '4', d)} AS BIGINT)"  # noqa: E731
+    return f"""WITH md_b AS (
+  SELECT source, text, {b} AS b FROM {docs}
+),
+md_o AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs_old,
+         CAST(SUM({est('text')}) AS BIGINT) AS tokens_old
+  FROM md_b WHERE b <> 0 GROUP BY source
+),
+md_n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs_new,
+         CAST(SUM({est(f"CASE WHEN b = 1 THEN {cat} ELSE text END")}) AS BIGINT)
+           AS tokens_new
+  FROM md_b WHERE b <> 9 GROUP BY source
+),
+md_to AS (SELECT CAST(SUM(tokens_old) AS BIGINT) AS tot_old FROM md_o),
+md_tn AS (SELECT CAST(SUM(tokens_new) AS BIGINT) AS tot_new FROM md_n)
+SELECT coalesce(o.source, n.source) AS source,
+       CAST(coalesce(o.docs_old, 0) AS BIGINT) AS docs_old,
+       CAST(coalesce(n.docs_new, 0) AS BIGINT) AS docs_new,
+       CAST(coalesce(o.tokens_old, 0) AS BIGINT) AS tokens_old,
+       CAST(coalesce(n.tokens_new, 0) AS BIGINT) AS tokens_new,
+       CAST(coalesce(o.tokens_old, 0) AS DOUBLE) / CAST(t1.tot_old AS DOUBLE)
+         AS share_old,
+       CAST(coalesce(n.tokens_new, 0) AS DOUBLE) / CAST(t2.tot_new AS DOUBLE)
+         AS share_new,
+       CAST(coalesce(n.tokens_new, 0) AS DOUBLE) / CAST(t2.tot_new AS DOUBLE)
+         - CAST(coalesce(o.tokens_old, 0) AS DOUBLE) / CAST(t1.tot_old AS DOUBLE)
+         AS drift
+FROM md_o o FULL OUTER JOIN md_n n ON o.source = n.source
+CROSS JOIN md_to t1 CROSS JOIN md_tn t2"""

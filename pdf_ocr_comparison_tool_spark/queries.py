@@ -1448,6 +1448,43 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_diff(old, new)
 
 
+@register("mixture_drift", oracle=O.mixture_drift_sql(G.DUCK))
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture drift between the corpus_diff snapshot pair:
+    token-share delta per source — two combiner-reduced groupBys over
+    narrow projections + a full-outer join on the source dim."""
+    from .operators.features import hash_bucket
+
+    docs = synth.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 10)
+    old = docs.filter(b != 0).select("source", "text")
+    new = docs.filter(b != 9).select(
+        "source",
+        F.when(b == 1, F.concat("text", F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pipeline.mixture_drift(old, new)
+
+
+@register("tokenizer_fertility", oracle=O.tokenizer_fertility_sql(G.DUCK))
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility (subword tokens per word) of the trained
+    BPE tokenizer — the multilingual tokenizer-equity diagnostic; the
+    encode is the one corpus join, the rollup rides the lang dim."""
+    return bpe.tokenizer_fertility(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("contamination_report", oracle=O.contamination_report_sql(G.DUCK))
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rollup of the decontamination scan —
+    the dataset-card table a pretraining run publishes next to its
+    mixture weights."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return dedup.contamination_report(docs)
+
+
 @register("mixture_sample", oracle=O.mixture_sample_sql(G.DUCK))
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic temperature-mixture SAMPLER — materializes the
@@ -1705,6 +1742,9 @@ _QUERY_ORDER = [
     "events_asof",
     "session_errors",
     "dsir_weights",
+    "mixture_drift",
+    "tokenizer_fertility",
+    "contamination_report",
 ]
 
 

@@ -705,3 +705,49 @@ def test_dsir_weights_separates_target_like_docs(spark):
     assert out[10]["selected"] and not out[11]["selected"]
     assert out[12]["n_feat"] == 0 and out[12]["selected"] is False
     assert out[12]["avg_lr"] is None
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """Every word emits >= 1 subword, so per-lang fertility >= 1 and
+    total subwords >= total words; every corpus lang is present."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import bpe
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    out = bpe.tokenizer_fertility(docs).collect()
+    assert {r["lang"] for r in out} == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+    for r in out:
+        assert r["n_subwords"] >= r["n_words"]
+        if r["n_words"] > 0:
+            assert r["fertility"] >= 1.0
+
+
+def test_mixture_drift_shares_balance(spark):
+    """Each snapshot's shares sum to 1; drift sums to ~0; doc counts
+    reconcile with the snapshot filters."""
+    from pdf_ocr_comparison_tool_spark.queries import q_mixture_drift
+    from tests.conftest import SF_DIR_001
+
+    rows = q_mixture_drift(spark, SF_DIR_001).collect()
+    assert abs(sum(r["share_old"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["share_new"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["drift"] for r in rows)) < 1e-9
+
+
+def test_contamination_report_accounts_every_doc(spark):
+    """Per-source doc counts sum to the corpus size; rates in [0,1];
+    contaminated <= docs per source."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    rows = dedup.contamination_report(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_docs"]
+        assert 0.0 <= r["contamination_rate"] <= 1.0
+        assert 0.0 <= r["worst_overlap"] <= 1.0
