@@ -53,6 +53,8 @@ HEADLINE = [
     "minhash_calibration",
     "incremental_dedup",
     "ngram_counts",
+    "collocations",
+    "inverted_index",
     "substring_dup",
     "substring_rewrite",
     "quality_score",

@@ -828,3 +828,109 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
             ).alias("selected"),
         )
     )
+
+
+# collocation spec — shared with oracles.collocations_sql
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP = 100
+
+
+def collocations(docs: DataFrame, min_count: int = COLLOC_MIN_COUNT,
+                 top: int = COLLOC_TOP) -> DataFrame:
+    """Collocation mining: the top adjacent token pairs by PMI-style
+    LIFT  p(x,y) / (p(x)·p(y))  with a minimum pair count — the
+    phrase/multi-word-expression extraction step of an NLP corpus
+    pipeline (Manning & Schütze ch. 5).
+
+    Lift is computed as ``((c_xy / c_x) / c_y) · N`` — a fixed chain of
+    IEEE double ops on exact integer inputs, bit-deterministic
+    cross-engine, and overflow-free at any corpus size (the rational
+    c_xy·N product would overflow BIGINT at web scale).
+
+    Scale shape: bigram + unigram counts are map-side-combinable
+    groupBys; the min-count filter drops the long tail BEFORE the two
+    dimension joins; top-N is orderBy().limit() (distributed
+    TakeOrderedAndProject — no global sort), tie-broken (lift desc,
+    prev, cur) so the cut is deterministic."""
+    rows = lm_bigram_rows(docs.select("doc_id", "text"))
+    big = rows.groupBy("prev", "cur").agg(F.count("*").alias("c_big"))
+    uni = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    n_big = big.agg(F.sum("c_big").cast("long").alias("n_big"))
+    lift = (
+        (
+            F.col("c_big").cast("double") / F.col("c_prev").cast("double")
+        )
+        / F.col("c_cur").cast("double")
+    ) * F.col("n_big").cast("double")
+    return (
+        big.filter(F.col("c_big") >= min_count)
+        .join(
+            uni.select(F.col("tok").alias("prev"), F.col("c_uni").alias("c_prev")),
+            "prev",
+        )
+        .join(
+            uni.select(F.col("tok").alias("cur"), F.col("c_uni").alias("c_cur")),
+            "cur",
+        )
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "prev",
+            "cur",
+            F.col("c_big").cast("long").alias("c_big"),
+            F.col("c_prev").cast("long").alias("c_prev"),
+            F.col("c_cur").cast("long").alias("c_cur"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("prev"), F.asc("cur"))
+        .limit(top)
+    )
+
+
+# inverted-index spec — shared with oracles.inverted_index_sql
+INDEX_DF_MIN = 2
+INDEX_DF_CAP = 64
+
+
+def inverted_index(docs: DataFrame, df_min: int = INDEX_DF_MIN,
+                   df_cap: int = INDEX_DF_CAP, n: int = 3) -> DataFrame:
+    """PHRASE-index build (the search-engine / plagiarism-lookup
+    primitive): per word ``n``-gram in the mid-document-frequency band
+    ``df_min <= df <= df_cap``, the sorted posting list of documents
+    containing it. Head phrases (df > cap) are excluded by spec: their
+    postings are unbounded per-group state — a production index shards
+    them, a corpus-analytics index (rare-but-shared phrases, the
+    discriminative/boilerplate-detecting ones) drops them. Postings
+    cross the oracle boundary as a comma-joined string.
+
+    Scale shape: per-doc-distinct (gram, doc) rows, ONE map-side-
+    combinable df count, the band filter BEFORE the collect (so
+    per-group arrays are bounded by df_cap at any corpus size), sorted
+    join-back-free assembly."""
+    from .dedup import _ngrams_col
+
+    td = docs.select(
+        F.explode(
+            F.array_distinct(_ngrams_col(tokens_col(F.col("text")), n))
+        ).alias("token"),
+        "doc_id",
+    )
+    dfc = td.groupBy("token").agg(F.count("*").alias("df"))
+    keep = dfc.filter((F.col("df") >= df_min) & (F.col("df") <= df_cap))
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return (
+        td.join(keep, "token")
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            postings.alias("postings"),
+        )
+    )

@@ -3932,3 +3932,82 @@ SELECT coalesce(o.source, n.source) AS source,
          AS drift
 FROM md_o o FULL OUTER JOIN md_n n ON o.source = n.source
 CROSS JOIN md_to t1 CROSS JOIN md_tn t2"""
+
+
+def collocations_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.collocations: lift as the SAME
+    fixed chain of IEEE double ops — ((c_xy/c_x)/c_y)*N — on exact
+    BIGINT counts; deterministic tie-broken top-N."""
+    from .operators.textstats import COLLOC_MIN_COUNT, COLLOC_TOP
+
+    unnest_toks = (
+        "SELECT explode(toks) AS tok FROM dd_tok"
+        if d == SPARK
+        else "SELECT unnest(toks) AS tok FROM dd_tok"
+    )
+    return f"""WITH {_tok_cte(d, docs)},
+{_bigram_rows_cte(d)},
+cl_big AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_big
+  FROM lm_rows GROUP BY prev, cur
+),
+cl_uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_uni
+  FROM ({unnest_toks}) GROUP BY tok
+),
+cl_n AS (SELECT CAST(SUM(c_big) AS BIGINT) AS n_big FROM cl_big)
+SELECT b.prev, b.cur, b.c_big,
+       p.c_uni AS c_prev, c.c_uni AS c_cur,
+       CAST(b.c_big AS DOUBLE) / CAST(p.c_uni AS DOUBLE)
+         / CAST(c.c_uni AS DOUBLE) * CAST(n.n_big AS DOUBLE) AS lift
+FROM cl_big b
+JOIN cl_uni p ON b.prev = p.tok
+JOIN cl_uni c ON b.cur = c.tok
+CROSS JOIN cl_n n
+WHERE b.c_big >= {COLLOC_MIN_COUNT}
+ORDER BY lift DESC, b.prev ASC, b.cur ASC
+LIMIT {COLLOC_TOP}"""
+
+
+def inverted_index_sql(d: str, docs: str = "documents", n: int = 3) -> str:
+    """Mirror of operators.textstats.inverted_index: per-doc-distinct
+    word n-grams, mid-document-frequency-band posting lists, sorted and
+    comma-joined."""
+    from .operators.textstats import INDEX_DF_CAP, INDEX_DF_MIN
+
+    if d == SPARK:
+        grams = (
+            f"CASE WHEN size(toks) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )
+        unnest = "SELECT doc_id, explode(grams) AS token FROM ii_g"
+        plist = (
+            "array_join(transform(array_sort(collect_list(doc_id)),"
+            " x -> CAST(x AS STRING)), ',')"
+        )
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+        unnest = "SELECT doc_id, unnest(grams) AS token FROM ii_g"
+        plist = (
+            "array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),"
+            " ',')"
+        )
+    return f"""WITH {_tok_cte(d, docs)},
+ii_g AS (
+  SELECT doc_id, {grams} AS grams FROM dd_tok
+),
+ii_td AS (
+  SELECT DISTINCT token, doc_id FROM ({unnest})
+),
+ii_df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM ii_td GROUP BY token
+  HAVING count(*) >= {INDEX_DF_MIN} AND count(*) <= {INDEX_DF_CAP}
+)
+SELECT t.token, f.df, {plist} AS postings
+FROM ii_td t JOIN ii_df f ON t.token = f.token
+GROUP BY t.token, f.df"""

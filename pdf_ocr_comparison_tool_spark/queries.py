@@ -700,6 +700,26 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_buckets(docs)
 
 
+@register("collocations", oracle=O.collocations_sql(G.DUCK))
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent-pair lifts (PMI-style, IEEE-op
+    chained — no ln, no BIGINT product overflow at web scale) with a
+    deterministic tie-broken TakeOrdered top-N."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return textstats.collocations(docs)
+
+
+@register("inverted_index", oracle=O.inverted_index_sql(G.DUCK))
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the mid-document-frequency vocabulary
+    band: sorted posting lists, bounded per-group state (df cap) at
+    any corpus size."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return textstats.inverted_index(docs)
+
+
 @register("dsir_weights", oracle=O.dsir_weights_sql(G.DUCK))
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights for data selection: hashed-bigram
@@ -1745,6 +1765,8 @@ _QUERY_ORDER = [
     "mixture_drift",
     "tokenizer_fertility",
     "contamination_report",
+    "collocations",
+    "inverted_index",
 ]
 
 

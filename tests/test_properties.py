@@ -751,3 +751,44 @@ def test_contamination_report_accounts_every_doc(spark):
         assert 0 <= r["n_contaminated"] <= r["n_docs"]
         assert 0.0 <= r["contamination_rate"] <= 1.0
         assert 0.0 <= r["worst_overlap"] <= 1.0
+
+
+def test_collocations_lift_and_cut_determinism(spark):
+    """Top-N collocations: all pair counts >= min support; lift
+    strictly positive; the N-th row's (lift, prev, cur) tie-break makes
+    the cut deterministic across two executions."""
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    a = T.collocations(docs).collect()
+    b = T.collocations(docs).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) <= T.COLLOC_TOP
+    for r in a:
+        assert r["c_big"] >= T.COLLOC_MIN_COUNT
+        assert r["lift"] > 0.0
+
+
+def test_inverted_index_postings_sound(spark):
+    """Every posting list length equals its df, lies inside the band,
+    is sorted, and each listed doc really contains the phrase."""
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    rows = T.inverted_index(docs).collect()
+    assert rows
+    texts = {r["doc_id"]: r["text"].lower() for r in docs.collect()}
+    import re
+    for r in rows[:50]:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert len(ids) == r["df"]
+        assert T.INDEX_DF_MIN <= r["df"] <= T.INDEX_DF_CAP
+        assert ids == sorted(ids)
+        for i in ids[:3]:
+            toks = [t for t in re.split(r"[^a-z0-9]+", texts[i]) if len(t) >= 2]
+            grams = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+            assert r["token"] in grams
