@@ -155,7 +155,7 @@ _SCALE_REP_DEFAULTS = {
     "line_dedup": "512",
     "match_best": "4",
     "media_decode": "8",
-    "dedup_clusters": "4096",
+    "dedup_clusters": "8192",
 }
 SCALE_REPLICATION = int(
     os.environ.get("SPARK_GRAFT_SCALE_REP")
