@@ -283,3 +283,95 @@ def streaming_incremental_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASOF_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, p_epoch long, click_id long, "
+    "click_epoch long, lag_sec long, click_value double"
+)
+ASOF_STATE_SCHEMA = "c_epoch long, c_id long, c_value double"
+
+
+def _asof_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    ce, ci, cv = state.get if state.exists else (None, None, None)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    # sort (epoch, is_probe, event_id): a touch at exactly the probe's
+    # epoch is attributable (the <= contract), equal-epoch touches
+    # resolve to max event_id — the batch operator's pre-reduce
+    rows = pd.concat(chunks, ignore_index=True).sort_values(
+        ["epoch", "is_probe", "event_id"]
+    )
+    is_t = ~rows["is_probe"].astype(bool)
+    # carry the latest touch forward within the batch (vectorized
+    # ffill), seeded by the cross-trigger state
+    ce_s = rows["epoch"].where(is_t).ffill()
+    ci_s = rows["event_id"].where(is_t).ffill()
+    cv_s = rows["value"].where(is_t).ffill()
+    if ce is not None:
+        ce_s, ci_s, cv_s = ce_s.fillna(ce), ci_s.fillna(ci), cv_s.fillna(cv)
+    if is_t.any():
+        last = rows[is_t].index[-1]
+        state.update(
+            (
+                int(rows["epoch"][last]),
+                int(rows["event_id"][last]),
+                float(rows["value"][last]),
+            )
+        )
+    probes = rows["is_probe"].astype(bool)
+    if not probes.any():
+        return
+    p = rows[probes]
+    pce = ce_s[probes].astype("Int64")
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "event_id": p["event_id"].astype("int64"),
+            "p_epoch": p["epoch"].astype("int64"),
+            "click_id": ci_s[probes].astype("Int64"),
+            "click_epoch": pce,
+            "lag_sec": p["epoch"].astype("int64") - pce,
+            "click_value": cv_s[probes].astype("float64"),
+        }
+    )
+
+
+def streaming_last_touch(
+    events_stream: DataFrame,
+    probe_type: str = "purchase",
+    touch_type: str = "click",
+) -> DataFrame:
+    """Streaming twin of temporal.last_touch_attribution — per-user
+    last-touch attribution as events ARRIVE (the ad-tech streaming
+    standard): the state store carries each user's latest touch
+    (epoch, id, value); every probe event emits its attribution row
+    immediately. Matches the batch as-of join whenever ingestion order
+    follows event time per user (the same ordering caveat as the other
+    streaming twins — out-of-order arrivals would need a watermark +
+    reorder buffer, a semantics change the batch operator has no
+    analogue for)."""
+    from ..operators.reports import ntz_epoch
+
+    prepared = events_stream.filter(
+        F.col("event_type").isin(probe_type, touch_type)
+    ).select(
+        "user_id",
+        "event_id",
+        ntz_epoch("ts").cast("long").alias("epoch"),
+        (F.col("event_type") == probe_type).alias("is_probe"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -444,3 +444,66 @@ def test_streaming_incremental_dedup_matches_batch(spark):
         14: ("exact_dup", 2),
         15: ("new", None),
     }
+
+
+def test_streaming_last_touch_matches_batch_asof(spark):
+    """The streaming attribution twin equals the batch as-of join on
+    the real events table when ingestion order follows event time
+    (two time-split files, one per trigger; cross-trigger state must
+    carry the last touch over the file boundary)."""
+    import os
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import temporal
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    events = synth.load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    with tempfile.TemporaryDirectory() as tdir:
+        # event_id order IS time order in the generator; split on it
+        for j, part in (
+            (1, events.filter(F.col("event_id") <= mid)),
+            (2, events.filter(F.col("event_id") > mid)),
+        ):
+            part.coalesce(1).write.parquet(f"{tdir}/f{j}")
+            for root, _, files in os.walk(f"{tdir}/f{j}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (j * 1000, j * 1000))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, "
+                "ts timestamp_ntz, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tdir}/f*")
+        )
+        out = stateful.streaming_last_touch(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_asof")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["event_id"]: (
+                r["click_id"], r["click_epoch"], r["lag_sec"], r["click_value"]
+            )
+            for r in spark.sql("SELECT * FROM stream_asof").collect()
+        }
+    exp = {
+        r["event_id"]: (
+            r["click_id"], r["click_epoch"], r["lag_sec"], r["click_value"]
+        )
+        for r in temporal.last_touch_attribution(
+            synth.load_table(spark, SF_DIR, "events")
+        ).collect()
+    }
+    assert got and got == exp
