@@ -366,6 +366,37 @@ def lsh_near_dups(
 
 
 KNN_K = 3
+HARDNEG_K = 3
+HARDNEG_MAX_SIM = 0.95
+
+
+def _knn_pairs(
+    embeddings: DataFrame, bits: int, max_bucket: int
+) -> DataFrame:
+    """Directed candidate pairs (vec_id, nbr_id, sim) from the LSH
+    bucket self-join — the shared front end of knn_join /
+    hard_negatives. Equi-join on bucket, hot-bucket guarded; never
+    all-pairs."""
+    b = lsh_bucket(embeddings, bits)
+    small = b.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
+    bs = b.join(small.select("bucket"), "bucket")
+    norms = embeddings.select(
+        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
+    )
+    x = bs.join(norms, "vec_id").select(
+        "vec_id", "bucket",
+        F.col("embedding").alias("xv"), F.col("nsq").alias("x_nsq"),
+    )
+    y = bs.join(norms, "vec_id").select(
+        F.col("vec_id").alias("nbr_id"), "bucket",
+        F.col("embedding").alias("yv"), F.col("nsq").alias("y_nsq"),
+    )
+    sim = _dot("xv", "yv") / (F.sqrt(F.col("x_nsq")) * F.sqrt(F.col("y_nsq")))
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id", sim.alias("sim"))
+    )
 
 
 def knn_join(
@@ -383,31 +414,58 @@ def knn_join(
     bounded by the bucket size. Vectors whose bucket holds fewer than
     k neighbors emit fewer rows (approximate by design, like
     lsh_search). Emits (vec_id, rank, nbr_id, sim)."""
-    b = lsh_bucket(embeddings, bits)
-    small = b.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
-    bs = b.join(small.select("bucket"), "bucket")
-    norms = embeddings.select(
-        "vec_id", "embedding", _dot("embedding", "embedding").alias("nsq")
-    )
-    x = bs.join(norms, "vec_id").select(
-        "vec_id", "bucket",
-        F.col("embedding").alias("xv"), F.col("nsq").alias("x_nsq"),
-    )
-    y = bs.join(norms, "vec_id").select(
-        F.col("vec_id").alias("nbr_id"), "bucket",
-        F.col("embedding").alias("yv"), F.col("nsq").alias("y_nsq"),
-    )
-    sim = _dot("xv", "yv") / (F.sqrt(F.col("x_nsq")) * F.sqrt(F.col("y_nsq")))
-    pairs = (
-        x.join(y, "bucket")
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .select("vec_id", "nbr_id", sim.alias("sim"))
-    )
+    pairs = _knn_pairs(embeddings, bits, max_bucket)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("long").alias("rank"), "nbr_id", "sim")
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = HARDNEG_K,
+    bits: int = LSH_SEARCH_BITS,
+    max_bucket: int = 256,
+    max_sim: float = HARDNEG_MAX_SIM,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR / SimCSE
+    style, public): per anchor, the top-k most-similar in-bucket
+    neighbors whose label DIFFERS from the anchor's. Neighbors at or
+    above ``max_sim`` are excluded as probable false negatives
+    (mislabeled near-duplicates) — the standard guard in public
+    hard-negative pipelines. The label filter runs BEFORE the top-k
+    window, so the output is the best-k among negatives, not the
+    negatives that happen to sit in the overall top-k.
+
+    Scale shape: rides :func:`_knn_pairs` (LSH bucket equi-join,
+    hot-bucket guarded); labels join in from the narrow
+    (vec_id, label) projection; the ranking window is keyed by the
+    anchor itself, fan-in ≤ bucket size. Emits
+    (vec_id, label, neg_rank, neg_id, neg_label, sim)."""
+    pairs = _knn_pairs(embeddings, bits, max_bucket)
+    own = embeddings.select("vec_id", "label")
+    nbr = embeddings.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("neg_label")
+    )
+    neg = (
+        pairs.join(own, "vec_id")
+        .join(nbr, "nbr_id")
+        .filter(
+            (F.col("neg_label") != F.col("label"))
+            & (F.col("sim") < F.lit(max_sim))
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "vec_id", "label",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("nbr_id").alias("neg_id"), "neg_label", "sim",
+        )
     )
 
 

@@ -3044,16 +3044,16 @@ SELECT pack_id,
 FROM pm GROUP BY pack_id"""
 
 
-def knn_join_sql(
-    d: str, k: int = 3, bits: int = 8, max_bucket: int = 256
-) -> str:
-    """Mirror of similarity_search.knn_join: LSH-bucket self-join
-    candidates (hot-bucket guarded), exact cosine, per-vector top-k."""
+def _knn_pairs_ctes(d: str, bits: int, max_bucket: int) -> str:
+    """Shared CTE chain of knn_join_sql / hard_negatives_sql: LSH
+    bucket self-join candidate pairs (hot-bucket guarded) with exact
+    cosine, ending in kj_s(vec_id, nbr_id, sim). Mirror of
+    similarity_search._knn_pairs."""
     sim = (
         f"CAST({_dot_sql('x.xv', 'y.yv', d)} AS DOUBLE)"
         f" / (sqrt(CAST(x.x_nsq AS DOUBLE)) * sqrt(CAST(y.y_nsq AS DOUBLE)))"
     )
-    return f"""WITH kj_b AS ({lsh_bucket_sql(d, bits=bits)}),
+    return f"""kj_b AS ({lsh_bucket_sql(d, bits=bits)}),
 kj_small AS (
   SELECT bucket FROM kj_b GROUP BY bucket HAVING count(*) <= {max_bucket}
 ),
@@ -3075,7 +3075,15 @@ kj_y AS (
 kj_s AS (
   SELECT x.vec_id, y.nbr_id, {sim} AS sim
   FROM kj_x x JOIN kj_y y ON x.bucket = y.bucket AND x.vec_id <> y.nbr_id
-),
+)"""
+
+
+def knn_join_sql(
+    d: str, k: int = 3, bits: int = 8, max_bucket: int = 256
+) -> str:
+    """Mirror of similarity_search.knn_join: LSH-bucket self-join
+    candidates (hot-bucket guarded), exact cosine, per-vector top-k."""
+    return f"""WITH {_knn_pairs_ctes(d, bits, max_bucket)},
 kj_r AS (
   SELECT *, row_number() OVER (
     PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC
@@ -3083,6 +3091,34 @@ kj_r AS (
 )
 SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, sim
 FROM kj_r WHERE rank <= {k}"""
+
+
+def hard_negatives_sql(
+    d: str,
+    k: int = 3,
+    bits: int = 8,
+    max_bucket: int = 256,
+    max_sim: float = 0.95,
+) -> str:
+    """Mirror of similarity_search.hard_negatives: label-mismatched
+    candidate pairs (false-negative guard sim < max_sim) ranked per
+    anchor — top-k hard negatives for contrastive training."""
+    return f"""WITH {_knn_pairs_ctes(d, bits, max_bucket)},
+hn_f AS (
+  SELECT p.vec_id, a.label, p.nbr_id AS neg_id, b.label AS neg_label, p.sim
+  FROM kj_s p
+  JOIN embeddings a ON p.vec_id = a.vec_id
+  JOIN embeddings b ON p.nbr_id = b.vec_id
+  WHERE b.label <> a.label AND p.sim < {max_sim}
+),
+hn_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, neg_id ASC
+  ) AS neg_rank FROM hn_f
+)
+SELECT vec_id, label, CAST(neg_rank AS BIGINT) AS neg_rank,
+       neg_id, neg_label, sim
+FROM hn_r WHERE neg_rank <= {k}"""
 
 
 def knn_label_noise_sql(

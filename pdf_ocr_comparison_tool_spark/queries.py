@@ -1431,6 +1431,17 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hard_negatives", oracle=O.hard_negatives_sql(G.DUCK))
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/SimCSE-style): per anchor vector the
+    top-k most-similar in-bucket neighbors with a DIFFERENT label,
+    excluding probable false negatives (sim ≥ 0.95). Label filter
+    precedes the top-k window — best-k among negatives."""
+    return similarity_search.hard_negatives(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("source_cap_sample", oracle=O.source_cap_sample_sql(G.DUCK))
 def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (per-domain downsampling): deterministic
@@ -1767,6 +1778,7 @@ _QUERY_ORDER = [
     "contamination_report",
     "collocations",
     "inverted_index",
+    "hard_negatives",
 ]
 
 

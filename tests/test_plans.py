@@ -316,6 +316,20 @@ def test_semdedup_plan_shape(spark):
             assert "vec_id" in line, line
 
 
+def test_hard_negatives_plan_shape(spark):
+    """Hard-negative mining adds only equi-joins + one self-keyed
+    window on top of the shared _knn_pairs bucket join: no
+    CartesianProduct, every window partitioned by the anchor."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    p = _plan(SS.hard_negatives(emb))
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "Window [" in line:
+            assert "vec_id" in line, line
+
+
 def test_knn_label_noise_plan_shape(spark):
     """The label-vote stage must add only groupBys + equi-joins on top
     of knn_join: no CartesianProduct, and no window beyond knn_join's

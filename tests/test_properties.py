@@ -685,6 +685,40 @@ def test_knn_label_noise_invariants(spark):
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
 
 
+def test_hard_negatives_invariants(spark):
+    """Every mined negative has a mismatched label and sim below the
+    false-negative guard; ranks are dense 1..m (m ≤ k) per anchor in
+    sim-desc order; and the set per anchor really is the best-k among
+    ALL label-mismatched candidate pairs (recomputed off _knn_pairs)."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as ss
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    cand: dict[int, list[tuple[float, int]]] = {}
+    for r in ss._knn_pairs(emb, ss.LSH_SEARCH_BITS, 256).collect():
+        if (
+            labels[r["nbr_id"]] != labels[r["vec_id"]]
+            and r["sim"] < ss.HARDNEG_MAX_SIM
+        ):
+            cand.setdefault(r["vec_id"], []).append((-r["sim"], r["nbr_id"]))
+    out: dict[int, list] = {}
+    for r in ss.hard_negatives(emb).collect():
+        assert r["label"] == labels[r["vec_id"]]
+        assert r["neg_label"] == labels[r["neg_id"]]
+        assert r["neg_label"] != r["label"]
+        assert r["sim"] < ss.HARDNEG_MAX_SIM
+        out.setdefault(r["vec_id"], []).append(r)
+    assert out and set(out) == set(cand)
+    for vid, rows in out.items():
+        rows.sort(key=lambda r: r["neg_rank"])
+        assert [r["neg_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= ss.HARDNEG_K
+        want = sorted(cand[vid])[: ss.HARDNEG_K]
+        assert [(-r["sim"], r["neg_id"]) for r in rows] == want
+
+
 def test_dsir_weights_separates_target_like_docs(spark):
     """A raw doc sharing its bigrams with the target corpus must score
     a higher mean likelihood ratio than a raw doc with disjoint
