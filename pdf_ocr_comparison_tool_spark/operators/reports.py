@@ -304,3 +304,37 @@ def events_retention(events: DataFrame) -> DataFrame:
         (F.col("n_active").cast("double") / F.col("n_cohort").cast("double"))
         .alias("retention_frac"),
     )
+
+
+PROPS_BAND_WIDTH = 10  # fixed-width banding of the $.k payload field
+
+
+def props_rollup(
+    events: DataFrame, band_width: int = PROPS_BAND_WIDTH
+) -> DataFrame:
+    """Semi-structured rollup: parse the raw JSON ``props`` payload,
+    extract ``$.k``, band it fixed-width, aggregate per
+    (event_type, k_band). The JSON path runs JVM-side
+    (``get_json_object``, Jackson, codegen'd) — no Python touches the
+    payload; a missing/malformed key lands in the NULL band instead of
+    failing the job. Banding is integer floor-division; the double sum
+    goes through DECIMAL so it is partitioning-order-exact.
+
+    Scale shape: one narrow projection over the event log (parse +
+    band, no shuffle) → a single map-side-combinable groupBy on the
+    low-cardinality (event_type, k_band) key; distinct-user counts are
+    Spark's built-in partial-aggregate path."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    e = events.select(
+        "event_type",
+        "user_id",
+        F.floor(k / band_width).cast("long").alias("k_band"),
+        F.col("value").cast("decimal(28,6)").alias("value_dec"),
+    )
+    return e.groupBy("event_type", "k_band").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("value_dec").cast("double").alias("sum_value"),
+        (F.sum("value_dec").cast("double") / F.count("*").cast("double"))
+        .alias("avg_value"),
+    )

@@ -2692,6 +2692,25 @@ def events_pivot_sql(d: str) -> str:
 FROM events GROUP BY user_id"""
 
 
+def props_rollup_sql(d: str, band_width: int = 10) -> str:
+    """Mirror of operators.reports.props_rollup: JSON $.k extraction
+    (dialect helper), fixed-width integer banding, decimal-exact value
+    sums per (event_type, k_band)."""
+    k = f"CAST({G.json_str('props', '$.k', d)} AS BIGINT)"
+    band = P.idiv(f"({k})", str(band_width), d)
+    return f"""WITH pr_e AS (
+  SELECT event_type, user_id, CAST({band} AS BIGINT) AS k_band,
+         CAST(value AS DECIMAL(28,6)) AS value_dec
+  FROM events
+)
+SELECT event_type, k_band,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(value_dec) AS DOUBLE) AS sum_value,
+       CAST(sum(value_dec) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_value
+FROM pr_e GROUP BY event_type, k_band"""
+
+
 # ------------------------------------------------------------- textstats
 def _lang_dim_values(alias: str = "ld") -> str:
     from .operators.textstats import LANG_STOPWORDS

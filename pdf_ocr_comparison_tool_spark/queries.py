@@ -500,6 +500,15 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("props_rollup", oracle=O.props_rollup_sql(G.DUCK))
+def q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload rollup: JSON `props` parsed JVM-side
+    (get_json_object), $.k banded fixed-width, decimal-exact value
+    sums per (event_type, k_band) — the raw-JSON-column analytics
+    shape, no Python in the parse path."""
+    return reports.props_rollup(synth.load_table(spark, sf_dir, "events"))
+
+
 @register("events_asof", oracle=O.events_asof_sql(G.DUCK))
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF JOIN (last-touch attribution): each purchase event matched
@@ -1779,6 +1788,7 @@ _QUERY_ORDER = [
     "collocations",
     "inverted_index",
     "hard_negatives",
+    "props_rollup",
 ]
 
 

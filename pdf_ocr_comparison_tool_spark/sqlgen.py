@@ -182,6 +182,16 @@ def extract_all(expr: str, pat: str, d: str) -> str:
     return f"regexp_extract_all({expr}, {rx(pat, d)})"
 
 
+def json_str(expr: str, path: str, d: str) -> str:
+    """Extract a JSON field as VARCHAR — the dialect-portable entry
+    point for semi-structured payload columns (Spark: Jackson-backed
+    get_json_object, codegen'd; DuckDB: json_extract_string). NULL on
+    missing key / malformed JSON in both engines."""
+    if d == SPARK:
+        return f"get_json_object({expr}, '{path}')"
+    return f"json_extract_string({expr}, '{path}')"
+
+
 def fold_cjk(expr: str, d: str) -> str:
     return f"translate({expr}, {lit(CJK_FOLD_SRC, d)}, {lit(CJK_FOLD_DST, d)})"
 

@@ -685,6 +685,37 @@ def test_knn_label_noise_invariants(spark):
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
 
 
+def test_props_rollup_null_band_and_accounting(spark):
+    """Malformed JSON / missing key lands in the NULL band (never
+    fails the job); per-group accounting: n_events sums to input rows,
+    avg*n == sum, banding is floor(k/width)."""
+    from pdf_ocr_comparison_tool_spark.operators import reports
+
+    rows = [
+        (1, "purchase", 10.0, '{"k": 7}'),
+        (2, "purchase", 20.0, '{"k": 13}'),
+        (3, "purchase", 30.0, '{"k": 17}'),
+        (4, "click", 5.0, '{"other": 1}'),  # missing key -> NULL band
+        (5, "click", 6.0, "not json"),      # malformed -> NULL band
+        (1, "click", 7.0, None),            # NULL props -> NULL band
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, props string"
+    )
+    out = {
+        (r["event_type"], r["k_band"]): r
+        for r in reports.props_rollup(ev).collect()
+    }
+    assert set(out) == {("purchase", 0), ("purchase", 1), ("click", None)}
+    assert sum(r["n_events"] for r in out.values()) == len(rows)
+    nb = out[("click", None)]
+    assert nb["n_events"] == 3 and nb["n_users"] == 3
+    assert abs(nb["sum_value"] - 18.0) < 1e-9
+    for r in out.values():
+        assert abs(r["avg_value"] * r["n_events"] - r["sum_value"]) < 1e-9
+    assert out[("purchase", 1)]["n_events"] == 2  # k=13 and k=17
+
+
 def test_hard_negatives_invariants(spark):
     """Every mined negative has a mismatched label and sim below the
     false-negative guard; ranks are dense 1..m (m ≤ k) per anchor in
