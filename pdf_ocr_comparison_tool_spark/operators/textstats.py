@@ -251,6 +251,54 @@ def ngram_counts(docs: DataFrame, n: int = 3, top: int = NGRAM_TOP) -> DataFrame
     )
 
 
+HASH_EMBED_DIM = 16  # fixed vector width (power of 2: sign bits are
+#                      the bits ABOVE the bucket bits — independent)
+
+
+def hash_embed(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Feature-hashing vectorizer (the "hashing trick", Weinberger et
+    al. ICML'09, public): every token occurrence hashes into one of
+    ``dim`` buckets with a ±1 sign bit; per-document signed bucket
+    sums are L2-normalized. A fixed-width, vocabulary-free document
+    embedding built entirely from relational ops — the cheap-embedding
+    path for clustering/dedup when no model embedding exists. Output
+    is sparse rows (doc_id, dim, val, weight); zero-sum buckets are
+    dropped, so norm > 0 on every emitted row by construction.
+
+    Scale shape: explode tokens → groupBy (doc, dim) signed count
+    (map-side combinable; fan-in per doc ≤ dim) → per-doc norm groupBy
+    + equi-join back. Bucket sums are exact BIGINTs; norm/weight are
+    the same double ops on both engine sides (sqrt + one division) so
+    values cross the oracle boundary bit-equal."""
+    from .pipeline import pack_tape_hash
+
+    t = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    h = t.select("doc_id", pack_tape_hash(F.col("tok")).alias("h"))
+    rows = h.select(
+        "doc_id",
+        (F.col("h") % dim).cast("long").alias("dim"),
+        F.when((F.expr(f"h DIV {dim}") % 2) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    vals = (
+        rows.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    norms = vals.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val")).cast("double")).alias("norm")
+    )
+    return vals.join(norms, "doc_id").select(
+        "doc_id",
+        "dim",
+        "val",
+        (F.col("val").cast("double") / F.col("norm")).alias("weight"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate (chars/4,
     the common heuristic) as exact integer arithmetic."""

@@ -2835,6 +2835,33 @@ def token_counts_sql(d: str, docs: str = "documents") -> str:
 FROM {docs}"""
 
 
+def hash_embed_sql(d: str, dim: int = 16, docs: str = "documents") -> str:
+    """Mirror of textstats.hash_embed: token → 48-bit hash → (bucket,
+    ±1 sign) → per-doc signed bucket sums (zero buckets dropped) →
+    L2-normalized weight. Norm/weight are the identical double ops on
+    both sides (sqrt + one division of exact BIGINTs)."""
+    h = G.hexint48("tok", d)
+    sign_div = P.idiv("h", str(dim), d)
+    return f"""WITH {_tok_cte(d, docs)},
+he_t AS (SELECT doc_id, {explode('toks', 'tok', d)} FROM dd_tok),
+he_h AS (SELECT doc_id, {h} AS h FROM he_t),
+he_r AS (
+  SELECT doc_id, CAST(h % {dim} AS BIGINT) AS dim,
+         CASE WHEN ({sign_div}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM he_h
+),
+he_v AS (
+  SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS val
+  FROM he_r GROUP BY doc_id, dim HAVING CAST(sum(sign) AS BIGINT) <> 0
+),
+he_n AS (
+  SELECT doc_id, sqrt(CAST(sum(val * val) AS DOUBLE)) AS norm
+  FROM he_v GROUP BY doc_id
+)
+SELECT v.doc_id, v.dim, v.val, CAST(v.val AS DOUBLE) / n.norm AS weight
+FROM he_v v JOIN he_n n ON v.doc_id = n.doc_id"""
+
+
 def token_coverage_sql(d: str, docs: str = "documents") -> str:
     """Mirror of textstats.token_coverage: token frequencies, rank by
     (cnt desc, token asc), coverage of the top-N vocabulary at each

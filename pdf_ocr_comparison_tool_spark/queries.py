@@ -1617,6 +1617,15 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ngram_counts(docs)
 
 
+@register("hash_embed", oracle=O.hash_embed_sql(G.DUCK))
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (hashing trick): token → 48-bit hash
+    → (bucket, ±1 sign) signed counts per doc, L2-normalized — a
+    vocabulary-free sparse document embedding from pure relational
+    ops (sparse rows doc_id/dim/val/weight)."""
+    return textstats.hash_embed(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("token_counts", oracle=O.token_counts_sql(G.DUCK))
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-estimate token counting."""
@@ -1789,6 +1798,7 @@ _QUERY_ORDER = [
     "inverted_index",
     "hard_negatives",
     "props_rollup",
+    "hash_embed",
 ]
 
 

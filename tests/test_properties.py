@@ -685,6 +685,46 @@ def test_knn_label_noise_invariants(spark):
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
 
 
+def test_hash_embed_unit_norm_and_recompute(spark):
+    """Every emitted document vector is unit-L2; sparse rows match a
+    pure-Python recompute of the hashing trick (same md5 48-bit hash,
+    bucket = h % dim, sign = (h // dim) % 2); empty docs emit
+    nothing."""
+    import hashlib
+    import re
+
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+
+    texts = [
+        "alpha beta gamma alpha alpha",
+        "delta epsilon",
+        "",
+        "!!! ??",  # tokenizes to nothing
+        "alpha alpha alpha",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    dim = T.HASH_EMBED_DIM
+    want: dict[tuple[int, int], int] = {}
+    for i, t in enumerate(texts):
+        for tok in re.split(r"[^a-z0-9]+", t.lower()):
+            if len(tok) >= 2:
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+                sign = 1 if (h // dim) % 2 == 0 else -1
+                want[(i, h % dim)] = want.get((i, h % dim), 0) + sign
+    want = {k: v for k, v in want.items() if v != 0}
+    rows = T.hash_embed(docs).collect()
+    assert {(r["doc_id"], r["dim"]): r["val"] for r in rows} == want
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        assert 0 <= r["dim"] < dim
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["weight"] ** 2
+    assert set(by_doc) == {0, 1, 4}
+    for doc, sq in by_doc.items():
+        assert abs(sq - 1.0) < 1e-12, (doc, sq)
+
+
 def test_props_rollup_null_band_and_accounting(spark):
     """Malformed JSON / missing key lands in the NULL band (never
     fails the job); per-group accounting: n_events sums to input rows,
