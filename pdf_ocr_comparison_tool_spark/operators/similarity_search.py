@@ -469,6 +469,86 @@ def hard_negatives(
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_RESET = 0.15   # GraphX resetProb (public semantics)
+PAGERANK_DAMP = 0.85    # spec constant, NOT derived as 1-reset (float)
+
+
+def pagerank_centrality(
+    embeddings: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    k: int = KNN_K,
+    bits: int = LSH_SEARCH_BITS,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """PageRank-style centrality over the approximate-kNN semantic
+    graph, with GraphX/Pregel semantics (public): r0 = 1.0,
+    r_{t+1}(v) = 0.15 + 0.85 * Σ_{u→v} r_t(u)/outdeg(u), a FIXED
+    iteration count and no dangling-mass redistribution (mass leaks,
+    exactly as in Spark's own GraphX PageRank). This is the
+    representativeness signal curation pipelines use to pick canonical
+    documents per semantic neighborhood.
+
+    Determinism: each node's inbound sum is an ordered fold (collect
+    sorted by src id → left fold, 0.0 seed — the k-means recipe), and
+    reset + damp * sum is a fixed chain of IEEE ops, so ranks cross
+    the oracle boundary bit-equal.
+
+    Scale shape: edges ride knn_join's LSH bucket equi-join
+    (hot-bucket guarded, localCheckpoint'ed ONCE so the LSH subtree
+    isn't recomputed per round — the CC pattern); in-degree (fold
+    fan-in) is bounded by the bucket cap; each round is two equi-joins
+    + one map-side-groupable aggregate. No window, no global
+    aggregate, no driver round-trips beyond the fixed loop."""
+    edges = (
+        knn_join(embeddings, k, bits, max_bucket)
+        .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .localCheckpoint()
+    )
+    out = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("out_cnt")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        c = (
+            edges.join(ranks, F.col("src") == F.col("node"))
+            .join(out, "src")
+            .select(
+                "dst",
+                "src",
+                (F.col("r") / F.col("out_cnt").cast("double")).alias("contrib"),
+            )
+        )
+        sums = c.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("src").alias("o"), F.col("contrib").alias("x")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["x"],
+            ).alias("s")
+        )
+        ranks = nodes.join(sums, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (
+                F.lit(PAGERANK_RESET)
+                + F.lit(PAGERANK_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.col("r").alias("rank_score")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.95, n_limit: int = 200
 ) -> DataFrame:

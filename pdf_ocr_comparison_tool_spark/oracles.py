@@ -3200,6 +3200,61 @@ JOIN kn_m m ON e.vec_id = m.vec_id
 LEFT JOIN kn_s s ON e.vec_id = s.vec_id"""
 
 
+def pagerank_sql(
+    d: str,
+    iters: int = 3,
+    k: int = 3,
+    bits: int = 8,
+    max_bucket: int = 256,
+) -> str:
+    """Mirror of similarity_search.pagerank_centrality: GraphX-style
+    PageRank (r0=1.0, r' = reset + damp*Σ r/outdeg, fixed rounds, no
+    dangling redistribution) over the kNN semantic graph, unrolled as
+    one CTE per round. Inbound sums are the same ordered fold as the
+    operator (sorted by src id). DUCK-only registration: the shared
+    CTEs are multi-referenced and need AS MATERIALIZED, which Spark
+    SQL lacks (the BPE/asof precedent) — the Spark side IS the
+    operator's driver loop."""
+    from .operators.similarity_search import PAGERANK_DAMP, PAGERANK_RESET
+
+    mat = "MATERIALIZED " if d == DUCK else ""
+    ctes = [
+        f"""pr_e AS {mat}(
+  SELECT vec_id AS src, nbr_id AS dst
+  FROM ({knn_join_sql(d, k, bits, max_bucket)})
+)""",
+        f"""pr_out AS {mat}(
+  SELECT src, count(*) AS out_cnt FROM pr_e GROUP BY src
+)""",
+        f"""pr_n AS {mat}(
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_e UNION ALL SELECT dst AS node FROM pr_e
+  )
+)""",
+        "pr_r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM pr_n)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""pr_c{t} AS (
+  SELECT e.dst, e.src, r.r / CAST(o.out_cnt AS DOUBLE) AS contrib
+  FROM pr_e e
+  JOIN pr_r{t - 1} r ON e.src = r.node
+  JOIN pr_out o ON e.src = o.src
+)""")
+        ctes.append(f"""pr_s{t} AS (
+  SELECT dst, {_ordered_fold('contrib', 'src', d)} AS s
+  FROM pr_c{t} GROUP BY dst
+)""")
+        ctes.append(f"""pr_r{t} AS (
+  SELECT n.node,
+         {PAGERANK_RESET} + {PAGERANK_DAMP}
+           * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS r
+  FROM pr_n n LEFT JOIN pr_s{t} s ON n.node = s.dst
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT node AS vec_id, r AS rank_score FROM pr_r{iters}"""
+
+
 def corpus_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.corpus_filter: the composed C4/
     Gopher-style corpus admission verdict. Each stage's SQL is the

@@ -1440,6 +1440,18 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pagerank", oracle=O.pagerank_sql(G.DUCK))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the kNN semantic graph (GraphX
+    semantics: fixed rounds, reset 0.15, no dangling redistribution)
+    — the representativeness score curation uses to pick canonical
+    docs per neighborhood. Iterative driver loop; ordered-fold sums
+    keep doubles bit-equal cross-engine."""
+    return similarity_search.pagerank_centrality(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("hard_negatives", oracle=O.hard_negatives_sql(G.DUCK))
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (DPR/SimCSE-style): per anchor vector the
@@ -1799,6 +1811,7 @@ _QUERY_ORDER = [
     "hard_negatives",
     "props_rollup",
     "hash_embed",
+    "pagerank",
 ]
 
 

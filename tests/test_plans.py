@@ -316,6 +316,20 @@ def test_semdedup_plan_shape(spark):
             assert "vec_id" in line, line
 
 
+def test_pagerank_plan_shape(spark):
+    """Each PageRank round adds only equi-joins + one grouped ordered
+    fold over the checkpointed edge list: no CartesianProduct, no
+    window at all outside knn_join's construction (which ran at build
+    time into the localCheckpoint), no BroadcastNestedLoopJoin."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    p = _plan(SS.pagerank_centrality(emb))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window [" not in p  # edges are pre-materialized
+
+
 def test_hard_negatives_plan_shape(spark):
     """Hard-negative mining adds only equi-joins + one self-keyed
     window on top of the shared _knn_pairs bucket join: no

@@ -685,6 +685,46 @@ def test_knn_label_noise_invariants(spark):
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
 
 
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    """The distributed loop equals a pure-Python GraphX-semantics
+    power iteration over the same kNN edge list, bit-for-bit (same
+    src-ordered fold); no-inbound nodes sit exactly at the reset
+    value; every rank is >= reset."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as ss
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    edges = [
+        (r["vec_id"], r["nbr_id"]) for r in ss.knn_join(emb).collect()
+    ]
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    out: dict[int, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {n: 1.0 for n in nodes}
+    for _ in range(ss.PAGERANK_ITERS):
+        inc: dict[int, list[tuple[int, float]]] = {}
+        for s, dst in edges:
+            inc.setdefault(dst, []).append((s, r[s] / float(out[s])))
+        nxt = {}
+        for n in nodes:
+            acc = 0.0
+            for _, contrib in sorted(inc.get(n, [])):
+                acc = acc + contrib
+            nxt[n] = ss.PAGERANK_RESET + ss.PAGERANK_DAMP * acc
+        r = nxt
+    got = {
+        row["vec_id"]: row["rank_score"]
+        for row in ss.pagerank_centrality(emb).collect()
+    }
+    assert got == r
+    no_in = nodes - {d for _, d in edges}
+    for n in no_in:
+        assert got[n] == ss.PAGERANK_RESET
+    assert all(v >= ss.PAGERANK_RESET for v in got.values())
+
+
 def test_hash_embed_unit_norm_and_recompute(spark):
     """Every emitted document vector is unit-L2; sparse rows match a
     pure-Python recompute of the hashing trick (same md5 48-bit hash,
