@@ -306,6 +306,43 @@ def events_retention(events: DataFrame) -> DataFrame:
     )
 
 
+TRANSITION_END = "<end>"  # terminal pseudo-state (complete accounting)
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    streams: count (event_type → next event_type) for consecutive
+    events of the same user (ordered by epoch, event_id); each user's
+    last event transitions to the ``<end>`` terminal so every
+    from-type's probabilities sum to exactly 1. The probability is
+    one int/int double division (cross-engine exact).
+
+    Scale shape: one self-keyed window per user (fan-in = that user's
+    events) → map-side-combinable groupBy on the tiny (from, to) key →
+    equi-join of two aggregate tables. No global sort, no hot-key
+    window."""
+    epoch = ntz_epoch("ts")
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    e = events.select(
+        "user_id", "event_id", "event_type", epoch.alias("epoch")
+    ).select(
+        F.col("event_type").alias("from_type"),
+        F.coalesce(F.lead("event_type").over(w), F.lit(TRANSITION_END))
+        .alias("to_type"),
+    )
+    n = e.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = n.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return n.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+
+
 PROPS_BAND_WIDTH = 10  # fixed-width banding of the $.k payload field
 
 

@@ -549,6 +549,66 @@ def pagerank_centrality(
     )
 
 
+def triangle_count(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    bits: int = LSH_SEARCH_BITS,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected kNN semantic graph — the cohesion signal that separates
+    tight semantic clusters (template families, boilerplate pockets)
+    from chain-like neighborhoods. Triangles are enumerated once each
+    via the oriented a<b<c three-way equi-join (the standard
+    relational triangle listing); coefficient = 2·T / (deg·(deg−1)),
+    one int/int double division, NULL below degree 2.
+
+    Scale shape: the undirected edge list (distinct least/greatest
+    pairs, ≤ N·k rows) is localCheckpoint'ed once and every join is an
+    equi-join on a vertex; per-vertex join fan-out is bounded by the
+    kNN degree (≤ bucket cap). No window, no global aggregate."""
+    e = knn_join(embeddings, k, bits, max_bucket)
+    und = (
+        e.select(
+            F.least("vec_id", "nbr_id").alias("a"),
+            F.greatest("vec_id", "nbr_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    tri_n = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    coef = F.when(
+        F.col("degree") >= 2,
+        (2 * F.col("n_tri")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+    )
+    return (
+        deg.join(tri_n, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+        )
+        .select("vec_id", "degree", "n_tri", coef.alias("clustering_coef"))
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame, threshold: float = 0.95, n_limit: int = 200
 ) -> DataFrame:

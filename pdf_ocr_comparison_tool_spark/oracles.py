@@ -2692,6 +2692,39 @@ def events_pivot_sql(d: str) -> str:
 FROM events GROUP BY user_id"""
 
 
+def event_transitions_sql(d: str) -> str:
+    """Mirror of operators.reports.event_transitions: per-user lead()
+    (epoch, event_id order), '<end>' terminal, (from,to) counts and
+    int/int transition probability."""
+    from .operators.reports import TRANSITION_END
+
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    end = G.lit(TRANSITION_END, d)
+    return f"""WITH et_e AS (
+  SELECT user_id, event_id, event_type, {epoch} AS epoch FROM events
+),
+et_t AS (
+  SELECT event_type AS from_type,
+         COALESCE(lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch, event_id
+         ), {end}) AS to_type
+  FROM et_e
+),
+et_n AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM et_t GROUP BY from_type, to_type
+),
+et_f AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+  FROM et_n GROUP BY from_type
+)
+SELECT n.from_type, n.to_type, n.n, f.n_from,
+       CAST(n.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
+FROM et_n n JOIN et_f f ON n.from_type = f.from_type"""
+
+
 def props_rollup_sql(d: str, band_width: int = 10) -> str:
     """Mirror of operators.reports.props_rollup: JSON $.k extraction
     (dialect helper), fixed-width integer banding, decimal-exact value
@@ -3253,6 +3286,44 @@ def pagerank_sql(
     body = ",\n".join(ctes)
     return f"""WITH {body}
 SELECT node AS vec_id, r AS rank_score FROM pr_r{iters}"""
+
+
+def triangle_count_sql(
+    d: str, k: int = 3, bits: int = 8, max_bucket: int = 256
+) -> str:
+    """Mirror of similarity_search.triangle_count: oriented a<b<c
+    three-way equi-join triangle listing over the undirected kNN edge
+    list, per-node counts, 2T/(deg(deg-1)) coefficient."""
+    mat = "MATERIALIZED " if d == DUCK else ""
+    return f"""WITH tc_u AS {mat}(
+  SELECT DISTINCT least(vec_id, nbr_id) AS a, greatest(vec_id, nbr_id) AS b
+  FROM ({knn_join_sql(d, k, bits, max_bucket)})
+),
+tc_t AS {mat}(
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM tc_u e1
+  JOIN tc_u e2 ON e1.b = e2.a
+  JOIN tc_u e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tc_n AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM tc_t
+    UNION ALL SELECT y AS node FROM tc_t
+    UNION ALL SELECT z AS node FROM tc_t
+  ) GROUP BY node
+),
+tc_d AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM tc_u UNION ALL SELECT b AS node FROM tc_u
+  ) GROUP BY node
+)
+SELECT d.node AS vec_id, d.degree,
+       COALESCE(n.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       CASE WHEN d.degree >= 2 THEN
+         CAST(2 * COALESCE(n.n_tri, CAST(0 AS BIGINT)) AS DOUBLE)
+           / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       END AS clustering_coef
+FROM tc_d d LEFT JOIN tc_n n ON d.node = n.node"""
 
 
 def corpus_filter_sql(d: str, docs: str = "documents") -> str:

@@ -500,6 +500,14 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("event_transitions", oracle=O.event_transitions_sql(G.DUCK))
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    streams (behavioral analytics): (from_type → to_type) counts with
+    an <end> terminal and exact int/int transition probabilities."""
+    return reports.event_transitions(synth.load_table(spark, sf_dir, "events"))
+
+
 @register("props_rollup", oracle=O.props_rollup_sql(G.DUCK))
 def q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload rollup: JSON `props` parsed JVM-side
@@ -1452,6 +1460,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("triangle_count", oracle=O.triangle_count_sql(G.DUCK))
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangles + local clustering coefficient on the
+    undirected kNN semantic graph (oriented a<b<c relational triangle
+    listing) — the cohesion signal separating tight template/
+    boilerplate clusters from chain-like neighborhoods."""
+    return similarity_search.triangle_count(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("hard_negatives", oracle=O.hard_negatives_sql(G.DUCK))
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (DPR/SimCSE-style): per anchor vector the
@@ -1812,6 +1831,8 @@ _QUERY_ORDER = [
     "props_rollup",
     "hash_embed",
     "pagerank",
+    "event_transitions",
+    "triangle_count",
 ]
 
 

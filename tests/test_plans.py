@@ -330,6 +330,19 @@ def test_pagerank_plan_shape(spark):
     assert "Window [" not in p  # edges are pre-materialized
 
 
+def test_triangle_count_plan_shape(spark):
+    """Triangle listing is three equi-joins on vertices over the
+    checkpointed undirected edge list: no CartesianProduct, no
+    BroadcastNestedLoopJoin, no window."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+
+    emb = synth.load_table(spark, SF_DIR, "embeddings")
+    p = _plan(SS.triangle_count(emb))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window [" not in p
+
+
 def test_hard_negatives_plan_shape(spark):
     """Hard-negative mining adds only equi-joins + one self-keyed
     window on top of the shared _knn_pairs bucket join: no

@@ -685,6 +685,93 @@ def test_knn_label_noise_invariants(spark):
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
 
 
+def test_event_transitions_accounting(spark):
+    """Every event contributes exactly one from-row (terminal
+    included): Σn == n_events; per from_type Σp == 1 exactly as a
+    rational; hand-checked transitions on a constructed stream."""
+    from pdf_ocr_comparison_tool_spark.operators import reports
+
+    rows = [
+        # user 1: a -> b -> a -> <end>
+        (1, 1, "a", "2024-01-01 00:00:00"),
+        (2, 1, "b", "2024-01-01 00:01:00"),
+        (3, 1, "a", "2024-01-01 00:02:00"),
+        # user 2: b -> b -> <end>; same-ts tie broken by event_id
+        (4, 2, "b", "2024-01-01 00:00:00"),
+        (5, 2, "b", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t, ts) for e, u, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts string",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts", "CAST(1.0 AS DOUBLE) AS value",
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in reports.event_transitions(ev).collect()
+    }
+    assert {k: v["n"] for k, v in out.items()} == {
+        ("a", "b"): 1,
+        ("b", "a"): 1,
+        ("a", reports.TRANSITION_END): 1,
+        ("b", "b"): 1,
+        ("b", reports.TRANSITION_END): 1,
+    }
+    assert sum(v["n"] for v in out.values()) == len(rows)
+    from fractions import Fraction
+
+    by_from: dict[str, Fraction] = {}
+    for (f_, _), v in out.items():
+        assert v["p"] == v["n"] / float(v["n_from"])
+        by_from[f_] = by_from.get(f_, Fraction(0)) + Fraction(
+            v["n"], v["n_from"]
+        )
+    assert all(s == 1 for s in by_from.values())
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Per-node triangle counts equal a brute-force recount over the
+    same undirected kNN edge list; Σn_tri == 3 × (#triangles);
+    coefficient is 2T/(deg(deg-1)) and NULL exactly below degree 2."""
+    from itertools import combinations
+
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as ss
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    und = {
+        (min(r["vec_id"], r["nbr_id"]), max(r["vec_id"], r["nbr_id"]))
+        for r in ss.knn_join(emb).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri: dict[int, int] = {}
+    n_total = 0
+    for v, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if y in adj.get(x, set()):
+                tri[v] = tri.get(v, 0) + 1
+                n_total += 1
+    n_total //= 3  # each triangle seen once per vertex
+    rows = ss.triangle_count(emb).collect()
+    assert {r["vec_id"] for r in rows} == set(adj)
+    assert sum(r["n_tri"] for r in rows) == 3 * n_total
+    for r in rows:
+        v = r["vec_id"]
+        assert r["degree"] == len(adj[v])
+        assert r["n_tri"] == tri.get(v, 0)
+        if r["degree"] < 2:
+            assert r["clustering_coef"] is None
+        else:
+            want = 2.0 * r["n_tri"] / float(r["degree"] * (r["degree"] - 1))
+            assert r["clustering_coef"] == want
+            assert 0.0 <= r["clustering_coef"] <= 1.0
+
+
 def test_pagerank_matches_pure_python_power_iteration(spark):
     """The distributed loop equals a pure-Python GraphX-semantics
     power iteration over the same kNN edge list, bit-for-bit (same
