@@ -404,6 +404,7 @@ def knn_join(
     k: int = KNN_K,
     bits: int = LSH_SEARCH_BITS,
     max_bucket: int = 256,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """All-corpus approximate kNN SELF-JOIN — every vector gets its
     top-k cosine neighbors (not just a probe set): the shape semantic
@@ -413,8 +414,12 @@ def knn_join(
     window whose partition key is the vector itself, so fan-in is
     bounded by the bucket size. Vectors whose bucket holds fewer than
     k neighbors emit fewer rows (approximate by design, like
-    lsh_search). Emits (vec_id, rank, nbr_id, sim)."""
-    pairs = _knn_pairs(embeddings, bits, max_bucket)
+    lsh_search). Emits (vec_id, rank, nbr_id, sim). ``pairs=`` lets a
+    multi-consumer caller (the ``--job embed`` CLI) inject an
+    already-cached _knn_pairs frame — the caller-owned cache
+    contract."""
+    if pairs is None:
+        pairs = _knn_pairs(embeddings, bits, max_bucket)
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -429,6 +434,7 @@ def hard_negatives(
     bits: int = LSH_SEARCH_BITS,
     max_bucket: int = 256,
     max_sim: float = HARDNEG_MAX_SIM,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (DPR / SimCSE
     style, public): per anchor, the top-k most-similar in-bucket
@@ -443,8 +449,10 @@ def hard_negatives(
     hot-bucket guarded); labels join in from the narrow
     (vec_id, label) projection; the ranking window is keyed by the
     anchor itself, fan-in ≤ bucket size. Emits
-    (vec_id, label, neg_rank, neg_id, neg_label, sim)."""
-    pairs = _knn_pairs(embeddings, bits, max_bucket)
+    (vec_id, label, neg_rank, neg_id, neg_label, sim). ``pairs=`` is
+    the caller-owned cache hook (shared _knn_pairs build)."""
+    if pairs is None:
+        pairs = _knn_pairs(embeddings, bits, max_bucket)
     own = embeddings.select("vec_id", "label")
     nbr = embeddings.select(
         F.col("vec_id").alias("nbr_id"), F.col("label").alias("neg_label")
@@ -480,6 +488,7 @@ def pagerank_centrality(
     k: int = KNN_K,
     bits: int = LSH_SEARCH_BITS,
     max_bucket: int = 256,
+    knn: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank-style centrality over the approximate-kNN semantic
     graph, with GraphX/Pregel semantics (public): r0 = 1.0,
@@ -499,12 +508,16 @@ def pagerank_centrality(
     isn't recomputed per round — the CC pattern); in-degree (fold
     fan-in) is bounded by the bucket cap; each round is two equi-joins
     + one map-side-groupable aggregate. No window, no global
-    aggregate, no driver round-trips beyond the fixed loop."""
-    edges = (
-        knn_join(embeddings, k, bits, max_bucket)
-        .select(F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst"))
-        .localCheckpoint()
+    aggregate, no driver round-trips beyond the fixed loop. ``knn=``
+    injects an already-cached knn_join frame (caller-owned cache —
+    the ``--job embed`` CLI); the localCheckpoint is then skipped
+    since the caller's cache already cuts the LSH subtree."""
+    base = knn if knn is not None else knn_join(embeddings, k, bits, max_bucket)
+    edges = base.select(
+        F.col("vec_id").alias("src"), F.col("nbr_id").alias("dst")
     )
+    if knn is None:
+        edges = edges.localCheckpoint()
     out = edges.groupBy("src").agg(
         F.count("*").cast("long").alias("out_cnt")
     )
@@ -554,6 +567,7 @@ def triangle_count(
     k: int = KNN_K,
     bits: int = LSH_SEARCH_BITS,
     max_bucket: int = 256,
+    knn: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
     undirected kNN semantic graph — the cohesion signal that separates
@@ -566,8 +580,11 @@ def triangle_count(
     Scale shape: the undirected edge list (distinct least/greatest
     pairs, ≤ N·k rows) is localCheckpoint'ed once and every join is an
     equi-join on a vertex; per-vertex join fan-out is bounded by the
-    kNN degree (≤ bucket cap). No window, no global aggregate."""
-    e = knn_join(embeddings, k, bits, max_bucket)
+    kNN degree (≤ bucket cap). No window, no global aggregate.
+    ``knn=`` injects a cached knn_join frame (caller-owned cache);
+    the edge list is still checkpointed — it is re-referenced five
+    times inside this one plan."""
+    e = knn if knn is not None else knn_join(embeddings, k, bits, max_bucket)
     und = (
         e.select(
             F.least("vec_id", "nbr_id").alias("a"),
@@ -1031,6 +1048,7 @@ def knn_label_noise(
     k: int = KNN_K,
     bits: int = LSH_SEARCH_BITS,
     max_bucket: int = 256,
+    knn: DataFrame | None = None,
 ) -> DataFrame:
     """Confident-learning-style label-noise detection (Northcutt et
     al., public): each labeled vector's k approximate nearest
@@ -1046,7 +1064,9 @@ def knn_label_noise(
     (hot-bucket guarded, never all-pairs); everything after is
     map-side-combinable groupBys on (vec_id, label) + equi-joins
     against the narrow (vec_id, label) projection."""
-    nn = knn_join(embeddings, k, bits, max_bucket).select("vec_id", "nbr_id")
+    nn = (
+        knn if knn is not None else knn_join(embeddings, k, bits, max_bucket)
+    ).select("vec_id", "nbr_id")
     own = embeddings.select("vec_id", "label")
     nbr = embeddings.select(
         F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")

@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--cores", default=None)
     p.add_argument(
         "--job",
-        choices=("extract", "corpus", "match", "tokenize", "dedup"),
+        choices=("extract", "corpus", "match", "tokenize", "dedup", "embed"),
         default="extract",
         help="extract = spans pipeline; corpus = admission filter + split "
         "(+ --publish for the final shard layout); match = the "
@@ -42,7 +42,10 @@ def main(argv: list[str] | None = None) -> None:
         "+ vocab + corpus encode (the tokenizer artifacts + the "
         "tensor-ready token table); dedup = near-dup pipeline end to "
         "end (LSH candidates → verify → CC → quality-aware keeper + "
-        "cluster profile + sketch calibration)",
+        "cluster profile + sketch calibration); embed = embedding-"
+        "curation suite over embeddings.parquet (kNN graph + hard "
+        "negatives + label-noise screen + PageRank centrality + "
+        "triangle cohesion) off one cached candidate-pair build",
     )
     p.add_argument(
         "--publish",
@@ -186,6 +189,48 @@ def main(argv: list[str] | None = None) -> None:
             "clustered_docs": n_clustered,
             "keepers": n_keep,
             "dropped": n_clustered - n_keep,
+        }))
+        spark.stop()
+        return
+
+    if args.job == "embed":
+        # the embedding-curation suite end to end: ONE cached
+        # candidate-pair build (the LSH bucket self-join — the only
+        # expensive stage) feeds the kNN graph; the cached kNN graph
+        # then feeds label noise / PageRank / triangles, so the graph
+        # is built exactly once across the five outputs
+        from .operators import similarity_search as ss
+
+        emb = synth.load_table(spark, args.input, "embeddings").repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        pairs = ss._knn_pairs(emb, ss.LSH_SEARCH_BITS, 256).cache()
+        knn = ss.knn_join(emb, pairs=pairs).cache()
+        knn.write.mode("overwrite").parquet(f"{args.output}/knn")
+        ss.hard_negatives(emb, pairs=pairs).write.mode("overwrite").parquet(
+            f"{args.output}/hard_negatives"
+        )
+        ss.knn_label_noise(emb, knn=knn).write.mode("overwrite").parquet(
+            f"{args.output}/label_noise"
+        )
+        ss.pagerank_centrality(emb, knn=knn).write.mode("overwrite").parquet(
+            f"{args.output}/pagerank"
+        )
+        ss.triangle_count(emb, knn=knn).write.mode("overwrite").parquet(
+            f"{args.output}/triangles"
+        )
+        pairs.unpersist()
+        knn.unpersist()
+        nn = spark.read.parquet(f"{args.output}/knn")
+        sus = spark.read.parquet(f"{args.output}/label_noise")
+        print(json.dumps({
+            "job": "embed",
+            "run_id": run_id,
+            "knn_edges": nn.count(),
+            "suspects": sus.filter(F.col("suspect")).count(),
+            "hard_negatives": spark.read.parquet(
+                f"{args.output}/hard_negatives"
+            ).count(),
         }))
         spark.stop()
         return

@@ -244,6 +244,40 @@ def test_pq_fit_reduces_quantization_error(spark):
     assert len(per_q) == SS.PQ_N_QUERIES
 
 
+def test_embed_suite_injection_matches_standalone(spark):
+    """The --job embed CLI's caller-owned cache hooks (pairs= / knn=)
+    must be pure plumbing: every suite member returns row-identical
+    results whether it builds the graph itself or consumes the shared
+    cached build."""
+    from pdf_ocr_comparison_tool_spark.operators import similarity_search as SS
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    emb = synth.load_table(spark, SF_DIR_001, "embeddings")
+    pairs = SS._knn_pairs(emb, SS.LSH_SEARCH_BITS, 256).cache()
+    knn = SS.knn_join(emb, pairs=pairs).cache()
+    try:
+        def key(df):
+            return sorted(map(tuple, df.collect()))
+
+        assert key(knn) == key(SS.knn_join(emb))
+        assert key(SS.hard_negatives(emb, pairs=pairs)) == key(
+            SS.hard_negatives(emb)
+        )
+        assert key(SS.knn_label_noise(emb, knn=knn)) == key(
+            SS.knn_label_noise(emb)
+        )
+        assert key(SS.pagerank_centrality(emb, knn=knn)) == key(
+            SS.pagerank_centrality(emb)
+        )
+        assert key(SS.triangle_count(emb, knn=knn)) == key(
+            SS.triangle_count(emb)
+        )
+    finally:
+        knn.unpersist()
+        pairs.unpersist()
+
+
 def test_knn_join_shape_and_ordering(spark):
     """All-corpus kNN self-join: no self-neighbors, ranks contiguous
     from 1 with sims non-increasing per vector, at most k rows per
