@@ -84,12 +84,18 @@ HEADLINE = [
     "emb_knn_join",
     "emb_semdedup",
     "knn_label_noise",
+    "hard_negatives",
+    "pagerank",
+    "triangle_count",
+    "hash_embed",
     "mixture_sample",
     "events_sessions",
     "events_asof",
     "session_errors",
     "events_funnel",
     "events_retention",
+    "event_transitions",
+    "props_rollup",
     "lineitem_rollup",
 ]
 
