@@ -375,3 +375,59 @@ def streaming_last_touch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANS_OUTPUT_SCHEMA = "user_id long, from_type string, to_type string"
+TRANS_STATE_SCHEMA = "e long, i long, t string"
+
+
+def _transitions_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_t = state.get[2] if state.exists else None
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    rows = pd.concat(chunks, ignore_index=True).sort_values(
+        ["epoch", "event_id"]
+    )
+    types = rows["event_type"].tolist()
+    froms = ([last_t] if last_t is not None else []) + types[:-1]
+    tos = types if last_t is not None else types[1:]
+    tail = rows.iloc[-1]
+    state.update((int(tail["epoch"]), int(tail["event_id"]), str(tail["event_type"])))
+    if not froms:
+        return
+    yield pd.DataFrame(
+        {"user_id": user_id, "from_type": froms, "to_type": tos}
+    )
+
+
+def streaming_event_transitions(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of reports.event_transitions — per-user Markov
+    transition rows emitted as events ARRIVE: the state store carries
+    each user's latest event (epoch, id, type); every arrival whose
+    user has a prior event emits one (from_type, to_type) row. The
+    ``<end>`` terminal has no streaming analogue (a stream never
+    ends) — the batch-equality contract is on the non-terminal rows,
+    under the same in-order-per-user ingestion caveat as the other
+    streaming twins. Downstream counting/probabilities are a plain
+    streaming aggregation over these rows."""
+    from ..operators.reports import ntz_epoch
+
+    prepared = events_stream.select(
+        "user_id",
+        "event_id",
+        ntz_epoch("ts").cast("long").alias("epoch"),
+        "event_type",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _transitions_update,
+        outputStructType=TRANS_OUTPUT_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

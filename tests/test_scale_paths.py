@@ -446,6 +446,66 @@ def test_streaming_incremental_dedup_matches_batch(spark):
     }
 
 
+def test_streaming_event_transitions_match_batch(spark):
+    """The streaming Markov-transition twin equals the batch
+    event_transitions counts (terminal rows excluded — a stream never
+    ends) on the real events table, split across two triggers so
+    cross-trigger state must carry each user's last event over the
+    file boundary."""
+    import os
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import reports
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    events = synth.load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    with tempfile.TemporaryDirectory() as tdir:
+        for j, part in (
+            (1, events.filter(F.col("event_id") <= mid)),
+            (2, events.filter(F.col("event_id") > mid)),
+        ):
+            part.coalesce(1).write.parquet(f"{tdir}/f{j}")
+            for root, _, files in os.walk(f"{tdir}/f{j}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (j * 1000, j * 1000))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, "
+                "ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tdir}/f*")
+        )
+        out = stateful.streaming_event_transitions(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_trans")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got: dict[tuple, int] = {}
+        for r in spark.sql("SELECT * FROM stream_trans").collect():
+            k = (r["from_type"], r["to_type"])
+            got[k] = got.get(k, 0) + 1
+    exp = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in reports.event_transitions(
+            synth.load_table(spark, SF_DIR, "events")
+        ).collect()
+        if r["to_type"] != reports.TRANSITION_END
+    }
+    assert got and got == exp
+
+
 def test_streaming_last_touch_matches_batch_asof(spark):
     """The streaming attribution twin equals the batch as-of join on
     the real events table when ingestion order follows event time
