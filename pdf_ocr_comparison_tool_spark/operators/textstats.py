@@ -879,6 +879,45 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
 
 
 # collocation spec — shared with oracles.collocations_sql
+DSIR_SAMPLE_SCALE = 2.0  # keep probability = avg_lr / SCALE, capped at 1
+
+
+def dsir_sample(docs: DataFrame) -> DataFrame:
+    """Materialize DSIR importance RESAMPLING: each raw-pool document
+    keeps with probability ``min(1, avg_lr / DSIR_SAMPLE_SCALE)``
+    (weight-proportional, the paper's resampling step made
+    deterministic), applied as the mixture_sample md5-bucket threshold
+    — a pure function of (doc_id, corpus counts), stable across runs,
+    partitionings and engines. Docs with no features (avg_lr NULL)
+    keep rate 0. Emits every raw doc with its weight, rate and
+    verdict (filter on ``sampled`` to materialize the resampled set).
+
+    Scale shape: dsir_weights' own shape plus one narrow projection —
+    the threshold test adds no shuffle."""
+    from .features import hash_bucket
+    from .pipeline import _SAMPLE_RES
+
+    w = dsir_weights(docs)
+    rate = F.least(
+        F.lit(1.0), F.col("avg_lr") / F.lit(DSIR_SAMPLE_SCALE)
+    )
+    h = hash_bucket(F.col("doc_id"), _SAMPLE_RES)
+    return w.select(
+        "doc_id",
+        "n_feat",
+        "avg_lr",
+        F.coalesce(rate, F.lit(0.0)).alias("keep_rate"),
+    ).select(
+        "doc_id",
+        "n_feat",
+        "avg_lr",
+        "keep_rate",
+        (h.cast("double") < F.col("keep_rate") * _SAMPLE_RES).alias(
+            "sampled"
+        ),
+    )
+
+
 COLLOC_MIN_COUNT = 5
 COLLOC_TOP = 100
 

@@ -2725,6 +2725,27 @@ SELECT n.from_type, n.to_type, n.n, f.n_from,
 FROM et_n n JOIN et_f f ON n.from_type = f.from_type"""
 
 
+def dsir_sample_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.dsir_sample: DSIR weights nested
+    as a CTE, keep rate = min(1, avg_lr/SCALE), md5-bucket threshold
+    verdict (the mixture_sample recipe)."""
+    from .operators.pipeline import _SAMPLE_RES
+    from .operators.textstats import DSIR_SAMPLE_SCALE
+
+    h = f"({G.hexint(G.cast_str('doc_id', d), d)}) % {_SAMPLE_RES}"
+    return f"""WITH dsw AS ({dsir_weights_sql(d, docs)}),
+dss AS (
+  SELECT doc_id, n_feat, avg_lr,
+         coalesce(least(CAST(1.0 AS DOUBLE),
+                        avg_lr / {DSIR_SAMPLE_SCALE}),
+                  CAST(0.0 AS DOUBLE)) AS keep_rate
+  FROM dsw
+)
+SELECT doc_id, n_feat, avg_lr, keep_rate,
+       CAST(({h}) AS DOUBLE) < keep_rate * {_SAMPLE_RES} AS sampled
+FROM dss"""
+
+
 def props_rollup_sql(d: str, band_width: int = 10) -> str:
     """Mirror of operators.reports.props_rollup: JSON $.k extraction
     (dialect helper), fixed-width integer banding, decimal-exact value

@@ -737,6 +737,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.inverted_index(docs)
 
 
+@register("dsir_sample", oracle=O.dsir_sample_sql(G.DUCK))
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling materialized: keep probability
+    min(1, avg_lr/2) per raw doc, applied as the deterministic
+    md5-bucket threshold — weight-proportional selection that is a
+    pure function of (doc_id, corpus counts)."""
+    return textstats.dsir_sample(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("dsir_weights", oracle=O.dsir_weights_sql(G.DUCK))
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights for data selection: hashed-bigram
@@ -1833,6 +1842,7 @@ _QUERY_ORDER = [
     "pagerank",
     "event_transitions",
     "triangle_count",
+    "dsir_sample",
 ]
 
 

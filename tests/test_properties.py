@@ -685,6 +685,30 @@ def test_knn_label_noise_invariants(spark):
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
 
 
+def test_dsir_sample_threshold_semantics(spark):
+    """keep_rate = min(1, avg_lr/SCALE) (0 for featureless docs); the
+    verdict is exactly the md5-bucket threshold test, recomputed in
+    pure Python per row."""
+    import hashlib
+
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+    from pdf_ocr_comparison_tool_spark.operators.pipeline import _SAMPLE_RES
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    for r in T.dsir_sample(docs).collect():
+        if r["avg_lr"] is None:
+            assert r["keep_rate"] == 0.0 and not r["sampled"]
+            continue
+        assert r["keep_rate"] == min(1.0, r["avg_lr"] / T.DSIR_SAMPLE_SCALE)
+        h = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            % _SAMPLE_RES
+        )
+        assert r["sampled"] == (float(h) < r["keep_rate"] * _SAMPLE_RES)
+
+
 def test_event_transitions_accounting(spark):
     """Every event contributes exactly one from-row (terminal
     included): Σn == n_events; per from_type Σp == 1 exactly as a
