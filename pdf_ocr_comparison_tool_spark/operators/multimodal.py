@@ -184,3 +184,49 @@ def decode_media(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "media_ref", "payload").mapInPandas(
         _batches, DECODE_SCHEMA
     )
+
+
+# media admission policy (spec constants shared with the oracle —
+# change oracles.media_filter_sql together)
+MEDIA_MIN_W = 8          # image resolution floor
+MEDIA_MIN_H = 2
+MEDIA_MAX_ASPECT = 8     # keep iff width <= 8 * height (no division)
+MEDIA_MIN_SAMPLES = 256  # audio duration floor
+
+
+def media_filter(decoded: DataFrame) -> DataFrame:
+    """Media admission policy over DECODED container headers — the
+    multimodal analogue of corpus_filter: resolution floor + aspect
+    cap for images, duration floor + expected sample rate for audio,
+    one fixed drop-reason precedence. All predicates are pure integer
+    comparisons (the aspect cap is ``width <= 8*height``, never a
+    division) evaluated on the bytes→struct parse output, so the gate
+    exercises the real decode plumbing end to end. Emits every media
+    span with (keep, drop_reason) — filter on keep to materialize.
+
+    Scale shape: a narrow projection over the decode output; no
+    shuffle, no Python beyond the decode stage itself."""
+    is_img = F.col("format") == "bmp"
+    reason = (
+        F.when(is_img & (F.col("width") < MEDIA_MIN_W), "too_narrow")
+        .when(is_img & (F.col("height") < MEDIA_MIN_H), "too_flat")
+        .when(
+            is_img
+            & (F.col("width") > MEDIA_MAX_ASPECT * F.col("height")),
+            "extreme_aspect",
+        )
+        .when(
+            (~is_img) & (F.col("n_samples") < MEDIA_MIN_SAMPLES),
+            "too_short_audio",
+        )
+        .when((~is_img) & (F.col("sample_rate") != WAV_SR), "bad_sample_rate")
+    )
+    return decoded.select(
+        "doc_id", "media_ref", "format", reason.alias("drop_reason")
+    ).select(
+        "doc_id",
+        "media_ref",
+        "format",
+        F.col("drop_reason").isNull().alias("keep"),
+        "drop_reason",
+    )

@@ -588,6 +588,35 @@ SELECT {G.cast_str('doc_id', d)} AS doc_id, media_ref,
 FROM ext WHERE kind = 'media'"""
 
 
+def media_filter_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.multimodal.media_filter over the decode
+    oracle: the same fixed-precedence integer policy CASE on top of
+    media_decode_sql's header derivation."""
+    from .operators.multimodal import (
+        MEDIA_MAX_ASPECT,
+        MEDIA_MIN_H,
+        MEDIA_MIN_SAMPLES,
+        MEDIA_MIN_W,
+        WAV_SR,
+    )
+
+    img = "format = 'bmp'"
+    reason = f"""CASE
+    WHEN {img} AND width < {MEDIA_MIN_W} THEN 'too_narrow'
+    WHEN {img} AND height < {MEDIA_MIN_H} THEN 'too_flat'
+    WHEN {img} AND width > {MEDIA_MAX_ASPECT} * height THEN 'extreme_aspect'
+    WHEN NOT ({img}) AND n_samples < {MEDIA_MIN_SAMPLES} THEN 'too_short_audio'
+    WHEN NOT ({img}) AND sample_rate <> {WAV_SR} THEN 'bad_sample_rate'
+  END"""
+    return f"""WITH mf_d AS ({media_decode_sql(d, docs)}),
+mf_r AS (
+  SELECT doc_id, media_ref, format, {reason} AS drop_reason FROM mf_d
+)
+SELECT doc_id, media_ref, format,
+       drop_reason IS NULL AS keep, drop_reason
+FROM mf_r"""
+
+
 def doc_processing_stats_sql(d: str, docs: str = "documents") -> str:
     """A6 per-file stats + 合计 rollup row over the extraction output."""
     ms = "CAST(coalesce(sum(length(text)), 0) AS BIGINT)"

@@ -462,6 +462,22 @@ def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_manifest(ext)
 
 
+@register("media_filter", oracle=O.media_filter_sql(G.DUCK))
+def q_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media admission policy (the multimodal corpus_filter): integer
+    resolution/aspect/duration/sample-rate gates with fixed drop
+    precedence, evaluated on the REAL bytes→struct decode output —
+    the oracle re-derives the verdict from the shared synthesis
+    spec, so the decode round trip is externally checked again."""
+    from .operators import multimodal
+
+    ext = extraction.extract_ordered_spans(synth.spans_df(spark, sf_dir))
+    dec = multimodal.decode_media(
+        multimodal.fetch_bytes(multimodal.media_manifest(ext))
+    )
+    return multimodal.media_filter(dec)
+
+
 @register("media_decode", oracle=O.media_decode_sql(G.DUCK))
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, driver-oracled: fetch (Arrow pandas UDF,
@@ -1843,6 +1859,7 @@ _QUERY_ORDER = [
     "event_transitions",
     "triangle_count",
     "dsir_sample",
+    "media_filter",
 ]
 
 

@@ -23,6 +23,42 @@ def test_salted_repartition_preserves_and_spreads(spark):
     assert a == b
 
 
+def test_media_filter_policy_branches(spark):
+    """Every policy branch fires on a constructed decoded frame —
+    including bad_sample_rate, unreachable from the synthesis spec —
+    and precedence is fixed (too_narrow beats extreme_aspect)."""
+    from pdf_ocr_comparison_tool_spark.operators import multimodal as M
+
+    rows = [
+        # (ref, format, w, h, ch, sr, ns): expected verdicts below
+        ("m1", "bmp", 16, 4, 3, 0, 0),      # keep
+        ("m2", "bmp", 4, 1, 3, 0, 0),       # too_narrow (beats too_flat)
+        ("m3", "bmp", 8, 1, 3, 0, 0),       # too_flat
+        ("m4", "bmp", 32, 3, 3, 0, 0),      # extreme_aspect (32 > 8*3)
+        ("m5", "wav", 0, 0, 1, M.WAV_SR, 100),   # too_short_audio
+        ("m6", "wav", 0, 0, 1, 44100, 1000),     # bad_sample_rate
+        ("m7", "wav", 0, 0, 1, M.WAV_SR, 1000),  # keep
+    ]
+    dec = spark.createDataFrame(
+        [("d", *r) for r in rows],
+        "doc_id string, media_ref string, format string, width int, "
+        "height int, channels int, sample_rate int, n_samples long",
+    )
+    got = {
+        r["media_ref"]: (r["keep"], r["drop_reason"])
+        for r in M.media_filter(dec).collect()
+    }
+    assert got == {
+        "m1": (True, None),
+        "m2": (False, "too_narrow"),
+        "m3": (False, "too_flat"),
+        "m4": (False, "extreme_aspect"),
+        "m5": (False, "too_short_audio"),
+        "m6": (False, "bad_sample_rate"),
+        "m7": (True, None),
+    }
+
+
 def test_media_manifest_and_real_decode(spark):
     """Manifest → fetch (Arrow UDF, REAL BMP/WAV container bytes) →
     mapInPandas struct-parse. Decoded header fields must match the
