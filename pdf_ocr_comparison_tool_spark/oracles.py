@@ -588,6 +588,36 @@ SELECT {G.cast_str('doc_id', d)} AS doc_id, media_ref,
 FROM ext WHERE kind = 'media'"""
 
 
+def compaction_plan_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of sources.checkpoint.compaction_plan over the committed
+    rows of the checkpoint fixture: exclusive prefix sum in part order
+    DIV target → bin id, plus per-bin rollup joined back."""
+    from .sources.checkpoint import COMPACT_TARGET_SPANS
+
+    binid = P.idiv("cum", str(COMPACT_TARGET_SPANS), d)
+    return f"""WITH cpp AS ({checkpoint_parts_sql(d, docs)}),
+cmp_c AS (
+  SELECT part, n_spans AS n FROM cpp WHERE committed
+),
+cmp_p AS (
+  SELECT part, n,
+         CAST(coalesce(sum(n) OVER (
+           ORDER BY part ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum
+  FROM cmp_c
+),
+cmp_b AS (
+  SELECT part, n, CAST({binid} AS BIGINT) AS bin_id FROM cmp_p
+),
+cmp_s AS (
+  SELECT bin_id, CAST(count(*) AS BIGINT) AS bin_parts,
+         CAST(sum(n) AS BIGINT) AS bin_rows
+  FROM cmp_b GROUP BY bin_id
+)
+SELECT b.part, b.n, b.bin_id, s.bin_parts, s.bin_rows
+FROM cmp_b b JOIN cmp_s s ON b.bin_id = s.bin_id"""
+
+
 def media_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.multimodal.media_filter over the decode
     oracle: the same fixed-precedence integer policy CASE on top of

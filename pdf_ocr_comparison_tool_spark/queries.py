@@ -478,6 +478,19 @@ def q_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_filter(dec)
 
 
+@register("compaction_plan", oracle=O.compaction_plan_sql(G.DUCK))
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance planner (Iceberg rewriteDataFiles bin-pack
+    semantics) over the checkpoint fixture's committed parts: pack
+    parts in order into ~target-row output groups via an exclusive
+    prefix sum — metadata-scale planning, data files never shuffle."""
+    from .sources import checkpoint as cp
+
+    fixture = cp.ensure_partial_fixture(spark, sf_dir)
+    committed = cp.committed_parts(spark, fixture).select("part", "n_spans")
+    return cp.compaction_plan(committed)
+
+
 @register("media_decode", oracle=O.media_decode_sql(G.DUCK))
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, driver-oracled: fetch (Arrow pandas UDF,
@@ -1860,6 +1873,7 @@ _QUERY_ORDER = [
     "triangle_count",
     "dsir_sample",
     "media_filter",
+    "compaction_plan",
 ]
 
 

@@ -359,3 +359,47 @@ def ensure_partial_fixture(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             pass
     return target
+
+
+COMPACT_TARGET_SPANS = 600  # rows per compacted output file (spec
+#                             constant shared with the oracle)
+
+
+def compaction_plan(
+    parts: DataFrame,
+    size_col: str = "n_spans",
+    target: int = COMPACT_TARGET_SPANS,
+) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance pass every
+    long-lived checkpointed table needs (Iceberg ``rewriteDataFiles``
+    bin-pack semantics, public): committed parts are packed IN PART
+    ORDER into output groups of ~``target`` rows each, group id =
+    exclusive-prefix-sum DIV target. Pure integer arithmetic, so the
+    plan is deterministic across runs and engines.
+
+    Scale note: the input is the parts MANIFEST (one row per data
+    file) — metadata-scale by construction (≤ ~10⁶ rows even at 10¹²
+    docs), so the single ordered window IS the right plan: it is the
+    same centralized planning step Iceberg's own rewrite planner runs
+    on the driver; the data files themselves never move here. Emits
+    (part, n, bin_id, bin_parts, bin_rows)."""
+    from pyspark.sql import Window
+
+    p = parts.select(
+        F.col("part").cast("long").alias("part"),
+        F.col(size_col).cast("long").alias("n"),
+    )
+    w = Window.orderBy("part").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    binned = p.withColumn("_cum", cum).select(
+        "part", "n", F.expr(f"_cum DIV {target}").cast("long").alias("bin_id")
+    )
+    stats = binned.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("bin_parts"),
+        F.sum("n").cast("long").alias("bin_rows"),
+    )
+    return binned.join(stats, "bin_id").select(
+        "part", "n", "bin_id", "bin_parts", "bin_rows"
+    )

@@ -1,5 +1,6 @@
 """Exactly-once resume semantics (SURVEY §5: kill mid-job, rerun,
-assert exactly-once output)."""
+assert exactly-once output) + the manifest-level compaction
+planner."""
 
 from __future__ import annotations
 
@@ -252,3 +253,32 @@ def test_corpus_job_partitioning_invariant(spark):
         a = run(docs.repartition(3), f"{tdir}/a")
         b = run(docs.repartition(11).sortWithinPartitions("text"), f"{tdir}/b")
     assert a == b and a
+
+
+def test_compaction_plan_matches_python_binpack(spark):
+    """The planner equals a pure-Python exclusive-prefix-sum bin-pack,
+    including an oversized part (own bin, following ids jump); bin
+    rollups account for every row."""
+    sizes = [(0, 100), (1, 100), (2, 2000), (3, 100), (4, 500), (5, 700)]
+    parts = spark.createDataFrame(sizes, "part int, n_spans long")
+    target = cp.COMPACT_TARGET_SPANS
+    cum = 0
+    want = {}
+    for part, n in sizes:
+        want[part] = cum // target
+        cum += n
+    rows = cp.compaction_plan(parts).collect()
+    assert {r["part"]: r["bin_id"] for r in rows} == want
+    assert sum(r["n"] for r in rows) == sum(n for _, n in sizes)
+    by_bin: dict[int, list] = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for b, members in by_bin.items():
+        assert all(m["bin_parts"] == len(members) for m in members)
+        assert all(
+            m["bin_rows"] == sum(x["n"] for x in members) for m in members
+        )
+    # parts within a bin are contiguous in part order
+    for b, members in by_bin.items():
+        ids = sorted(m["part"] for m in members)
+        assert ids == list(range(ids[0], ids[-1] + 1))
