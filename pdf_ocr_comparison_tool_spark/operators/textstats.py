@@ -982,6 +982,19 @@ INDEX_DF_MIN = 2
 INDEX_DF_CAP = 64
 
 
+def _gram_doc_rows(docs: DataFrame, n: int) -> DataFrame:
+    """Per-doc-distinct (token=word-n-gram, doc_id) rows — the shared
+    front end of inverted_index / index_search."""
+    from .dedup import _ngrams_col
+
+    return docs.select(
+        F.explode(
+            F.array_distinct(_ngrams_col(tokens_col(F.col("text")), n))
+        ).alias("token"),
+        "doc_id",
+    )
+
+
 def inverted_index(docs: DataFrame, df_min: int = INDEX_DF_MIN,
                    df_cap: int = INDEX_DF_CAP, n: int = 3) -> DataFrame:
     """PHRASE-index build (the search-engine / plagiarism-lookup
@@ -997,14 +1010,7 @@ def inverted_index(docs: DataFrame, df_min: int = INDEX_DF_MIN,
     combinable df count, the band filter BEFORE the collect (so
     per-group arrays are bounded by df_cap at any corpus size), sorted
     join-back-free assembly."""
-    from .dedup import _ngrams_col
-
-    td = docs.select(
-        F.explode(
-            F.array_distinct(_ngrams_col(tokens_col(F.col("text")), n))
-        ).alias("token"),
-        "doc_id",
-    )
+    td = _gram_doc_rows(docs, n)
     dfc = td.groupBy("token").agg(F.count("*").alias("df"))
     keep = dfc.filter((F.col("df") >= df_min) & (F.col("df") <= df_cap))
     postings = F.array_join(
@@ -1019,5 +1025,70 @@ def inverted_index(docs: DataFrame, df_min: int = INDEX_DF_MIN,
         .agg(
             F.count("*").cast("long").alias("df"),
             postings.alias("postings"),
+        )
+    )
+
+
+INDEX_QUERY_GRAMS = 8   # query set size (top-df banded phrases)
+INDEX_SEARCH_TOPK = 20  # result list length
+
+
+def index_search(
+    docs: DataFrame,
+    q: int = INDEX_QUERY_GRAMS,
+    topk: int = INDEX_SEARCH_TOPK,
+    df_min: int = INDEX_DF_MIN,
+    df_cap: int = INDEX_DF_CAP,
+    n: int = 3,
+) -> DataFrame:
+    """Phrase retrieval over the inverted index: a fixed query set (the
+    ``q`` highest-df banded phrases, ties → gram asc — the corpus's
+    most widely shared discriminative phrases) is matched against the
+    per-doc-distinct gram rows; each hit document scores the sum of
+    rational idf = N/df over its matched phrases (the tfidf_keywords
+    no-ln rule), folded in gram order for cross-engine exactness;
+    result = top-k docs by (score desc, doc_id asc) with hit counts.
+
+    Scale shape: the query set is TakeOrdered (no global sort); the
+    retrieval is one equi-join of the q-row broadcast query dim
+    against the gram rows; the candidate set is bounded by q·df_cap
+    (≤512 rows at spec) so the final ranking window is bounded by
+    SPEC, not by corpus size; N rides a 1-row broadcast."""
+    td = _gram_doc_rows(docs, n)
+    dfc = td.groupBy("token").agg(F.count("*").alias("df"))
+    band = dfc.filter((F.col("df") >= df_min) & (F.col("df") <= df_cap))
+    queries = band.orderBy(F.desc("df"), F.asc("token")).limit(q)
+    tot = docs.agg(F.count("*").alias("n_total"))
+    hits = (
+        td.join(queries, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("n_total").cast("double") / F.col("df").cast("double")
+            ).alias("idf"),
+        )
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("token", "idf"))),
+            lambda s: s["idf"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"), folded.alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "n_hits",
+            "score",
         )
     )

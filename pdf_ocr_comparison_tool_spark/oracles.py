@@ -4257,12 +4257,10 @@ ORDER BY lift DESC, b.prev ASC, b.cur ASC
 LIMIT {COLLOC_TOP}"""
 
 
-def inverted_index_sql(d: str, docs: str = "documents", n: int = 3) -> str:
-    """Mirror of operators.textstats.inverted_index: per-doc-distinct
-    word n-grams, mid-document-frequency-band posting lists, sorted and
-    comma-joined."""
-    from .operators.textstats import INDEX_DF_CAP, INDEX_DF_MIN
-
+def _gram_rows_ctes(d: str, docs: str, n: int) -> str:
+    """CTE chain ending in ii_td(token=word-n-gram, doc_id), per-doc
+    distinct — shared by inverted_index_sql / index_search_sql (mirror
+    of textstats._gram_doc_rows)."""
     if d == SPARK:
         grams = (
             f"CASE WHEN size(toks) < {n} THEN array()"
@@ -4270,27 +4268,38 @@ def inverted_index_sql(d: str, docs: str = "documents", n: int = 3) -> str:
             f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
         )
         unnest = "SELECT doc_id, explode(grams) AS token FROM ii_g"
-        plist = (
-            "array_join(transform(array_sort(collect_list(doc_id)),"
-            " x -> CAST(x AS STRING)), ',')"
-        )
     else:
         grams = (
             f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
             f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
         )
         unnest = "SELECT doc_id, unnest(grams) AS token FROM ii_g"
-        plist = (
-            "array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),"
-            " ',')"
-        )
-    return f"""WITH {_tok_cte(d, docs)},
+    return f"""{_tok_cte(d, docs)},
 ii_g AS (
   SELECT doc_id, {grams} AS grams FROM dd_tok
 ),
 ii_td AS (
   SELECT DISTINCT token, doc_id FROM ({unnest})
-),
+)"""
+
+
+def inverted_index_sql(d: str, docs: str = "documents", n: int = 3) -> str:
+    """Mirror of operators.textstats.inverted_index: per-doc-distinct
+    word n-grams, mid-document-frequency-band posting lists, sorted and
+    comma-joined."""
+    from .operators.textstats import INDEX_DF_CAP, INDEX_DF_MIN
+
+    if d == SPARK:
+        plist = (
+            "array_join(transform(array_sort(collect_list(doc_id)),"
+            " x -> CAST(x AS STRING)), ',')"
+        )
+    else:
+        plist = (
+            "array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),"
+            " ',')"
+        )
+    return f"""WITH {_gram_rows_ctes(d, docs, n)},
 ii_df AS (
   SELECT token, CAST(count(*) AS BIGINT) AS df
   FROM ii_td GROUP BY token
@@ -4299,3 +4308,46 @@ ii_df AS (
 SELECT t.token, f.df, {plist} AS postings
 FROM ii_td t JOIN ii_df f ON t.token = f.token
 GROUP BY t.token, f.df"""
+
+
+def index_search_sql(d: str, docs: str = "documents", n: int = 3) -> str:
+    """Mirror of operators.textstats.index_search: top-q banded grams
+    as the query set, rational-idf scoring (N/df, gram-ordered fold),
+    top-k docs by (score desc, doc_id asc)."""
+    from .operators.textstats import (
+        INDEX_DF_CAP,
+        INDEX_DF_MIN,
+        INDEX_QUERY_GRAMS,
+        INDEX_SEARCH_TOPK,
+    )
+
+    fold = _ordered_fold("idf", "token", d)
+    return f"""WITH {_gram_rows_ctes(d, docs, n)},
+is_df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM ii_td GROUP BY token
+  HAVING count(*) >= {INDEX_DF_MIN} AND count(*) <= {INDEX_DF_CAP}
+),
+is_q AS (
+  SELECT token, df FROM (
+    SELECT token, df,
+           row_number() OVER (ORDER BY df DESC, token ASC) AS qr
+    FROM is_df
+  ) WHERE qr <= {INDEX_QUERY_GRAMS}
+),
+is_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM {docs}
+),
+is_h AS (
+  SELECT t.doc_id, t.token,
+         CAST(n_total AS DOUBLE) / CAST(q.df AS DOUBLE) AS idf
+  FROM ii_td t JOIN is_q q ON t.token = q.token CROSS JOIN is_tot
+),
+is_s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, {fold} AS score
+  FROM is_h GROUP BY doc_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_hits, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM is_s
+) WHERE rank <= {INDEX_SEARCH_TOPK}"""

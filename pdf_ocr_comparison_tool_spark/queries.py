@@ -775,6 +775,15 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.dsir_sample(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("index_search", oracle=O.index_search_sql(G.DUCK))
+def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval over the inverted index: top-q banded phrases
+    as the query set, rational-idf (N/df) scoring folded in gram
+    order, top-k docs — candidate set bounded by q·df_cap by SPEC, so
+    the ranking window never scales with the corpus."""
+    return textstats.index_search(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("dsir_weights", oracle=O.dsir_weights_sql(G.DUCK))
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights for data selection: hashed-bigram
@@ -1874,6 +1883,7 @@ _QUERY_ORDER = [
     "dsir_sample",
     "media_filter",
     "compaction_plan",
+    "index_search",
 ]
 
 

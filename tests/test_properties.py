@@ -685,6 +685,50 @@ def test_knn_label_noise_invariants(spark):
         assert r["suspect"] == (r["nbr_majority"] != r["label"])
 
 
+def test_index_search_matches_python_scoring(spark):
+    """The retrieval result equals a pure-Python recompute: same top-q
+    query set (df desc, gram asc), same rational-idf gram-ordered fold
+    per doc, same (score desc, doc_id) ranking."""
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    td = [(r["token"], r["doc_id"]) for r in T._gram_doc_rows(docs, 3).collect()]
+    n_total = docs.count()
+    df: dict[str, int] = {}
+    for tok, _ in td:
+        df[tok] = df.get(tok, 0) + 1
+    band = {
+        t: c for t, c in df.items() if T.INDEX_DF_MIN <= c <= T.INDEX_DF_CAP
+    }
+    qset = dict(
+        sorted(band.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : T.INDEX_QUERY_GRAMS
+        ]
+    )
+    per_doc: dict[int, list[tuple[str, float]]] = {}
+    for tok, doc in td:
+        if tok in qset:
+            per_doc.setdefault(doc, []).append((tok, n_total / float(qset[tok])))
+    scored = []
+    for doc, hits in per_doc.items():
+        acc = 0.0
+        for _, idf in sorted(hits):
+            acc = acc + idf
+        scored.append((-acc, doc, len(hits)))
+    scored.sort()
+    want = {
+        doc: (rk + 1, nh, -negs)
+        for rk, (negs, doc, nh) in enumerate(scored[: T.INDEX_SEARCH_TOPK])
+    }
+    got = {
+        r["doc_id"]: (r["rank"], r["n_hits"], r["score"])
+        for r in T.index_search(docs).collect()
+    }
+    assert got == want
+
+
 def test_dsir_sample_threshold_semantics(spark):
     """keep_rate = min(1, avg_lr/SCALE) (0 for featureless docs); the
     verdict is exactly the md5-bucket threshold test, recomputed in
