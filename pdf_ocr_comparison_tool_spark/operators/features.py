@@ -154,6 +154,16 @@ def redact_text(col: Column) -> Column:
     return out
 
 
+def pattern_hits(col: Column, pats: list) -> Column:
+    """Total occurrence count of a T2-T4 pattern list on a text column
+    (shared by redact_pages / pii_stats)."""
+    tot = None
+    for p in pats:
+        s = F.size(F.regexp_extract_all(col, F.lit(p), 0))
+        tot = s if tot is None else tot + s
+    return tot.cast("long")
+
+
 def redact_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Per page: pattern-hit counts (occurrences on the ORIGINAL text;
     overlapping patterns may both count, same as the extraction spec's
@@ -161,22 +171,64 @@ def redact_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
     from .. import sqlgen as G
 
     c = F.col(text_col)
-
-    def n_hits(pats):
-        tot = None
-        for p in pats:
-            s = F.size(F.regexp_extract_all(c, F.lit(p), 0))
-            tot = s if tot is None else tot + s
-        return tot.cast("long")
-
     red = redact_text(c)
     return pages.select(
         "doc_id",
         "role",
         "page_num",
-        n_hits(G.DATE_RES).alias("n_dates"),
-        n_hits(G.AMOUNT_RES).alias("n_amounts"),
-        n_hits(G.NUMBER_RES).alias("n_numbers"),
+        pattern_hits(c, G.DATE_RES).alias("n_dates"),
+        pattern_hits(c, G.AMOUNT_RES).alias("n_amounts"),
+        pattern_hits(c, G.NUMBER_RES).alias("n_numbers"),
         red.alias("redacted"),
         F.md5(red).alias("redacted_hash"),
+    )
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """Per-source PII/governance rollup over the raw corpus: pattern
+    occurrence totals (the T2-T4 suite as PII classes), docs with any
+    hit, hit density per 1000 chars (one int/int double division) and
+    the redaction size delta — the dataset-card compliance row a
+    release review needs.
+
+    Scale shape: one narrow per-doc projection (JVM regex counts +
+    redacted length) → a single map-side-combinable groupBy on the
+    low-cardinality source key. No shuffle of text."""
+    from .. import sqlgen as G
+
+    c = F.col("text")
+    per = docs.select(
+        "source",
+        pattern_hits(c, G.DATE_RES).alias("nd"),
+        pattern_hits(c, G.AMOUNT_RES).alias("na"),
+        pattern_hits(c, G.NUMBER_RES).alias("nn"),
+        F.length(c).cast("long").alias("chars"),
+        (F.length(c) - F.length(redact_text(c))).cast("long").alias("delta"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nd").cast("long").alias("n_dates"),
+        F.sum("na").cast("long").alias("n_amounts"),
+        F.sum("nn").cast("long").alias("n_numbers"),
+        F.sum(
+            ((F.col("nd") + F.col("na") + F.col("nn")) > 0).cast("long")
+        ).cast("long").alias("docs_with_pii"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.sum("delta").cast("long").alias("redact_delta"),
+    )
+    hits = F.col("n_dates") + F.col("n_amounts") + F.col("n_numbers")
+    dens = F.when(
+        F.col("n_chars") > 0,
+        (hits * 1000).cast("double") / F.col("n_chars").cast("double"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dates",
+        "n_amounts",
+        "n_numbers",
+        "docs_with_pii",
+        "n_chars",
+        "redact_delta",
+        dens.alias("pii_per_kchar"),
     )

@@ -3745,6 +3745,55 @@ SELECT doc_id, role, page_num,
 FROM pages"""
 
 
+def pii_stats_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of features.pii_stats: per-source pattern-hit totals,
+    docs-with-any-hit, redaction size delta, hits per 1000 chars."""
+    from .operators.features import REDACT_AMT, REDACT_DATE, REDACT_ID
+
+    red = "text"
+    for pats, tok in (
+        (G.DATE_RES, REDACT_DATE),
+        (G.AMOUNT_RES, REDACT_AMT),
+        (G.NUMBER_RES, REDACT_ID),
+    ):
+        for p in pats:
+            red = G.replace_all(red, p, tok, d)
+
+    def n_hits(pats):
+        return "CAST(" + " + ".join(
+            _arr_size(G.extract_all("text", p, d), d) for p in pats
+        ) + " AS BIGINT)"
+
+    return f"""WITH pii_p AS (
+  SELECT source,
+         {n_hits(G.DATE_RES)} AS nd,
+         {n_hits(G.AMOUNT_RES)} AS na,
+         {n_hits(G.NUMBER_RES)} AS nn,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(length(text) - length({red}) AS BIGINT) AS delta
+  FROM {docs}
+),
+pii_a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nd) AS BIGINT) AS n_dates,
+         CAST(sum(na) AS BIGINT) AS n_amounts,
+         CAST(sum(nn) AS BIGINT) AS n_numbers,
+         CAST(sum(CASE WHEN nd + na + nn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_pii,
+         CAST(sum(chars) AS BIGINT) AS n_chars,
+         CAST(sum(delta) AS BIGINT) AS redact_delta
+  FROM pii_p GROUP BY source
+)
+SELECT source, n_docs, n_dates, n_amounts, n_numbers, docs_with_pii,
+       n_chars, redact_delta,
+       CASE WHEN n_chars > 0 THEN
+         CAST((n_dates + n_amounts + n_numbers) * 1000 AS DOUBLE)
+           / CAST(n_chars AS DOUBLE)
+       END AS pii_per_kchar
+FROM pii_a"""
+
+
 def cluster_cap_sample_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.cluster_cap_sample: nearest-centroid
     assignment (ivf_assign spec) + per-cluster (md5(id), id) rank cap;

@@ -537,6 +537,14 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.event_transitions(synth.load_table(spark, sf_dir, "events"))
 
 
+@register("pii_stats", oracle=O.pii_stats_sql(G.DUCK))
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII/governance dataset-card row: T2-T4 pattern-hit
+    totals, docs-with-any-hit, redaction size delta and hits per 1000
+    chars — one narrow JVM-regex projection + one groupBy(source)."""
+    return features.pii_stats(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("props_rollup", oracle=O.props_rollup_sql(G.DUCK))
 def q_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload rollup: JSON `props` parsed JVM-side
@@ -1884,6 +1892,7 @@ _QUERY_ORDER = [
     "media_filter",
     "compaction_plan",
     "index_search",
+    "pii_stats",
 ]
 
 
