@@ -879,6 +879,35 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
 
 
 # collocation spec — shared with oracles.collocations_sql
+def quality_agreement(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Signal-agreement audit between the two quality filters a
+    curation pipeline runs side by side: the heuristic band
+    (text_quality) vs the trained linear scorer's verdict
+    (quality_score) — the confusion table + within-band keep fraction
+    that decides which filter to trust per regime (the standard
+    filter-calibration check before swapping a heuristic for a model).
+
+    Scale shape: both inputs are per-doc aggregates already; one
+    equi-join on doc_id + one groupBy on the ≤6-cell (band, label)
+    key; fractions are int/int double divisions."""
+    q = text_quality(docs).select("doc_id", "quality")
+    s = quality_score(docs, model).select("doc_id", "label")
+    cells = q.join(s, "doc_id").groupBy("quality", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    band = cells.groupBy("quality").agg(
+        F.sum("n").cast("long").alias("band_total")
+    )
+    return cells.join(band, "quality").select(
+        "quality",
+        "label",
+        "n",
+        "band_total",
+        (F.col("n").cast("double") / F.col("band_total").cast("double"))
+        .alias("frac"),
+    )
+
+
 DSIR_SAMPLE_SCALE = 2.0  # keep probability = avg_lr / SCALE, capped at 1
 
 

@@ -3745,6 +3745,25 @@ SELECT doc_id, role, page_num,
 FROM pages"""
 
 
+def quality_agreement_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.quality_agreement: text_quality band ×
+    quality_score verdict confusion cells + within-band fraction."""
+    return f"""WITH qa_q AS ({text_quality_sql(d, docs)}),
+qa_s AS ({quality_score_sql(d, docs)}),
+qa_c AS (
+  SELECT q.quality, s.label, CAST(count(*) AS BIGINT) AS n
+  FROM qa_q q JOIN qa_s s ON q.doc_id = s.doc_id
+  GROUP BY q.quality, s.label
+),
+qa_b AS (
+  SELECT quality, CAST(sum(n) AS BIGINT) AS band_total
+  FROM qa_c GROUP BY quality
+)
+SELECT c.quality, c.label, c.n, b.band_total,
+       CAST(c.n AS DOUBLE) / CAST(b.band_total AS DOUBLE) AS frac
+FROM qa_c c JOIN qa_b b ON c.quality = b.quality"""
+
+
 def pii_stats_sql(d: str, docs: str = "documents") -> str:
     """Mirror of features.pii_stats: per-source pattern-hit totals,
     docs-with-any-hit, redaction size delta, hits per 1000 chars."""

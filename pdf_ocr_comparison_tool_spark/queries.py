@@ -894,6 +894,16 @@ def q_match_two_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_agreement", oracle=O.quality_agreement_sql(G.DUCK))
+def q_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration audit: confusion table between the heuristic
+    quality band and the trained linear scorer's keep/drop verdict,
+    with within-band fractions — the check run before swapping a
+    heuristic filter for a model."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return textstats.quality_agreement(docs, textstats.quality_model_dim(spark))
+
+
 @register("quality_score", oracle=O.quality_score_sql(G.DUCK))
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (fastText-style linear classifier
@@ -1893,6 +1903,7 @@ _QUERY_ORDER = [
     "compaction_plan",
     "index_search",
     "pii_stats",
+    "quality_agreement",
 ]
 
 
