@@ -71,6 +71,11 @@ HEADLINE = [
     "lm_score",
     "lm_buckets",
     "dsir_weights",
+    "dsir_sample",
+    "index_search",
+    "pii_stats",
+    "quality_agreement",
+    "media_filter",
     "bpe_encode",
     "tokenizer_fertility",
     "text_repetition",
@@ -162,6 +167,7 @@ _SCALE_REP_DEFAULTS = {
     "match_best": "4",
     "media_decode": "8",
     "dedup_clusters": "8192",
+    "pagerank": "4096",
 }
 SCALE_REPLICATION = int(
     os.environ.get("SPARK_GRAFT_SCALE_REP")
@@ -231,7 +237,7 @@ def _run_scaling_child(n_executors: str) -> dict:
     # narrow extraction job tracks cores
     shuffle = (
         int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
-        if job in ("line_dedup", "match_best", "dedup_clusters")
+        if job in ("line_dedup", "match_best", "dedup_clusters", "pagerank")
         else total_cores * 4
     )
     # the shuffling jobs disable broadcast joins: the replicated corpus
@@ -249,7 +255,7 @@ def _run_scaling_child(n_executors: str) -> dict:
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         }
-        if job in ("line_dedup", "dedup_clusters")
+        if job in ("line_dedup", "dedup_clusters", "pagerank")
         else {}
     )
     spark = get_spark(
@@ -319,6 +325,54 @@ def _run_scaling_child(n_executors: str) -> dict:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         _run_cc()
+        wall = time.perf_counter() - t0
+        spark.stop()
+        return {
+            "executors": n_exec,
+            "cores_per_executor": 2,
+            "n_docs": n_edges,  # items = replicated edges for this job
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_edges / wall, 1),
+        }
+    if job == "pagerank":
+        # the GRAPH-ITERATION counterpart: fixed-round PageRank over
+        # id-shifted disjoint copies of the kNN semantic graph — the
+        # round count is fixed by SPEC (3) while each round's two
+        # vertex joins + grouped ordered fold scale with edge volume.
+        # The edge build (LSH buckets → top-k window, unreplicated) is
+        # localCheckpointed OUT of the measurement, same methodology
+        # as the dedup_clusters CC job.
+        from pdf_ocr_comparison_tool_spark.operators import (
+            similarity_search as SS,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        knn = SS.knn_join(emb).select("vec_id", "nbr_id")
+        rep_edges = (
+            knn.repartition(shuffle)
+            .withColumn(
+                "rep",
+                F.explode(F.sequence(F.lit(1), F.lit(SCALE_REPLICATION))),
+            )
+            .select(
+                (F.col("vec_id") * SCALE_REPLICATION + F.col("rep"))
+                .alias("vec_id"),
+                (F.col("nbr_id") * SCALE_REPLICATION + F.col("rep"))
+                .alias("nbr_id"),
+            )
+            .localCheckpoint()
+        )
+        n_edges = rep_edges.count()
+
+        def _run_pr() -> None:
+            SS.pagerank_centrality(emb, knn=rep_edges).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        _run_pr()  # warm: codegen + JIT
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _run_pr()
         wall = time.perf_counter() - t0
         spark.stop()
         return {
