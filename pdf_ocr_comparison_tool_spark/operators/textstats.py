@@ -1121,3 +1121,91 @@ def index_search(
             "score",
         )
     )
+
+
+BM25_K1 = 1.2   # TF saturation (Robertson's standard default)
+BM25_B = 0.75   # length-normalization strength
+
+
+def bm25_search(
+    docs: DataFrame,
+    q: int = INDEX_QUERY_GRAMS,
+    topk: int = INDEX_SEARCH_TOPK,
+    df_min: int = INDEX_DF_MIN,
+    df_cap: int = INDEX_DF_CAP,
+    n: int = 3,
+) -> DataFrame:
+    """BM25 retrieval (Robertson & Spärck Jones, public) over the same
+    banded-phrase query set as index_search, adding the two things raw
+    idf lacks: TF saturation (k1) and document-length normalization
+    (b). Per matched (doc, gram):
+    ``idf · (tf·(k1+1)) / (tf + k1·(1−b + b·(dl/avgdl)))`` with
+    rational idf = N/df (no ln crosses the oracle boundary — the
+    tfidf_keywords rule) and every float literal round-tripped through
+    one Python computation so both engines parse the identical double;
+    the per-doc sum folds in gram order (bit-exact).
+
+    Scale shape: (doc, gram) TF counts and per-doc lengths are
+    map-side-combinable groupBys; the query dim (q rows) and the
+    (N, Σdl) totals (1 row) broadcast; candidates stay bounded by
+    q·df_cap BY SPEC, so the ranking window never scales with the
+    corpus."""
+    from .dedup import _ngrams_col
+
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(_ngrams_col(F.col("toks"), n)).alias("token")
+    )
+    tf = grams.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfc = tf.groupBy("token").agg(F.count("*").alias("df"))
+    band = dfc.filter((F.col("df") >= df_min) & (F.col("df") <= df_cap))
+    queries = band.orderBy(F.desc("df"), F.asc("token")).limit(q)
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tot = dl.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_total").cast("double")
+    idf = F.col("n_total").cast("double") / F.col("df").cast("double")
+    term = idf * (
+        (tfd * F.lit(k1p1))
+        / (
+            tfd
+            + F.lit(BM25_K1)
+            * (F.lit(one_minus_b) + F.lit(BM25_B) * (dld / avgdl))
+        )
+    )
+    hits = (
+        tf.join(queries, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "token", term.alias("term"))
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("token", "term"))),
+            lambda s: s["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"), folded.alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "n_hits",
+            "score",
+        )
+    )

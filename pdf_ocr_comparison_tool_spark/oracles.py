@@ -3745,6 +3745,73 @@ SELECT doc_id, role, page_num,
 FROM pages"""
 
 
+def bm25_search_sql(d: str, docs: str = "documents", n: int = 3) -> str:
+    """Mirror of textstats.bm25_search: TF-saturated, length-normalized
+    BM25 over the banded query set. Every float literal round-trips
+    through one Python computation (repr) so both engines parse the
+    identical double; the per-(doc,gram) term is a fixed chain of IEEE
+    ops and the per-doc sum folds in gram order."""
+    from .operators.textstats import (
+        BM25_B,
+        BM25_K1,
+        INDEX_DF_CAP,
+        INDEX_DF_MIN,
+        INDEX_QUERY_GRAMS,
+        INDEX_SEARCH_TOPK,
+    )
+
+    k1p1 = BM25_K1 + 1.0
+    omb = 1.0 - BM25_B
+    fold = _ordered_fold("term", "token", d)
+    term = (
+        f"(CAST(n_total AS DOUBLE) / CAST(q.df AS DOUBLE))"
+        f" * ((CAST(t.tf AS DOUBLE) * {k1p1!r})"
+        f" / (CAST(t.tf AS DOUBLE) + {BM25_K1!r} * ({omb!r} + {BM25_B!r}"
+        f" * (CAST(l.dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_total AS DOUBLE))))))"
+    )
+    return f"""WITH {_gram_rows_ctes(d, docs, n, distinct=False)},
+bm_tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM ii_td GROUP BY doc_id, token
+),
+bm_df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM bm_tf GROUP BY token
+  HAVING count(*) >= {INDEX_DF_MIN} AND count(*) <= {INDEX_DF_CAP}
+),
+bm_q AS (
+  SELECT token, df FROM (
+    SELECT token, df,
+           row_number() OVER (ORDER BY df DESC, token ASC) AS qr
+    FROM bm_df
+  ) WHERE qr <= {INDEX_QUERY_GRAMS}
+),
+bm_dl AS (
+  SELECT doc_id, CAST({_arr_size('toks', d)} AS BIGINT) AS dl FROM dd_tok
+),
+bm_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM bm_dl
+),
+bm_h AS (
+  SELECT t.doc_id, t.token, {term} AS term
+  FROM bm_tf t
+  JOIN bm_q q ON t.token = q.token
+  JOIN bm_dl l ON t.doc_id = l.doc_id
+  CROSS JOIN bm_tot
+),
+bm_s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, {fold} AS score
+  FROM bm_h GROUP BY doc_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_hits, score FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm_s
+) WHERE rank <= {INDEX_SEARCH_TOPK}"""
+
+
 def quality_agreement_sql(d: str, docs: str = "documents") -> str:
     """Mirror of textstats.quality_agreement: text_quality band ×
     quality_score verdict confusion cells + within-band fraction."""
@@ -4325,10 +4392,11 @@ ORDER BY lift DESC, b.prev ASC, b.cur ASC
 LIMIT {COLLOC_TOP}"""
 
 
-def _gram_rows_ctes(d: str, docs: str, n: int) -> str:
-    """CTE chain ending in ii_td(token=word-n-gram, doc_id), per-doc
-    distinct — shared by inverted_index_sql / index_search_sql (mirror
-    of textstats._gram_doc_rows)."""
+def _gram_rows_ctes(d: str, docs: str, n: int, distinct: bool = True) -> str:
+    """CTE chain ending in ii_td(token=word-n-gram, doc_id) — shared by
+    inverted_index_sql / index_search_sql (per-doc distinct, mirror of
+    textstats._gram_doc_rows) and bm25_search_sql (distinct=False:
+    positional multiplicity kept for TF)."""
     if d == SPARK:
         grams = (
             f"CASE WHEN size(toks) < {n} THEN array()"
@@ -4347,7 +4415,7 @@ ii_g AS (
   SELECT doc_id, {grams} AS grams FROM dd_tok
 ),
 ii_td AS (
-  SELECT DISTINCT token, doc_id FROM ({unnest})
+  SELECT {'DISTINCT ' if distinct else ''}token, doc_id FROM ({unnest})
 )"""
 
 

@@ -537,6 +537,15 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.event_transitions(synth.load_table(spark, sf_dir, "events"))
 
 
+@register("bm25_search", oracle=O.bm25_search_sql(G.DUCK))
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the banded-phrase query set: TF saturation
+    + document-length normalization on top of rational idf; float
+    literals repr-round-tripped so both engines parse identical
+    doubles; spec-bounded ranking like index_search."""
+    return textstats.bm25_search(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("pii_stats", oracle=O.pii_stats_sql(G.DUCK))
 def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII/governance dataset-card row: T2-T4 pattern-hit
@@ -1904,6 +1913,7 @@ _QUERY_ORDER = [
     "index_search",
     "pii_stats",
     "quality_agreement",
+    "bm25_search",
 ]
 
 

@@ -729,6 +729,74 @@ def test_index_search_matches_python_scoring(spark):
     assert got == want
 
 
+def test_bm25_search_matches_python_scoring(spark):
+    """BM25 result equals a pure-Python recompute with the identical
+    op order (rational idf, TF saturation, length normalization,
+    gram-ordered fold); saturation really bites — every term is
+    strictly below its unsaturated idf·(k1+1) ceiling."""
+    import re as _re
+
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n = 3
+    tf: dict[tuple, int] = {}
+    dl: dict[int, int] = {}
+    for doc, text in texts.items():
+        toks = [
+            t for t in _re.split(r"[^a-z0-9]+", text.lower()) if len(t) >= 2
+        ]
+        dl[doc] = len(toks)
+        for i in range(max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[i : i + n])
+            tf[(doc, g)] = tf.get((doc, g), 0) + 1
+    df: dict[str, int] = {}
+    for (_, g), _c in tf.items():
+        df[g] = df.get(g, 0) + 1
+    band = {
+        g: c for g, c in df.items() if T.INDEX_DF_MIN <= c <= T.INDEX_DF_CAP
+    }
+    qset = dict(
+        sorted(band.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : T.INDEX_QUERY_GRAMS
+        ]
+    )
+    n_total = len(texts)
+    sum_dl = sum(dl.values())
+    avgdl = float(sum_dl) / float(n_total)
+    k1p1 = T.BM25_K1 + 1.0
+    omb = 1.0 - T.BM25_B
+    per_doc: dict[int, list[tuple[str, float]]] = {}
+    for (doc, g), c in tf.items():
+        if g in qset:
+            idf = float(n_total) / float(qset[g])
+            term = idf * (
+                (float(c) * k1p1)
+                / (float(c) + T.BM25_K1 * (omb + T.BM25_B * (float(dl[doc]) / avgdl)))
+            )
+            assert term < idf * k1p1
+            per_doc.setdefault(doc, []).append((g, term))
+    scored = []
+    for doc, hits in per_doc.items():
+        acc = 0.0
+        for _, term in sorted(hits):
+            acc = acc + term
+        scored.append((-acc, doc, len(hits)))
+    scored.sort()
+    want = {
+        doc: (rk + 1, nh, -negs)
+        for rk, (negs, doc, nh) in enumerate(scored[: T.INDEX_SEARCH_TOPK])
+    }
+    got = {
+        r["doc_id"]: (r["rank"], r["n_hits"], r["score"])
+        for r in T.bm25_search(docs).collect()
+    }
+    assert got == want
+
+
 def test_dsir_sample_threshold_semantics(spark):
     """keep_rate = min(1, avg_lr/SCALE) (0 for featureless docs); the
     verdict is exactly the md5-bucket threshold test, recomputed in
