@@ -207,3 +207,41 @@ def pandas_oracle(docs_pdf):
             )
         )
     return results
+
+
+def interleave_stats(exploded: DataFrame) -> DataFrame:
+    """Structure analytics of the interleaved text+media span sequence
+    (the north rule's document shape): per document the span/kind
+    counts, media fraction (one int/int division), number of
+    text↔media SWITCHES in reading order (the interleaving density a
+    multimodal packer budgets against), and the first/last span kinds
+    (min_by/max_by on the reading-order index — ord is unique per doc
+    so both are deterministic).
+
+    Scale shape: one self-keyed per-doc lag window (fan-in = spans per
+    doc) + one map-side-combinable groupBy(doc_id). No data beyond the
+    kind column moves."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    lagged = exploded.select(
+        "doc_id", "ord", "kind", F.lag("kind").over(w).alias("pk")
+    )
+    return lagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum((F.col("kind") == "text").cast("long"))
+        .cast("long")
+        .alias("n_text"),
+        F.sum((F.col("kind") == "media").cast("long"))
+        .cast("long")
+        .alias("n_media"),
+        F.sum(
+            (F.col("pk").isNotNull() & (F.col("kind") != F.col("pk")))
+            .cast("long")
+        ).cast("long").alias("n_switches"),
+        F.min_by("kind", "ord").alias("first_kind"),
+        F.max_by("kind", "ord").alias("last_kind"),
+    ).withColumn(
+        "media_frac",
+        F.col("n_media").cast("double") / F.col("n_spans").cast("double"),
+    )

@@ -618,6 +618,29 @@ SELECT b.part, b.n, b.bin_id, s.bin_parts, s.bin_rows
 FROM cmp_b b JOIN cmp_s s ON b.bin_id = s.bin_id"""
 
 
+def interleave_stats_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of extraction.interleave_stats: per-doc kind counts,
+    media fraction, reading-order switch count (lag window), first/
+    last kind via min_by/max_by on the unique ord."""
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)}),
+il_l AS (
+  SELECT doc_id, ord, kind,
+         lag(kind) OVER (PARTITION BY doc_id ORDER BY ord) AS pk
+  FROM ext
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (WHERE kind = 'text') AS BIGINT) AS n_text,
+       CAST(count(*) FILTER (WHERE kind = 'media') AS BIGINT) AS n_media,
+       CAST(sum(CASE WHEN pk IS NOT NULL AND kind <> pk THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_switches,
+       min_by(kind, ord) AS first_kind,
+       max_by(kind, ord) AS last_kind,
+       CAST(count(*) FILTER (WHERE kind = 'media') AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS media_frac
+FROM il_l GROUP BY doc_id"""
+
+
 def media_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.multimodal.media_filter over the decode
     oracle: the same fixed-precedence integer policy CASE on top of

@@ -462,6 +462,16 @@ def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_manifest(ext)
 
 
+@register("interleave_stats", oracle=O.interleave_stats_sql(G.DUCK))
+def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-document structure analytics over the extraction
+    IR: per-doc kind counts, media fraction, reading-order text↔media
+    switch count, first/last kind — the interleaving-density signal a
+    multimodal packer budgets against."""
+    ex = extraction.exploded_spans(synth.spans_df(spark, sf_dir))
+    return extraction.interleave_stats(ex)
+
+
 @register("media_filter", oracle=O.media_filter_sql(G.DUCK))
 def q_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media admission policy (the multimodal corpus_filter): integer
@@ -1914,6 +1924,7 @@ _QUERY_ORDER = [
     "pii_stats",
     "quality_agreement",
     "bm25_search",
+    "interleave_stats",
 ]
 
 
