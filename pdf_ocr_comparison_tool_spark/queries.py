@@ -1911,6 +1911,10 @@ _QUERY_ORDER = [
     "contamination_report",
     "collocations",
     "inverted_index",
+    # fourth-session post-window additions — same contract as above:
+    # local type-strict parity gate this round, r6 head for their
+    # first driver rows (with the 15 rows above, the whole r6 head is
+    # 36 first-green + the r5-head rows most due for re-proof)
     "hard_negatives",
     "props_rollup",
     "hash_embed",
