@@ -73,6 +73,8 @@ HEADLINE = [
     "dsir_weights",
     "dsir_sample",
     "index_search",
+    "bm25_search",
+    "interleave_stats",
     "pii_stats",
     "quality_agreement",
     "media_filter",
