@@ -803,3 +803,48 @@ def length_histogram(
         F.col("n_docs").cast("long").alias("n_docs"),
         (F.col("n_docs").cast("double") / n_src.cast("double")).alias("share"),
     )
+
+
+ZORDER_BITS = 8     # bits per dimension (x = source hash, y = length band)
+ZORDER_FILES = 64   # target file count for the layout
+ZORDER_CHARS_PER_BAND = 16
+
+
+def zorder_keys(docs: DataFrame) -> DataFrame:
+    """Z-order (Morton) layout keys for the two dimensions a
+    training-shard reader prunes on — source and document length
+    (Delta/Iceberg Z-ORDER semantics, public): interleave the 8-bit
+    source hash with the 8-bit length band so a predicate on EITHER
+    dimension touches only a contiguous fraction of the
+    ``ZORDER_FILES`` output files, instead of all of them under a
+    single-key sort. Bit interleave is unrolled pure integer
+    arithmetic — ``((x DIV 2^i) % 2) · 4^i`` terms — identical on both
+    engines; no floats anywhere.
+
+    Scale shape: one narrow projection (the layout key is a pure
+    function of each row); the actual write would
+    ``repartitionByRange(file_bucket)`` — the planner itself adds no
+    shuffle. Emits (doc_id, zx, zy, z, file_bucket)."""
+    from .features import hash_bucket
+
+    dim = 1 << ZORDER_BITS
+    x = hash_bucket(F.col("source"), dim)
+    y = F.least(
+        F.expr(f"n_chars DIV {ZORDER_CHARS_PER_BAND}"), F.lit(dim - 1)
+    ).cast("long")
+    xc = x.cast("long").alias("zx")
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.expr(f"(zx DIV {1 << i}) % 2") * F.lit(1 << (2 * i))
+            + F.expr(f"(zy DIV {1 << i}) % 2") * F.lit(1 << (2 * i + 1))
+        )
+    per_file = (dim * dim) // ZORDER_FILES
+    return (
+        docs.select("doc_id", xc, y.alias("zy"))
+        .withColumn("z", z.cast("long"))
+        .withColumn(
+            "file_bucket", F.expr(f"z DIV {per_file}").cast("long")
+        )
+    )

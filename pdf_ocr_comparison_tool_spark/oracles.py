@@ -588,6 +588,64 @@ SELECT {G.cast_str('doc_id', d)} AS doc_id, media_ref,
 FROM ext WHERE kind = 'media'"""
 
 
+def skew_report_sql(d: str, key: str = "user_id", src: str = "events") -> str:
+    """Mirror of plans.skew.key_skew_report over events.user_id: top-N
+    heaviest keys, share and times-over-mean."""
+    from .plans.skew import SKEW_TOP
+
+    return f"""WITH sk_p AS (
+  SELECT CAST({key} AS VARCHAR) AS key_value, CAST(count(*) AS BIGINT) AS n
+  FROM {src} GROUP BY {key}
+),
+sk_t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM sk_p
+),
+sk_r AS (
+  SELECT key_value, n,
+         row_number() OVER (ORDER BY n DESC, key_value ASC) AS rank
+  FROM sk_p
+)
+SELECT CAST(r.rank AS BIGINT) AS rank, r.key_value, r.n,
+       t.n_total, t.n_keys,
+       CAST(r.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+       CAST(r.n * t.n_keys AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS x_mean
+FROM sk_r r CROSS JOIN sk_t t
+WHERE r.rank <= {SKEW_TOP}"""
+
+
+def zorder_keys_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.zorder_keys: unrolled Morton
+    interleave of (source-hash, length-band), file bucket = z DIV
+    (2^16 / files)."""
+    from .operators.pipeline import (
+        ZORDER_BITS,
+        ZORDER_CHARS_PER_BAND,
+        ZORDER_FILES,
+    )
+
+    dim = 1 << ZORDER_BITS
+    x = f"({G.hexint(G.cast_str('source', d), d)}) % {dim}"
+    y = f"least({P.idiv('n_chars', str(ZORDER_CHARS_PER_BAND), d)}, {dim - 1})"
+    terms = " + ".join(
+        f"({P.idiv('zx', str(1 << i), d)} % 2) * {1 << (2 * i)}"
+        f" + ({P.idiv('zy', str(1 << i), d)} % 2) * {1 << (2 * i + 1)}"
+        for i in range(ZORDER_BITS)
+    )
+    per_file = (dim * dim) // ZORDER_FILES
+    return f"""WITH zo_b AS (
+  SELECT doc_id, CAST({x} AS BIGINT) AS zx, CAST({y} AS BIGINT) AS zy
+  FROM {docs}
+),
+zo_z AS (
+  SELECT doc_id, zx, zy, CAST({terms} AS BIGINT) AS z FROM zo_b
+)
+SELECT doc_id, zx, zy, z,
+       CAST({P.idiv('z', str(per_file), d)} AS BIGINT) AS file_bucket
+FROM zo_z"""
+
+
 def compaction_plan_sql(d: str, docs: str = "documents") -> str:
     """Mirror of sources.checkpoint.compaction_plan over the committed
     rows of the checkpoint fixture: exclusive prefix sum in part order

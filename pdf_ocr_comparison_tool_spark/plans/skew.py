@@ -55,3 +55,48 @@ def span_size_quantiles(docs: DataFrame, spans_col: str = "spans"):
         F.expr("percentile_approx(n, array(0.5, 0.9, 0.99, 0.999))").alias("q"),
         F.max("n").alias("max_n"),
     )
+
+
+SKEW_TOP = 20
+
+
+def key_skew_report(
+    df: DataFrame, key: str, top: int = SKEW_TOP
+) -> DataFrame:
+    """Hot-key diagnostic — the report that decides whether a join/agg
+    key needs salting: the ``top`` heaviest values of ``key`` with
+    their row counts, share of all rows (int/int), and times-over-mean
+    ratio (cnt·n_keys / n_total — exact BIGINT products, one IEEE
+    division). Rank ties break by key value.
+
+    Scale shape: one map-side-combinable groupBy(key) → a TakeOrdered
+    top-N (never a global sort) + a 1-row totals broadcast; the rank
+    window's input is the ≤top rows themselves."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    heavy = per.orderBy(F.desc("n"), F.asc("key_value")).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc("key_value"))
+    return (
+        heavy.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "key_value",
+            "n",
+            "n_total",
+            "n_keys",
+            (F.col("n").cast("double") / F.col("n_total").cast("double"))
+            .alias("share"),
+            (
+                (F.col("n") * F.col("n_keys")).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("x_mean"),
+        )
+    )

@@ -539,6 +539,26 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("skew_report", oracle=O.skew_report_sql(G.DUCK))
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic over events.user_id: the top-N heaviest
+    keys with share and times-over-mean — the report that decides
+    whether a join/agg key needs salting. TakeOrdered + 1-row totals
+    broadcast; no global sort."""
+    from .plans.skew import key_skew_report
+
+    return key_skew_report(synth.load_table(spark, sf_dir, "events"), "user_id")
+
+
+@register("zorder_keys", oracle=O.zorder_keys_sql(G.DUCK))
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (source hash, length band) —
+    Delta/Iceberg Z-ORDER planning semantics: predicates on either
+    dimension prune to a contiguous fraction of the target files.
+    Unrolled integer bit-interleave; pure narrow projection."""
+    return pipeline.zorder_keys(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("event_transitions", oracle=O.event_transitions_sql(G.DUCK))
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition table over per-user event
@@ -1929,6 +1949,8 @@ _QUERY_ORDER = [
     "quality_agreement",
     "bm25_search",
     "interleave_stats",
+    "skew_report",
+    "zorder_keys",
 ]
 
 

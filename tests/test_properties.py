@@ -729,6 +729,65 @@ def test_index_search_matches_python_scoring(spark):
     assert got == want
 
 
+def test_zorder_keys_interleave_and_locality(spark):
+    """z equals a pure-Python Morton interleave of (zx, zy); the
+    locality property holds: any single-value predicate on either
+    dimension touches at most half the files a random scatter would
+    (the point of Z-ORDER vs a one-key sort)."""
+    from pdf_ocr_comparison_tool_spark.operators import pipeline as P
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    rows = P.zorder_keys(docs).collect()
+    assert rows
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(P.ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    dim = 1 << P.ZORDER_BITS
+    files_per_x: dict[int, set[int]] = {}
+    for r in rows:
+        assert 0 <= r["zx"] < dim and 0 <= r["zy"] < dim
+        assert r["z"] == morton(r["zx"], r["zy"])
+        assert r["file_bucket"] == r["z"] // ((dim * dim) // P.ZORDER_FILES)
+        files_per_x.setdefault(r["zx"], set()).add(r["file_bucket"])
+    # one source-hash value can land in at most dim/(per_file)... the
+    # interleave bounds a fixed-x stripe to sqrt-ish file spread: with
+    # 64 files over a 256x256 grid, a fixed x touches <= 32 files
+    # (vs all 64 under a y-major sort)
+    assert all(len(f) <= P.ZORDER_FILES // 2 for f in files_per_x.values())
+
+
+def test_skew_report_accounting(spark):
+    """Ranks are dense from 1 in (n desc, key asc) order; shares and
+    x_mean recompute exactly from a Python count of the same column."""
+    from pdf_ocr_comparison_tool_spark.plans.skew import key_skew_report
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    ev = synth.load_table(spark, SF_DIR_001, "events")
+    counts: dict[str, int] = {}
+    for r in ev.select("user_id").collect():
+        k = str(r["user_id"])
+        counts[k] = counts.get(k, 0) + 1
+    total, n_keys = sum(counts.values()), len(counts)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = sorted(
+        key_skew_report(ev, "user_id").collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r, (k, n) in zip(rows, want):
+        assert (r["key_value"], r["n"]) == (k, n)
+        assert r["n_total"] == total and r["n_keys"] == n_keys
+        assert r["share"] == n / float(total)
+        assert r["x_mean"] == (n * n_keys) / float(total)
+
+
 def test_bm25_search_matches_python_scoring(spark):
     """BM25 result equals a pure-Python recompute with the identical
     op order (rational idf, TF saturation, length normalization,
