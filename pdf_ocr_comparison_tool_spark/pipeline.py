@@ -33,7 +33,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--cores", default=None)
     p.add_argument(
         "--job",
-        choices=("extract", "corpus", "match", "tokenize", "dedup", "embed"),
+        choices=(
+            "extract", "corpus", "match", "tokenize", "dedup", "embed",
+            "govern",
+        ),
         default="extract",
         help="extract = spans pipeline; corpus = admission filter + split "
         "(+ --publish for the final shard layout); match = the "
@@ -45,7 +48,10 @@ def main(argv: list[str] | None = None) -> None:
         "cluster profile + sketch calibration); embed = embedding-"
         "curation suite over embeddings.parquet (kNN graph + hard "
         "negatives + label-noise screen + PageRank centrality + "
-        "triangle cohesion) off one cached candidate-pair build",
+        "triangle cohesion) off one cached candidate-pair build; "
+        "govern = the release governance bundle (dataset card + PII "
+        "rollup + contamination report + mixture weights + quality "
+        "agreement) as one parquet directory per table",
     )
     p.add_argument(
         "--publish",
@@ -190,6 +196,40 @@ def main(argv: list[str] | None = None) -> None:
             "keepers": n_keep,
             "dropped": n_clustered - n_keep,
         }))
+        spark.stop()
+        return
+
+    if args.job == "govern":
+        # the release governance bundle: every dataset-card table a
+        # compliance review reads before a corpus ships, written as one
+        # parquet directory each. The rollups are independent aggregates
+        # over the same corpus scan; the corpus itself is never cached
+        # (each pass is scan→aggregate; caching raw text would evict
+        # more useful working sets at real scale).
+        from .operators import dedup as dd
+        from .operators import features as fe
+        from .operators import pipeline as pl
+        from .operators import textstats as ts
+
+        docs = synth.load_table(spark, args.input, "documents").repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+        outputs = {
+            "corpus_stats": pl.corpus_stats(docs, ts.lang_dim(spark)),
+            "pii_stats": fe.pii_stats(docs),
+            "contamination_report": dd.contamination_report(docs),
+            "mixture_weights": pl.mixture_weights(docs),
+            "quality_agreement": ts.quality_agreement(
+                docs, ts.quality_model_dim(spark)
+            ),
+        }
+        for name, df in outputs.items():
+            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+        card = {
+            name: spark.read.parquet(f"{args.output}/{name}").count()
+            for name in outputs
+        }
+        print(json.dumps({"job": "govern", "run_id": run_id, "rows": card}))
         spark.stop()
         return
 
