@@ -103,6 +103,8 @@ HEADLINE = [
     "events_retention",
     "event_transitions",
     "props_rollup",
+    "skew_report",
+    "zorder_keys",
     "lineitem_rollup",
 ]
 
