@@ -245,3 +245,61 @@ def interleave_stats(exploded: DataFrame) -> DataFrame:
         "media_frac",
         F.col("n_media").cast("double") / F.col("n_spans").cast("double"),
     )
+
+
+def doc_outline(exploded: DataFrame) -> DataFrame:
+    """Structural template detection over the interleaved span
+    sequence: each document's layout collapses to a run-length
+    OUTLINE signature ("t3,m1,t2" = 3 text spans, 1 media, 2 text in
+    reading order); documents sharing a signature share a template —
+    the boilerplate/template-family signal layout-aware curation
+    groups on (structure-only: no text content is compared). Emits
+    one row per signature: (signature, n_docs, n_spans, example_doc =
+    min doc_id).
+
+    Scale shape: runs form via the gaps-and-islands lag+cumsum on the
+    self-keyed per-doc window; the signature is an ordered in-doc fold
+    (bounded by spans per doc); the final groupBy(signature) is
+    map-side combinable — a 10⁹-doc template family is one group
+    row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    brk = F.when(
+        F.lag("kind").over(w).isNull()
+        | (F.col("kind") != F.lag("kind").over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grp = (
+        exploded.select("doc_id", "ord", "kind")
+        .withColumn("brk", brk)
+        .withColumn(
+            "grp",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = grp.groupBy("doc_id", "grp").agg(
+        F.min("kind").alias("kind"),
+        F.count("*").cast("long").alias("run_len"),
+        F.min("ord").alias("ord0"),
+    )
+    part = F.concat(
+        F.substring("kind", 1, 1), F.col("run_len").cast("string")
+    )
+    sig = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ord0"), part.alias("part")))
+            ),
+            lambda s: s["part"],
+        ),
+        ",",
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        sig.alias("signature"), F.sum("run_len").cast("long").alias("n_spans")
+    )
+    return per_doc.groupBy("signature").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_spans").cast("long").alias("n_spans"),
+        F.min("doc_id").alias("example_doc"),
+    )

@@ -306,6 +306,44 @@ def events_retention(events: DataFrame) -> DataFrame:
     )
 
 
+RATE_SIGMA = 3.0  # outlier threshold: mean + 3σ
+
+
+def rate_outliers(events: DataFrame) -> DataFrame:
+    """Deterministic event-rate anomaly screen (the bot/abuse rollup):
+    per-user event counts vs the population mean and population
+    standard deviation; flag users above mean + 3σ. Variance is
+    E[x²] − E[x]² over EXACT integer sums (the count sums go through
+    DECIMAL(38,0), so accumulation is order-exact; the remaining
+    divide/multiply/sqrt chain is the identical sequence of IEEE ops
+    on both engines) — no stddev builtin crosses the oracle boundary,
+    engines disagree in its last ulp.
+
+    Scale shape: one map-side-combinable groupBy(user) + a 1-row
+    totals broadcast; flagging is a narrow projection."""
+    per = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("n").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    nu = F.col("n_users").cast("double")
+    mean = F.col("s1") / nu
+    std = F.sqrt(F.col("s2") / nu - mean * mean)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n",
+        mean.alias("mean_n"),
+        std.alias("std_n"),
+        (F.col("n").cast("double") > mean + F.lit(RATE_SIGMA) * std)
+        .alias("outlier"),
+    )
+
+
 TRANSITION_END = "<end>"  # terminal pseudo-state (complete accounting)
 
 

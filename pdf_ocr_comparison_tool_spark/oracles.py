@@ -699,6 +699,53 @@ SELECT doc_id,
 FROM il_l GROUP BY doc_id"""
 
 
+def doc_outline_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of extraction.doc_outline: run-length layout signature
+    per doc (gaps-and-islands on kind), grouped into template
+    families. n_spans is constant within a signature by construction
+    (the signature determines the run lengths)."""
+    part = "concat(substr(kind, 1, 1), CAST(run_len AS VARCHAR))"
+    if d == SPARK:
+        part = "concat(substr(kind, 1, 1), CAST(run_len AS STRING))"
+        sig = (
+            f"array_join(transform(array_sort(collect_list("
+            f"struct(ord0, {part} AS part))), s -> s.part), ',')"
+        )
+    else:
+        sig = f"string_agg({part}, ',' ORDER BY ord0)"
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)}),
+do_l AS (
+  SELECT doc_id, ord, kind,
+         lag(kind) OVER (PARTITION BY doc_id ORDER BY ord) AS pk
+  FROM ext
+),
+do_b AS (
+  SELECT *, CASE WHEN pk IS NULL OR kind <> pk THEN 1 ELSE 0 END AS brk
+  FROM do_l
+),
+do_g AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY doc_id ORDER BY ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS grp
+  FROM do_b
+),
+do_r AS (
+  SELECT doc_id, grp, min(kind) AS kind,
+         CAST(count(*) AS BIGINT) AS run_len, min(ord) AS ord0
+  FROM do_g GROUP BY doc_id, grp
+),
+do_s AS (
+  SELECT doc_id, {sig} AS signature,
+         CAST(sum(run_len) AS BIGINT) AS n_spans
+  FROM do_r GROUP BY doc_id
+)
+SELECT signature, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_spans) AS BIGINT) AS n_spans,
+       min(doc_id) AS example_doc
+FROM do_s GROUP BY signature"""
+
+
 def media_filter_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.multimodal.media_filter over the decode
     oracle: the same fixed-precedence integer policy CASE on top of
@@ -2830,6 +2877,31 @@ def events_pivot_sql(d: str) -> str:
     return f"""SELECT user_id,
        {cols}
 FROM events GROUP BY user_id"""
+
+
+def rate_outliers_sql(d: str) -> str:
+    """Mirror of operators.reports.rate_outliers: per-user counts,
+    population mean/std from exact DECIMAL(38,0) sums, mean + 3σ
+    flag — the identical IEEE op chain on both sides."""
+    from .operators.reports import RATE_SIGMA
+
+    mean = "(s1 / CAST(n_users AS DOUBLE))"
+    std = f"sqrt(s2 / CAST(n_users AS DOUBLE) - {mean} * {mean})"
+    return f"""WITH ro_p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+ro_t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CAST(n AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(n * n AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM ro_p
+)
+SELECT p.user_id, p.n,
+       {mean} AS mean_n,
+       {std} AS std_n,
+       CAST(p.n AS DOUBLE) > {mean} + {RATE_SIGMA} * {std} AS outlier
+FROM ro_p p CROSS JOIN ro_t"""
 
 
 def event_transitions_sql(d: str) -> str:

@@ -462,6 +462,16 @@ def q_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_manifest(ext)
 
 
+@register("doc_outline", oracle=O.doc_outline_sql(G.DUCK))
+def q_doc_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-only template detection: each doc's interleaved span
+    layout collapses to a run-length signature ('t3,m1,t2'); docs
+    sharing a signature share a template family — grouped with counts
+    and an example doc. A 10⁹-doc template is one group row."""
+    ex = extraction.exploded_spans(synth.spans_df(spark, sf_dir))
+    return extraction.doc_outline(ex)
+
+
 @register("interleave_stats", oracle=O.interleave_stats_sql(G.DUCK))
 def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-document structure analytics over the extraction
@@ -537,6 +547,14 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.events_retention(
         synth.load_table(spark, sf_dir, "events")
     )
+
+
+@register("rate_outliers", oracle=O.rate_outliers_sql(G.DUCK))
+def q_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic event-rate anomaly screen: per-user counts vs
+    population mean + 3σ (variance from exact DECIMAL sums, identical
+    IEEE chain both engines — no stddev builtin crosses the oracle)."""
+    return reports.rate_outliers(synth.load_table(spark, sf_dir, "events"))
 
 
 @register("skew_report", oracle=O.skew_report_sql(G.DUCK))
@@ -1951,6 +1969,8 @@ _QUERY_ORDER = [
     "interleave_stats",
     "skew_report",
     "zorder_keys",
+    "doc_outline",
+    "rate_outliers",
 ]
 
 

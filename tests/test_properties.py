@@ -729,6 +729,69 @@ def test_index_search_matches_python_scoring(spark):
     assert got == want
 
 
+def test_doc_outline_matches_python_rle(spark):
+    """Signatures equal a pure-Python run-length encoding of each
+    doc's ordered kind sequence; family sizes account for every doc;
+    n_spans equals the signature's own run-length sum."""
+    from pdf_ocr_comparison_tool_spark.operators import extraction
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    ex = extraction.exploded_spans(synth.spans_df(spark, SF_DIR_001))
+    seqs: dict = {}
+    for r in ex.select("doc_id", "ord", "kind").collect():
+        seqs.setdefault(r["doc_id"], []).append((r["ord"], r["kind"]))
+    want: dict[str, list] = {}
+    for doc, spans in seqs.items():
+        kinds = [k for _, k in sorted(spans)]
+        parts, run = [], 1
+        for a, b in zip(kinds, kinds[1:] + [None]):
+            if a == b:
+                run += 1
+            else:
+                parts.append(f"{a[0]}{run}")
+                run = 1
+        want.setdefault(",".join(parts), []).append(doc)
+    rows = extraction.doc_outline(ex).collect()
+    assert {r["signature"] for r in rows} == set(want)
+    for r in rows:
+        fam = want[r["signature"]]
+        assert r["n_docs"] == len(fam)
+        assert r["example_doc"] == min(fam)
+        assert r["n_spans"] == sum(
+            int(p[1:]) for p in r["signature"].split(",")
+        )
+    assert sum(r["n_docs"] for r in rows) == len(seqs)
+
+
+def test_rate_outliers_matches_python_stats(spark):
+    """mean/std/flag recompute exactly from Python counts with the
+    same op order; flagged users really sit above mean + 3σ."""
+    import math
+
+    from pdf_ocr_comparison_tool_spark.operators import reports
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    ev = synth.load_table(spark, SF_DIR_001, "events")
+    counts: dict[int, int] = {}
+    for r in ev.select("user_id").collect():
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+    nu = float(len(counts))
+    s1 = float(sum(counts.values()))
+    s2 = float(sum(c * c for c in counts.values()))
+    mean = s1 / nu
+    std = math.sqrt(s2 / nu - mean * mean)
+    rows = reports.rate_outliers(ev).collect()
+    assert len(rows) == len(counts)
+    for r in rows:
+        assert r["n"] == counts[r["user_id"]]
+        assert r["mean_n"] == mean and r["std_n"] == std
+        assert r["outlier"] == (
+            float(r["n"]) > mean + reports.RATE_SIGMA * std
+        )
+
+
 def test_zorder_keys_interleave_and_locality(spark):
     """z equals a pure-Python Morton interleave of (zx, zy); the
     locality property holds: any single-value predicate on either
