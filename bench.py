@@ -105,6 +105,8 @@ HEADLINE = [
     "props_rollup",
     "skew_report",
     "zorder_keys",
+    "doc_outline",
+    "rate_outliers",
     "lineitem_rollup",
 ]
 
