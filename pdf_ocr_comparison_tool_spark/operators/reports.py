@@ -306,6 +306,49 @@ def events_retention(events: DataFrame) -> DataFrame:
     )
 
 
+WAU_DAYS = 7  # rolling-window width for weekly active users
+
+
+def active_users(events: DataFrame) -> DataFrame:
+    """DAU / WAU / stickiness — the rolling-window engagement rollup:
+    per calendar day (epoch DIV 86400), the distinct daily actives,
+    the distinct actives over the trailing 7 days, and stickiness =
+    dau/wau (one int/int division). The rolling distinct is expressed
+    RELATIONALLY: each (user, active-day) row covers the 7 window-ends
+    it contributes to (a bounded explode, fan-out = 7), then one
+    distinct + groupBy — no windowed COUNT DISTINCT, which Spark would
+    otherwise buffer per partition row-set. Window ends are reported
+    only for days with activity (inner join back to DAU).
+
+    Scale shape: distinct (user, day) rows → constant-7 explode →
+    map-side-combinable distinct/groupBys + one equi-join on day."""
+    epoch = ntz_epoch("ts")
+    days = (
+        events.select("user_id", epoch.alias("_e"))
+        .select("user_id", F.expr("_e DIV 86400").cast("long").alias("day"))
+        .distinct()
+    )
+    dau = days.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    ends = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (WAU_DAYS - 1))
+            ).alias("wday"),
+        )
+        .distinct()
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    return dau.join(ends, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double"))
+        .alias("stickiness"),
+    )
+
+
 RATE_SIGMA = 3.0  # outlier threshold: mean + 3σ
 
 

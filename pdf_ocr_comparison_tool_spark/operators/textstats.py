@@ -1123,6 +1123,61 @@ def index_search(
     )
 
 
+VOCAB_GROWTH_BUCKETS = 16
+VOCAB_GROWTH_CKPTS = (1, 4, 8, 16)  # corpus fractions 1/16, 1/4, 1/2, 1
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — the tokenizer-sizing
+    diagnostic: at nested corpus checkpoints (the docs whose id hash
+    lands below k of 16 buckets, k ∈ {1,4,8,16}), the doc count, token
+    occurrences, and DISTINCT token count. The rolling distinct is
+    relational: a token belongs to checkpoint k iff its MINIMUM bucket
+    < k, so one per-token min + a ≤16-row histogram answers every
+    checkpoint — the corpus is never re-scanned per checkpoint and no
+    windowed COUNT DISTINCT appears.
+
+    Scale shape: one token explode → two map-side-combinable groupBys
+    (per-bucket occurrences, per-token min-bucket) → joins of ≤16-row
+    aggregate tables against the 4-row checkpoint dim."""
+    from .features import hash_bucket
+
+    spark = docs.sparkSession
+    ck = spark.createDataFrame(
+        [(int(c),) for c in VOCAB_GROWTH_CKPTS], "ck long"
+    )
+    b = hash_bucket(F.col("doc_id"), VOCAB_GROWTH_BUCKETS)
+    toks = docs.select(
+        b.alias("b"), F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    per_b = toks.groupBy("b").agg(F.count("*").cast("long").alias("occ"))
+    docs_b = docs.select(b.alias("b")).groupBy("b").agg(
+        F.count("*").cast("long").alias("nd")
+    )
+    minb = (
+        toks.groupBy("token")
+        .agg(F.min("b").alias("mb"))
+        .groupBy("mb")
+        .agg(F.count("*").cast("long").alias("nv"))
+    )
+    nd = ck.join(docs_b, F.col("b") < F.col("ck")).groupBy("ck").agg(
+        F.sum("nd").cast("long").alias("n_docs")
+    )
+    occ = ck.join(per_b, F.col("b") < F.col("ck")).groupBy("ck").agg(
+        F.sum("occ").cast("long").alias("n_tokens")
+    )
+    nv = ck.join(minb, F.col("mb") < F.col("ck")).groupBy("ck").agg(
+        F.sum("nv").cast("long").alias("n_distinct")
+    )
+    return (
+        nd.join(occ, "ck")
+        .join(nv, "ck")
+        .select(
+            F.col("ck").alias("buckets"), "n_docs", "n_tokens", "n_distinct"
+        )
+    )
+
+
 BM25_K1 = 1.2   # TF saturation (Robertson's standard default)
 BM25_B = 0.75   # length-normalization strength
 

@@ -2879,6 +2879,41 @@ def events_pivot_sql(d: str) -> str:
 FROM events GROUP BY user_id"""
 
 
+def active_users_sql(d: str) -> str:
+    """Mirror of operators.reports.active_users: distinct (user, day)
+    → constant-7 window-end explode → rolling distinct actives,
+    stickiness = dau/wau."""
+    from .operators.reports import WAU_DAYS
+
+    epoch = (
+        "unix_timestamp(ts)" if d == SPARK else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    day = P.idiv(f"({epoch})", "86400", d)
+    if d == SPARK:
+        ends = "explode(sequence(day, day + {0})) AS wday".format(WAU_DAYS - 1)
+        ends_sel = f"SELECT user_id, {ends} FROM au_d"
+    else:
+        ends_sel = (
+            f"SELECT user_id, day + unnest(range({WAU_DAYS})) AS wday FROM au_d"
+        )
+    return f"""WITH au_d AS (
+  SELECT DISTINCT user_id, CAST({day} AS BIGINT) AS day FROM events
+),
+au_dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM au_d GROUP BY day
+),
+au_w AS (
+  SELECT DISTINCT user_id, wday FROM ({ends_sel})
+),
+au_wau AS (
+  SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau
+  FROM au_w GROUP BY wday
+)
+SELECT a.day, a.dau, w.wau,
+       CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM au_dau a JOIN au_wau w ON a.day = w.day"""
+
+
 def rate_outliers_sql(d: str) -> str:
     """Mirror of operators.reports.rate_outliers: per-user counts,
     population mean/std from exact DECIMAL(38,0) sums, mean + 3σ
@@ -3896,6 +3931,53 @@ SELECT doc_id, role, page_num,
        {red} AS redacted,
        md5({red}) AS redacted_hash
 FROM pages"""
+
+
+def vocab_growth_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.vocab_growth: nested hash-bucket corpus
+    checkpoints, distinct vocabulary via per-token min-bucket."""
+    from .operators.textstats import (
+        VOCAB_GROWTH_BUCKETS,
+        VOCAB_GROWTH_CKPTS,
+    )
+
+    cks = ", ".join(f"({int(c)})" for c in VOCAB_GROWTH_CKPTS)
+    bucket = f"({G.hexint(G.cast_str('doc_id', d), d)}) % {VOCAB_GROWTH_BUCKETS}"
+    toks = _lfilter(
+        split_rx("lower(text)", "[^a-z0-9]+", d), "t -> length(t) >= 2", d
+    )
+    return f"""WITH vg_ck(ck) AS (VALUES {cks}),
+vg_t AS (
+  SELECT CAST({bucket} AS BIGINT) AS b, {explode(toks, 'token', d)}
+  FROM {docs}
+),
+vg_pb AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS occ FROM vg_t GROUP BY b
+),
+vg_db AS (
+  SELECT CAST({bucket} AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS nd
+  FROM {docs} GROUP BY 1
+),
+vg_m AS (
+  SELECT min(b) AS mb FROM vg_t GROUP BY token
+),
+vg_mc AS (
+  SELECT mb, CAST(count(*) AS BIGINT) AS nv FROM vg_m GROUP BY mb
+),
+vg_nd AS (
+  SELECT ck, CAST(sum(nd) AS BIGINT) AS n_docs
+  FROM vg_ck JOIN vg_db ON b < ck GROUP BY ck
+),
+vg_occ AS (
+  SELECT ck, CAST(sum(occ) AS BIGINT) AS n_tokens
+  FROM vg_ck JOIN vg_pb ON b < ck GROUP BY ck
+),
+vg_nv AS (
+  SELECT ck, CAST(sum(nv) AS BIGINT) AS n_distinct
+  FROM vg_ck JOIN vg_mc ON mb < ck GROUP BY ck
+)
+SELECT CAST(d1.ck AS BIGINT) AS buckets, d1.n_docs, o.n_tokens, v.n_distinct
+FROM vg_nd d1 JOIN vg_occ o ON d1.ck = o.ck JOIN vg_nv v ON d1.ck = v.ck"""
 
 
 def bm25_search_sql(d: str, docs: str = "documents", n: int = 3) -> str:

@@ -549,6 +549,14 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("active_users", oracle=O.active_users_sql(G.DUCK))
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/stickiness: rolling 7-day distinct actives expressed
+    relationally (bounded window-end explode + distinct) — never a
+    windowed COUNT DISTINCT."""
+    return reports.active_users(synth.load_table(spark, sf_dir, "events"))
+
+
 @register("rate_outliers", oracle=O.rate_outliers_sql(G.DUCK))
 def q_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic event-rate anomaly screen: per-user counts vs
@@ -583,6 +591,15 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams (behavioral analytics): (from_type → to_type) counts with
     an <end> terminal and exact int/int transition probabilities."""
     return reports.event_transitions(synth.load_table(spark, sf_dir, "events"))
+
+
+@register("vocab_growth", oracle=O.vocab_growth_sql(G.DUCK))
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at nested hash-bucket corpus
+    checkpoints — distinct vocab via per-token MIN bucket, so one
+    scan answers every checkpoint (no per-checkpoint rescan, no
+    windowed COUNT DISTINCT)."""
+    return textstats.vocab_growth(synth.load_table(spark, sf_dir, "documents"))
 
 
 @register("bm25_search", oracle=O.bm25_search_sql(G.DUCK))
@@ -1971,6 +1988,8 @@ _QUERY_ORDER = [
     "zorder_keys",
     "doc_outline",
     "rate_outliers",
+    "active_users",
+    "vocab_growth",
 ]
 
 

@@ -764,6 +764,73 @@ def test_doc_outline_matches_python_rle(spark):
     assert sum(r["n_docs"] for r in rows) == len(seqs)
 
 
+def test_vocab_growth_nested_and_exact_at_full(spark):
+    """Checkpoints are nested (all three measures nondecreasing in k);
+    the k=16 row equals exact full-corpus totals recomputed in
+    Python."""
+    import re as _re
+
+    from pdf_ocr_comparison_tool_spark.operators import textstats as T
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    docs = synth.load_table(spark, SF_DIR_001, "documents")
+    rows = sorted(
+        T.vocab_growth(docs).collect(), key=lambda r: r["buckets"]
+    )
+    assert [r["buckets"] for r in rows] == sorted(T.VOCAB_GROWTH_CKPTS)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] <= b["n_docs"]
+        assert a["n_tokens"] <= b["n_tokens"]
+        assert a["n_distinct"] <= b["n_distinct"]
+    n_docs = 0
+    n_tokens = 0
+    vocab = set()
+    for r in docs.select("text").collect():
+        n_docs += 1
+        toks = [
+            t
+            for t in _re.split(r"[^a-z0-9]+", r["text"].lower())
+            if len(t) >= 2
+        ]
+        n_tokens += len(toks)
+        vocab |= set(toks)
+    full = rows[-1]
+    assert (full["n_docs"], full["n_tokens"], full["n_distinct"]) == (
+        n_docs,
+        n_tokens,
+        len(vocab),
+    )
+
+
+def test_active_users_rolling_window_semantics(spark):
+    """WAU(day) counts exactly the users active in [day-6, day]; DAU ≤
+    WAU; stickiness ∈ (0, 1]; recomputed from the raw events in pure
+    Python."""
+    from pdf_ocr_comparison_tool_spark.operators import reports
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_001
+
+    ev = synth.load_table(spark, SF_DIR_001, "events")
+    act: dict[int, set[int]] = {}
+    for r in ev.selectExpr(
+        "user_id", "unix_timestamp(ts) DIV 86400 AS day"
+    ).collect():
+        act.setdefault(r["day"], set()).add(r["user_id"])
+    rows = reports.active_users(ev).collect()
+    assert {r["day"] for r in rows} == set(act)
+    for r in rows:
+        d = r["day"]
+        wau_set = set()
+        for back in range(reports.WAU_DAYS):
+            wau_set |= act.get(d - back, set())
+        assert r["dau"] == len(act[d])
+        assert r["wau"] == len(wau_set)
+        assert r["dau"] <= r["wau"]
+        assert r["stickiness"] == r["dau"] / float(r["wau"])
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
 def test_rate_outliers_matches_python_stats(spark):
     """mean/std/flag recompute exactly from Python counts with the
     same op order; flagged users really sit above mean + 3σ."""
