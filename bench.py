@@ -107,6 +107,8 @@ HEADLINE = [
     "zorder_keys",
     "doc_outline",
     "rate_outliers",
+    "active_users",
+    "vocab_growth",
     "lineitem_rollup",
 ]
 
