@@ -109,6 +109,8 @@ HEADLINE = [
     "rate_outliers",
     "active_users",
     "vocab_growth",
+    "shipping_priority",
+    "region_revenue",
     "lineitem_rollup",
 ]
 

@@ -306,6 +306,130 @@ def events_retention(events: DataFrame) -> DataFrame:
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF_EPOCH = 883_612_800  # 1998-01-01 UTC (tz-independent epoch)
+Q3_TOPK = 10
+
+
+def _revenue_dec() -> "F.Column":
+    """price · (1 − discount) in EXACT decimal arithmetic: inputs are
+    2-decimal values, so the DECIMAL(18,2) casts are exact and the
+    product (DECIMAL ⩽(38,4)) never rounds — sums cross the oracle
+    boundary bit-equal (the lineitem_rollup recipe extended to a
+    product)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = Q3_SEGMENT,
+    cutoff: int = Q3_CUTOFF_EPOCH,
+    k: int = Q3_TOPK,
+) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: revenue of not-yet-
+    shipped lineitems of pre-cutoff orders from one market segment,
+    top-k orders. The selective dims filter BEFORE the joins (the
+    predicates push into the scans), the segment-filtered customer
+    list broadcasts, and the top-k is TakeOrdered — never a global
+    sort. Date predicates compare tz-independent epochs.
+
+    Emits (rank, order_key, revenue, order_epoch, priority)."""
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = (
+        orders.withColumn("o_epoch", ntz_epoch("o_orderdate"))
+        .filter(F.col("o_epoch") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_epoch", "o_orderpriority")
+    )
+    li = lineitem.filter(ntz_epoch("l_shipdate") > cutoff).select(
+        "l_orderkey", _revenue_dec().alias("rev")
+    )
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_epoch", "o_orderpriority"
+    )
+    agg = (
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        .groupBy("l_orderkey", "o_epoch", "o_orderpriority")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+    top = agg.orderBy(
+        F.desc("revenue"), F.asc("o_epoch"), F.asc("l_orderkey")
+    ).limit(k)
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_epoch"), F.asc("l_orderkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("l_orderkey").alias("order_key"),
+        "revenue",
+        F.col("o_epoch").cast("long").alias("order_epoch"),
+        F.col("o_orderpriority").alias("priority"),
+        "n_items",
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_FROM_EPOCH = 820_454_400  # 1996-01-01 UTC
+Q5_TO_EPOCH = 852_076_800    # 1997-01-01 UTC
+
+
+def region_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    rname: str = Q5_REGION,
+) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue per nation: one region,
+    one order-year, and the classic locality condition — the lineitem
+    counts only when its SUPPLIER sits in the same nation as the
+    ordering CUSTOMER. Touches every relational table the engine
+    ships (region→nation→{customer, supplier}→orders→lineitem); the
+    region/nation/supplier dims broadcast, the fact-side joins are
+    equi-joins on integer keys.
+
+    Emits (nation, revenue, n_items)."""
+    n = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == rname)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = customer.select("c_custkey", "c_nationkey")
+    o = (
+        orders.withColumn("o_epoch", ntz_epoch("o_orderdate"))
+        .filter(
+            (F.col("o_epoch") >= Q5_FROM_EPOCH)
+            & (F.col("o_epoch") < Q5_TO_EPOCH)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", _revenue_dec().alias("rev"))
+    j = (
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    ).select(F.col("n_name").alias("nation"), "revenue", "n_items")
+
+
 WAU_DAYS = 7  # rolling-window width for weekly active users
 
 

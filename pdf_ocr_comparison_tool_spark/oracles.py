@@ -2879,6 +2879,93 @@ def events_pivot_sql(d: str) -> str:
 FROM events GROUP BY user_id"""
 
 
+def _ntz_epoch_sql(col: str, d: str) -> str:
+    return (
+        f"unix_timestamp({col})"
+        if d == SPARK
+        else f"CAST(floor(epoch({col})) AS BIGINT)"
+    )
+
+
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def shipping_priority_sql(d: str) -> str:
+    """Mirror of reports.shipping_priority (TPC-H Q3 shape): filtered
+    dims, exact-decimal revenue, top-k by (revenue desc, epoch,
+    orderkey)."""
+    from .operators.reports import Q3_CUTOFF_EPOCH, Q3_SEGMENT, Q3_TOPK
+
+    return f"""WITH q3_c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{Q3_SEGMENT}'
+),
+q3_o AS (
+  SELECT o_orderkey, o_custkey,
+         {_ntz_epoch_sql('o_orderdate', d)} AS o_epoch, o_orderpriority
+  FROM orders
+  WHERE {_ntz_epoch_sql('o_orderdate', d)} < {Q3_CUTOFF_EPOCH}
+),
+q3_l AS (
+  SELECT l_orderkey, {_REV_DEC} AS rev
+  FROM lineitem WHERE {_ntz_epoch_sql('l_shipdate', d)} > {Q3_CUTOFF_EPOCH}
+),
+q3_a AS (
+  SELECT l.l_orderkey, o.o_epoch, o.o_orderpriority,
+         CAST(sum(l.rev) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM q3_l l
+  JOIN q3_o o ON l.l_orderkey = o.o_orderkey
+  JOIN q3_c c ON o.o_custkey = c.c_custkey
+  GROUP BY l.l_orderkey, o.o_epoch, o.o_orderpriority
+)
+SELECT CAST(rank AS BIGINT) AS rank, l_orderkey AS order_key, revenue,
+       CAST(o_epoch AS BIGINT) AS order_epoch,
+       o_orderpriority AS priority, n_items
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY revenue DESC, o_epoch ASC, l_orderkey ASC
+  ) AS rank FROM q3_a
+) WHERE rank <= {Q3_TOPK}"""
+
+
+def region_revenue_sql(d: str) -> str:
+    """Mirror of reports.region_revenue (TPC-H Q5 shape): one region,
+    one order-year, supplier-nation == customer-nation locality."""
+    from .operators.reports import Q5_FROM_EPOCH, Q5_REGION, Q5_TO_EPOCH
+
+    return f"""WITH q5_n AS (
+  SELECT n_nationkey, n_name FROM nation n
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q5_REGION}'
+),
+q5_s AS (
+  SELECT s_suppkey, s_nationkey, n_name FROM supplier s
+  JOIN q5_n n ON s.s_nationkey = n.n_nationkey
+),
+q5_o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE {_ntz_epoch_sql('o_orderdate', d)} >= {Q5_FROM_EPOCH}
+    AND {_ntz_epoch_sql('o_orderdate', d)} < {Q5_TO_EPOCH}
+),
+q5_oc AS (
+  SELECT o.o_orderkey, c.c_nationkey FROM q5_o o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+q5_j AS (
+  SELECT s.n_name, {_REV_DEC} AS rev
+  FROM lineitem l
+  JOIN q5_oc oc ON l.l_orderkey = oc.o_orderkey
+  JOIN q5_s s ON l.l_suppkey = s.s_suppkey
+  WHERE oc.c_nationkey = s.s_nationkey
+)
+SELECT n_name AS nation, CAST(sum(rev) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM q5_j GROUP BY n_name"""
+
+
 def active_users_sql(d: str) -> str:
     """Mirror of operators.reports.active_users: distinct (user, day)
     → constant-7 window-end explode → rolling distinct actives,

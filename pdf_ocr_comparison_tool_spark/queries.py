@@ -549,6 +549,30 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("shipping_priority", oracle=O.shipping_priority_sql(G.DUCK))
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: unshipped revenue of one
+    segment's pre-cutoff orders, top-k — pushdown-filtered dims,
+    broadcast customer list, exact-decimal revenue, TakeOrdered."""
+    return reports.shipping_priority(
+        synth.load_table(spark, sf_dir, "customer"),
+        synth.load_table(spark, sf_dir, "orders"),
+        synth.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("region_revenue", oracle=O.region_revenue_sql(G.DUCK))
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue per nation (one region,
+    one order-year, supplier-nation == customer-nation) — touches all
+    seven relational tables; dims broadcast, facts equi-join."""
+    t = lambda name: synth.load_table(spark, sf_dir, name)  # noqa: E731
+    return reports.region_revenue(
+        t("customer"), t("orders"), t("lineitem"),
+        t("supplier"), t("nation"), t("region"),
+    )
+
+
 @register("active_users", oracle=O.active_users_sql(G.DUCK))
 def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/stickiness: rolling 7-day distinct actives expressed
@@ -1990,6 +2014,8 @@ _QUERY_ORDER = [
     "rate_outliers",
     "active_users",
     "vocab_growth",
+    "shipping_priority",
+    "region_revenue",
 ]
 
 

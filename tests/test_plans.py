@@ -316,6 +316,27 @@ def test_semdedup_plan_shape(spark):
             assert "vec_id" in line, line
 
 
+def test_shipping_priority_pushdown_and_broadcast(spark):
+    """The Q3-shaped DAG must push the segment predicate into the
+    customer scan (PushedFilters), broadcast the filtered dim side,
+    produce no CartesianProduct, and rank via TakeOrdered — never a
+    global Sort over the aggregate."""
+    from pdf_ocr_comparison_tool_spark.operators import reports
+    from pdf_ocr_comparison_tool_spark import synth
+
+    df = reports.shipping_priority(
+        synth.load_table(spark, SF_DIR, "customer"),
+        synth.load_table(spark, SF_DIR, "orders"),
+        synth.load_table(spark, SF_DIR, "lineitem"),
+    )
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    scan = [ln for ln in p.splitlines() if "PushedFilters" in ln and "c_mktsegment" in ln]
+    assert scan, "segment predicate not pushed into the customer scan"
+
+
 def test_pagerank_plan_shape(spark):
     """Each PageRank round adds only equi-joins + one grouped ordered
     fold over the checkpointed edge list: no CartesianProduct, no
