@@ -805,6 +805,60 @@ def length_histogram(
     )
 
 
+ANNEAL_ALPHAS = (25, 50, 75, 100)  # temperature ladder, α in percent
+
+
+def mixture_schedule(
+    docs: DataFrame, target_total: int = SAMPLE_TARGET
+) -> DataFrame:
+    """Temperature-ANNEALED mixture schedule (the multilingual /
+    multi-source curriculum: early epochs flatten the distribution,
+    late epochs approach natural frequency): per α checkpoint in
+    {0.25, 0.5, 0.75, 1.0}, the per-source share ∝ n^α (normalized)
+    and the resulting deterministic keep rate. Every power is an
+    EXACT sqrt composition — n^0.25 = sqrt(sqrt(n)), n^0.75 =
+    sqrt(n)·sqrt(sqrt(n)) — because pow(x, α) is not
+    correctly-rounded cross-engine (the ln rule); the normalizing sum
+    folds in source order.
+
+    Scale shape: one groupBy(source) (map-side combinable) → a 4-row α
+    dim fan-out over the tiny per-source table → per-α ordered folds
+    and a join back; the corpus itself is scanned once."""
+    per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_src"))
+    alphas = docs.sparkSession.createDataFrame(
+        [(int(a),) for a in ANNEAL_ALPHAS], "alpha_pct long"
+    )
+    nd = F.col("n_src").cast("double")
+    powered = (
+        F.when(F.col("alpha_pct") == 25, F.sqrt(F.sqrt(nd)))
+        .when(F.col("alpha_pct") == 50, F.sqrt(nd))
+        .when(F.col("alpha_pct") == 75, F.sqrt(nd) * F.sqrt(F.sqrt(nd)))
+        .otherwise(nd)
+    )
+    rows = per.crossJoin(F.broadcast(alphas)).select(
+        "alpha_pct", "source", "n_src", powered.alias("p")
+    )
+    sums = rows.groupBy("alpha_pct").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["p"],
+        ).alias("p_sum")
+    )
+    share = F.col("p") / F.col("p_sum")
+    rate = F.least(
+        F.lit(1.0),
+        share * F.lit(float(target_total)) / F.col("n_src").cast("double"),
+    )
+    return rows.join(sums, "alpha_pct").select(
+        "alpha_pct",
+        "source",
+        "n_src",
+        share.alias("share"),
+        rate.alias("keep_rate"),
+    )
+
+
 ZORDER_BITS = 8     # bits per dimension (x = source hash, y = length band)
 ZORDER_FILES = 64   # target file count for the layout
 ZORDER_CHARS_PER_BAND = 16

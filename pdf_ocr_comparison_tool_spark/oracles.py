@@ -3417,6 +3417,41 @@ SELECT dd.doc_id, dd.source, r.n_src, r.keep_rate,
 FROM {docs} dd JOIN ms_r r ON dd.source = r.source"""
 
 
+def mixture_schedule_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.mixture_schedule: annealed n^α
+    shares via exact sqrt compositions, source-ordered normalizing
+    fold, deterministic keep rates."""
+    from .operators.pipeline import ANNEAL_ALPHAS, SAMPLE_TARGET
+
+    alphas = ", ".join(f"({int(a)})" for a in ANNEAL_ALPHAS)
+    nd = "CAST(n_src AS DOUBLE)"
+    powered = f"""CASE alpha_pct
+    WHEN 25 THEN sqrt(sqrt({nd}))
+    WHEN 50 THEN sqrt({nd})
+    WHEN 75 THEN sqrt({nd}) * sqrt(sqrt({nd}))
+    ELSE {nd} END"""
+    fold = _ordered_fold("p", "source", d)
+    return f"""WITH msch_p AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+  FROM {docs} GROUP BY source
+),
+msch_a(alpha_pct) AS (VALUES {alphas}),
+msch_r AS (
+  SELECT CAST(alpha_pct AS BIGINT) AS alpha_pct, source, n_src,
+         {powered} AS p
+  FROM msch_p CROSS JOIN msch_a
+),
+msch_s AS (
+  SELECT alpha_pct, {fold} AS p_sum FROM msch_r GROUP BY alpha_pct
+)
+SELECT r.alpha_pct, r.source, r.n_src,
+       r.p / s.p_sum AS share,
+       least(CAST(1.0 AS DOUBLE),
+             r.p / s.p_sum * CAST({SAMPLE_TARGET} AS DOUBLE)
+               / CAST(r.n_src AS DOUBLE)) AS keep_rate
+FROM msch_r r JOIN msch_s s ON r.alpha_pct = s.alpha_pct"""
+
+
 def corpus_stats_sql(d: str, docs: str = "documents") -> str:
     """Mirror of operators.pipeline.corpus_stats: the (source,
     pred_lang) dataset-card rollup over the composed admission verdict,

@@ -549,6 +549,17 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mixture_schedule", oracle=O.mixture_schedule_sql(G.DUCK))
+def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-annealed mixture schedule: per α ∈ {.25,.5,.75,1}
+    the n^α source shares (exact sqrt compositions — pow is not
+    correctly-rounded cross-engine) and deterministic keep rates —
+    the multi-epoch data curriculum."""
+    return pipeline.mixture_schedule(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("shipping_priority", oracle=O.shipping_priority_sql(G.DUCK))
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping priority: unshipped revenue of one
@@ -2016,6 +2027,7 @@ _QUERY_ORDER = [
     "vocab_growth",
     "shipping_priority",
     "region_revenue",
+    "mixture_schedule",
 ]
 
 

@@ -431,3 +431,56 @@ def streaming_event_transitions(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RATE_LIMIT = 50  # fixed per-user event budget (spec constant)
+
+MON_OUTPUT_SCHEMA = "user_id long, event_id long, n_so_far long, over_limit boolean"
+MON_STATE_SCHEMA = "cnt long"
+
+
+def _rate_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    base = state.get[0] if state.exists else 0
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    rows = pd.concat(chunks, ignore_index=True).sort_values(
+        ["epoch", "event_id"]
+    )
+    n = base + pd.RangeIndex(1, len(rows) + 1)
+    state.update((int(base + len(rows)),))
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "event_id": rows["event_id"].astype("int64").values,
+            "n_so_far": n.astype("int64"),
+            "over_limit": (n > RATE_LIMIT),
+        }
+    )
+
+
+def streaming_rate_monitor(events_stream: DataFrame) -> DataFrame:
+    """Online per-user rate monitor — the streaming counterpart of the
+    batch rate_outliers screen: the batch screen thresholds on
+    POPULATION statistics (needs the whole corpus), production online
+    rate limiting uses a FIXED budget, so that is what the state store
+    carries: each arriving event gets its user's running count and an
+    over-budget flag the moment the budget is crossed. Same
+    in-order-per-user ingestion caveat as the other twins."""
+    from ..operators.reports import ntz_epoch
+
+    prepared = events_stream.select(
+        "user_id", "event_id", ntz_epoch("ts").cast("long").alias("epoch")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _rate_update,
+        outputStructType=MON_OUTPUT_SCHEMA,
+        stateStructType=MON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -482,6 +482,66 @@ def test_streaming_incremental_dedup_matches_batch(spark):
     }
 
 
+def test_streaming_rate_monitor_matches_batch(spark):
+    """The online running count equals the batch per-user row_number
+    (epoch, event_id order) on every event, across two triggers (state
+    carries the base count over the file boundary); over_limit is
+    exactly n_so_far > RATE_LIMIT."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    events = synth.load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    with tempfile.TemporaryDirectory() as tdir:
+        for j, part in (
+            (1, events.filter(F.col("event_id") <= mid)),
+            (2, events.filter(F.col("event_id") > mid)),
+        ):
+            part.coalesce(1).write.parquet(f"{tdir}/f{j}")
+            for root, _, files in os.walk(f"{tdir}/f{j}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (j * 1000, j * 1000))
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tdir}/f*")
+        )
+        q = (
+            stateful.streaming_rate_monitor(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_rate")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["event_id"]: (r["n_so_far"], r["over_limit"])
+            for r in spark.sql("SELECT * FROM stream_rate").collect()
+        }
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    exp = {
+        r["event_id"]: (r["rn"], r["rn"] > stateful.RATE_LIMIT)
+        for r in events.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got and got == exp
+    assert any(over for _, over in got.values())  # budget really bites
+
+
 def test_streaming_event_transitions_match_batch(spark):
     """The streaming Markov-transition twin equals the batch
     event_transitions counts (terminal rows excluded — a stream never
