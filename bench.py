@@ -96,6 +96,7 @@ HEADLINE = [
     "triangle_count",
     "hash_embed",
     "mixture_sample",
+    "mixture_schedule",
     "events_sessions",
     "events_asof",
     "session_errors",
