@@ -562,6 +562,49 @@ def pagerank_centrality(
     )
 
 
+def dedup_signal_agreement(
+    docs: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Cross-signal dedup validation over the row-aligned corpus: TEXT
+    near-dup pairs (MinHash-LSH, exact-Jaccard verified) vs EMBEDDING
+    near-dup pairs (cosine-LSH verified) — the agreement table
+    threshold calibration reads before trusting either filter alone
+    (text dedup misses paraphrases; embedding dedup misses short
+    verbatim overlap). Emits one row per signal class ('both',
+    'text_only', 'emb_only') with the pair count and its fraction of
+    the pair-set UNION (int/int).
+
+    Scale shape: both pair generators are the already-bounded LSH
+    bucket equi-joins; the comparison is one full-outer join on the
+    (a, b) pair key + a 3-row aggregate."""
+    from .dedup import lsh_candidate_pairs, verified_near_dups, with_minhash
+
+    withsig = with_minhash(docs)
+    tp = (
+        verified_near_dups(withsig, lsh_candidate_pairs(withsig))
+        .select("a", "b")
+        .withColumn("t", F.lit(1))
+    )
+    ep = lsh_near_dups(embeddings).select("a", "b").withColumn("e", F.lit(1))
+    j = tp.join(ep, ["a", "b"], "full_outer")
+    sig = (
+        F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), "both")
+        .when(F.col("t").isNotNull(), "text_only")
+        .otherwise("emb_only")
+    )
+    cnt = j.select(sig.alias("signal")).groupBy("signal").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    tot = cnt.agg(F.sum("n_pairs").cast("long").alias("n_union"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "signal",
+        "n_pairs",
+        "n_union",
+        (F.col("n_pairs").cast("double") / F.col("n_union").cast("double"))
+        .alias("frac_of_union"),
+    )
+
+
 def triangle_count(
     embeddings: DataFrame,
     k: int = KNN_K,

@@ -3623,6 +3623,35 @@ JOIN kn_m m ON e.vec_id = m.vec_id
 LEFT JOIN kn_s s ON e.vec_id = s.vec_id"""
 
 
+def dedup_signal_agreement_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of similarity_search.dedup_signal_agreement: full-outer
+    join of the text and embedding near-dup pair sets, signal class
+    counts + union fractions."""
+    return f"""WITH dsa_t AS (
+  SELECT a, b, 1 AS t FROM ({near_dup_pairs_sql(d, docs)})
+),
+dsa_e AS (
+  SELECT a, b, 1 AS e FROM ({lsh_near_dups_sql(d)})
+),
+dsa_j AS (
+  SELECT CASE WHEN t.t IS NOT NULL AND e.e IS NOT NULL THEN 'both'
+              WHEN t.t IS NOT NULL THEN 'text_only'
+              ELSE 'emb_only' END AS signal
+  FROM dsa_t t FULL OUTER JOIN dsa_e e ON t.a = e.a AND t.b = e.b
+),
+dsa_c AS (
+  SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM dsa_j GROUP BY signal
+),
+dsa_u AS (
+  SELECT CAST(sum(n_pairs) AS BIGINT) AS n_union FROM dsa_c
+)
+SELECT c.signal, c.n_pairs, u.n_union,
+       CAST(c.n_pairs AS DOUBLE) / CAST(u.n_union AS DOUBLE)
+         AS frac_of_union
+FROM dsa_c c CROSS JOIN dsa_u u"""
+
+
 def pagerank_sql(
     d: str,
     iters: int = 3,

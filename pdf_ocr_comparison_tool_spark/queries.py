@@ -1622,6 +1622,18 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_signal_agreement", oracle=O.dedup_signal_agreement_sql(G.DUCK))
+def q_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal dedup validation: text MinHash-LSH pairs vs
+    embedding cosine-LSH pairs over the row-aligned corpus — the
+    agreement table that calibrates thresholds (text misses
+    paraphrases, embeddings miss short verbatim)."""
+    return similarity_search.dedup_signal_agreement(
+        synth.load_table(spark, sf_dir, "documents"),
+        synth.load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 @register("pagerank", oracle=O.pagerank_sql(G.DUCK))
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the kNN semantic graph (GraphX
@@ -2028,6 +2040,7 @@ _QUERY_ORDER = [
     "shipping_priority",
     "region_revenue",
     "mixture_schedule",
+    "dedup_signal_agreement",
 ]
 
 
