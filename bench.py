@@ -90,6 +90,7 @@ HEADLINE = [
     "ann_pq_fit",
     "emb_knn_join",
     "emb_semdedup",
+    "dedup_signal_agreement",
     "knn_label_noise",
     "hard_negatives",
     "pagerank",
