@@ -373,6 +373,39 @@ def shipping_priority(
     )
 
 
+Q14_PROMO_TYPE = "PROMO"
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    from_epoch: int = 820_454_400,   # 1996-01-01 UTC
+    to_epoch: int = 852_076_800,     # 1997-01-01 UTC
+) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect query: the share of one ship-
+    year's revenue carried by promo-type parts. The part dim
+    broadcasts; revenue is the exact-decimal price·(1−discount)
+    product; the share is one double division of two decimal sums.
+
+    Emits one row (promo_rev, total_rev, promo_share, n_items)."""
+    li = lineitem.filter(
+        (ntz_epoch("l_shipdate") >= from_epoch)
+        & (ntz_epoch("l_shipdate") < to_epoch)
+    ).select("l_partkey", _revenue_dec().alias("rev"))
+    p = part.select(
+        "p_partkey", (F.col("p_type") == Q14_PROMO_TYPE).alias("is_promo")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.sum(F.when(F.col("is_promo"), F.col("rev"))).cast("double")
+    total = F.sum("rev").cast("double")
+    return j.agg(
+        promo.alias("promo_rev"),
+        total.alias("total_rev"),
+        (promo / total).alias("promo_share"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
 Q5_REGION = "ASIA"
 Q5_FROM_EPOCH = 820_454_400  # 1996-01-01 UTC
 Q5_TO_EPOCH = 852_076_800    # 1997-01-01 UTC

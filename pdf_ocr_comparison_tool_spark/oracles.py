@@ -2931,6 +2931,30 @@ FROM (
 ) WHERE rank <= {Q3_TOPK}"""
 
 
+def promo_revenue_sql(d: str) -> str:
+    """Mirror of reports.promo_revenue (TPC-H Q14 shape): promo-part
+    revenue share of one ship-year; exact-decimal sums, one double
+    division."""
+    from .operators.reports import Q14_PROMO_TYPE
+
+    promo = (
+        f"CAST(sum(CASE WHEN p_type = '{Q14_PROMO_TYPE}' THEN rev END)"
+        f" AS DOUBLE)"
+    )
+    total = "CAST(sum(rev) AS DOUBLE)"
+    return f"""WITH q14_l AS (
+  SELECT l_partkey, {_REV_DEC} AS rev
+  FROM lineitem
+  WHERE {_ntz_epoch_sql('l_shipdate', d)} >= 820454400
+    AND {_ntz_epoch_sql('l_shipdate', d)} < 852076800
+)
+SELECT {promo} AS promo_rev,
+       {total} AS total_rev,
+       {promo} / {total} AS promo_share,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM q14_l l JOIN part p ON l.l_partkey = p.p_partkey"""
+
+
 def region_revenue_sql(d: str) -> str:
     """Mirror of reports.region_revenue (TPC-H Q5 shape): one region,
     one order-year, supplier-nation == customer-nation locality."""

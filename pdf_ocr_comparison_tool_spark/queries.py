@@ -572,6 +572,18 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("promo_revenue", oracle=O.promo_revenue_sql(G.DUCK))
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: promo-part revenue share of
+    one ship-year (broadcast part dim, exact-decimal revenue, one
+    double division) — the last driver table (part) now carries an
+    oracled query."""
+    return reports.promo_revenue(
+        synth.load_table(spark, sf_dir, "lineitem"),
+        synth.load_table(spark, sf_dir, "part"),
+    )
+
+
 @register("region_revenue", oracle=O.region_revenue_sql(G.DUCK))
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local-supplier revenue per nation (one region,
@@ -2041,6 +2053,7 @@ _QUERY_ORDER = [
     "region_revenue",
     "mixture_schedule",
     "dedup_signal_agreement",
+    "promo_revenue",
 ]
 
 
