@@ -113,6 +113,7 @@ HEADLINE = [
     "vocab_growth",
     "shipping_priority",
     "region_revenue",
+    "promo_revenue",
     "lineitem_rollup",
 ]
 
