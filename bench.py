@@ -115,6 +115,8 @@ HEADLINE = [
     "region_revenue",
     "promo_revenue",
     "lineitem_rollup",
+    "boilerplate_blocks",
+    "main_content",
 ]
 
 

@@ -4897,3 +4897,137 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_hits, score FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM is_s
 ) WHERE rank <= {INDEX_SEARCH_TOPK}"""
+
+
+# ------------------------------------------------ boilerplate strip
+def _html_blocks_ctes(d: str, docs: str = "documents") -> str:
+    """CTE chain: htmlgen synthesis → DOM-block parse → jusText
+    classification (mirror of operators.boilerplate; rational
+    thresholds so no float boundary decides a class). Final CTE
+    ``mb_fin`` has one row per block with features + cf/final class."""
+    from . import htmlgen as H
+    from .operators.boilerplate import (
+        ANCHOR_RE,
+        IMG_RE,
+        INNER_RE,
+        LD_BAD_DEN,
+        LD_BAD_NUM,
+        LD_GOOD_DEN,
+        LD_GOOD_NUM,
+        LEN_GOOD,
+        LEN_SHORT,
+        SD_GOOD_DEN,
+        SD_GOOD_NUM,
+        STOP_TOKENS,
+        TAG_RE,
+        TAG_STRIP_RE,
+        WORD_SPLIT_RE,
+    )
+
+    if d == SPARK:
+        lines = (
+            "SELECT doc_id, CAST(b AS BIGINT) AS b, block FROM ("
+            "SELECT doc_id, posexplode(split(html, chr(10))) AS (b, block) "
+            "FROM html_docs)"
+        )
+    else:
+        lines = (
+            "SELECT doc_id, b, bs[b + 1] AS block FROM ("
+            "SELECT doc_id, bs, unnest(range(len(bs))) AS b FROM ("
+            "SELECT doc_id, string_split(html, chr(10)) AS bs "
+            "FROM html_docs) q1) q2"
+        )
+    anchors = f"regexp_extract_all(inr, {G.rx(ANCHOR_RE, d)}, 1)"
+    stripped = f"trim({G.replace_all('inr', TAG_STRIP_RE, '', d)})"
+    ws = _lfilter(split_rx("text", WORD_SPLIT_RE, d), "t -> t <> ''", d)
+    stop_lam = "t -> " + " OR ".join(f"t = '{s}'" for s in STOP_TOKENS)
+    gtc = "greatest(text_chars, 1)"
+    gnw = "greatest(n_words, 1)"
+    cf = f"""CASE
+      WHEN anchor_chars * {LD_BAD_DEN} > {LD_BAD_NUM} * {gtc} THEN 'bad'
+      WHEN text_chars < {LEN_SHORT} THEN 'short'
+      WHEN text_chars >= {LEN_GOOD}
+           AND anchor_chars * {LD_GOOD_DEN} < {LD_GOOD_NUM} * {gtc}
+           AND n_stop * {SD_GOOD_DEN} >= {SD_GOOD_NUM} * {gnw} THEN 'good'
+      ELSE 'near_good' END"""
+    nb = "(PARTITION BY doc_id ORDER BY b)"
+    return f"""{H.html_cte(d, docs)},
+mb_lines AS ({lines}),
+mb_parse AS (
+  SELECT doc_id, b,
+         regexp_extract(block, {G.rx(TAG_RE, d)}, 1) AS tag,
+         regexp_extract(block, {G.rx(IMG_RE, d)}, 1) AS media_ref,
+         regexp_extract(block, {G.rx(INNER_RE, d)}, 1) AS inr
+  FROM mb_lines
+),
+mb_txt AS (
+  SELECT doc_id, b, tag, media_ref,
+         {stripped} AS text, {anchors} AS anchors
+  FROM mb_parse
+),
+mb_feat AS (
+  SELECT doc_id, b, tag, media_ref, text,
+         CAST(length(text) AS BIGINT) AS text_chars,
+         CAST({_arr_size('anchors', d)} AS BIGINT) AS n_links,
+         CAST(length({G.array_join('anchors', "''", d)}) AS BIGINT) AS anchor_chars,
+         CAST({_arr_size(ws, d)} AS BIGINT) AS n_words,
+         CAST({_arr_size(_lfilter(ws, stop_lam, d), d)} AS BIGINT) AS n_stop
+  FROM mb_txt
+),
+mb_cls AS (
+  SELECT *,
+         CAST(anchor_chars AS DOUBLE) / CAST({gtc} AS DOUBLE) AS link_density,
+         CAST(n_stop AS DOUBLE) / CAST({gnw} AS DOUBLE) AS stop_density,
+         {cf} AS cf_class
+  FROM mb_feat
+),
+mb_fin AS (
+  SELECT *,
+         CASE WHEN cf_class = 'good' THEN 'content'
+              WHEN cf_class IN ('short', 'near_good')
+                   AND (lag(cf_class) OVER {nb} = 'good'
+                        OR lead(cf_class) OVER {nb} = 'good') THEN 'content'
+              ELSE 'boilerplate' END AS final_class
+  FROM mb_cls
+)"""
+
+
+def boilerplate_blocks_sql(d: str, docs: str = "documents") -> str:
+    """Per-block classification report (operators.boilerplate.parse_
+    blocks + classify_blocks)."""
+    return f"""WITH {_html_blocks_ctes(d, docs)}
+SELECT doc_id, b, tag, text_chars, n_links, link_density, stop_density,
+       cf_class, final_class
+FROM mb_fin"""
+
+
+def main_content_sql(d: str, docs: str = "documents") -> str:
+    """Per-doc boilerplate strip (operators.boilerplate.main_content):
+    ordered concat of surviving block texts + media refs."""
+    if d == SPARK:
+        keep = "array_join(transform(array_sort(collect_list(CASE WHEN {c} THEN named_struct('o', b, 'x', {v}) END)), s -> s.x), {sep})"
+        txt = keep.format(c="final_class = 'content'", v="text", sep="chr(10)")
+        refs = keep.format(
+            c="final_class = 'content' AND media_ref <> ''",
+            v="media_ref",
+            sep="','",
+        )
+    else:
+        txt = (
+            "coalesce(string_agg(text, chr(10) ORDER BY b) "
+            "FILTER (WHERE final_class = 'content'), '')"
+        )
+        refs = (
+            "coalesce(string_agg(media_ref, ',' ORDER BY b) "
+            "FILTER (WHERE final_class = 'content' AND media_ref <> ''), '')"
+        )
+    return f"""WITH {_html_blocks_ctes(d, docs)}
+SELECT doc_id,
+       {txt} AS main_text,
+       {refs} AS media_refs,
+       count(*) AS n_blocks,
+       CAST(count(*) FILTER (WHERE final_class = 'content') AS BIGINT) AS n_content,
+       CAST(coalesce(sum(text_chars) FILTER (WHERE final_class = 'content'), 0) AS BIGINT) AS content_chars,
+       CAST(coalesce(sum(text_chars) FILTER (WHERE final_class <> 'content'), 0) AS BIGINT) AS boiler_chars
+FROM mb_fin
+GROUP BY doc_id"""

@@ -22,6 +22,7 @@ from . import oracles as O
 from . import sqlgen as G
 from . import synth
 from .operators import (
+    boilerplate,
     bpe,
     cascade,
     classify,
@@ -570,6 +571,31 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth.load_table(spark, sf_dir, "orders"),
         synth.load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register("boilerplate_blocks", oracle=O.boilerplate_blocks_sql(G.DUCK))
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style DOM-block classification over the synthetic HTML
+    corpus (htmlgen spec): parse markup into blocks, content-based
+    features only (link density, stopword density, length — rational
+    thresholds), neighbour-propagated final class. The north rule's
+    'HTML boilerplate strip … DOM heuristics' surface, per-block
+    report form."""
+    blocks = boilerplate.parse_blocks(synth.html_df(spark, sf_dir))
+    return boilerplate.classify_blocks(blocks).select(
+        "doc_id", "b", "tag", "text_chars", "n_links",
+        "link_density", "stop_density", "cf_class", "final_class",
+    )
+
+
+@register("main_content", oracle=O.main_content_sql(G.DUCK))
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip end to end: per-doc ordered concat of the
+    surviving DOM-block texts + interleaved media refs + kept/dropped
+    char accounting — one shuffle total (the classify window's doc_id
+    exchange is reused by the groupBy)."""
+    blocks = boilerplate.parse_blocks(synth.html_df(spark, sf_dir))
+    return boilerplate.main_content(boilerplate.classify_blocks(blocks))
 
 
 @register("promo_revenue", oracle=O.promo_revenue_sql(G.DUCK))
@@ -2054,6 +2080,10 @@ _QUERY_ORDER = [
     "mixture_schedule",
     "dedup_signal_agreement",
     "promo_revenue",
+    # fifth-session post-window additions — same contract: local
+    # type-strict parity gate this round, r6 head for first driver rows
+    "boilerplate_blocks",
+    "main_content",
 ]
 
 

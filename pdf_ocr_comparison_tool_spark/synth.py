@@ -161,6 +161,83 @@ def grounded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents parquet → (doc_id, html) per the :mod:`htmlgen` spec.
+
+    Narrow-only DataFrame twin of ``htmlgen.html_cte``: one transform
+    over a sequence builds the per-doc block array in order b = 0..n-1,
+    so no groupBy/ordered-agg shuffle is needed — the blocks are born
+    sorted and ``array_join`` with a newline IS the string_agg."""
+    from . import htmlgen as H
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tlen = F.length("text")
+
+    def mk_block(b):
+        bh = (
+            F.col("doc_id") * F.lit(H.HB_MULT)
+            + b * F.lit(H.HB_BMULT)
+            + F.lit(H.HB_ADD)
+        ) % F.lit(H.HB_MOD)
+        tag = F.lit(H.HB_TAG_DEFAULT)
+        for m, t in reversed(H.HB_TAG_CASES):
+            tag = F.when(bh % 10 == m, F.lit(t)).otherwise(tag)
+        is_chrome = tag.isin(*H.HB_CHROME_TAGS)
+        blen = (
+            F.when(is_chrome, F.lit(H.HB_NAV_LEN))
+            .when(tag == "h2", F.lit(H.HB_HEAD_LEN))
+            .when(tag == "li", F.lit(H.HB_LI_LEN))
+            .otherwise(F.lit(H.HB_P_LEN))
+        )
+        n_a = (
+            F.when(is_chrome, F.lit(2) + bh % 3)
+            .when(tag == "li", F.lit(1))
+            .when(bh % 5 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        anchors = F.concat(
+            *[
+                F.when(
+                    F.lit(j) < n_a,
+                    F.concat(
+                        F.lit(' <a href="#">lnk'),
+                        ((bh + j * H.HB_ANCHOR_MULT) % H.HB_ANCHOR_MOD).cast(
+                            "string"
+                        ),
+                        F.lit("</a>"),
+                    ),
+                ).otherwise(F.lit(""))
+                for j in range(H.HB_MAX_ANCHORS)
+            ]
+        )
+        img = F.when(
+            (bh % H.HB_IMG_MOD == 0) & tag.isin("p", "div"),
+            F.concat(
+                F.lit('<img src="m://'),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                b.cast("string"),
+                F.lit('"/>'),
+            ),
+        ).otherwise(F.lit(""))
+        body = F.expr("text").substr(
+            F.lit(1) + (b * H.HB_STRIDE) % F.greatest(tlen - 20, F.lit(1)),
+            blen,
+        )
+        return F.concat(
+            F.lit("<"), tag, F.lit(">"), img, body, anchors,
+            F.lit("</"), tag, F.lit(">"),
+        )
+
+    n_blocks = (F.lit(3) + F.col("doc_id") % H.HB_NBLOCK_MOD).cast("int")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_blocks - 1), mk_block), "\n"
+        ).alias("html"),
+    )
+
+
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic pages IR (voucher + reference roles), rendered from
     the shared spec in :mod:`pagesgen` — same SQL text the DuckDB oracle
