@@ -117,6 +117,7 @@ HEADLINE = [
     "lineitem_rollup",
     "boilerplate_blocks",
     "main_content",
+    "bloom_decontaminate",
 ]
 
 

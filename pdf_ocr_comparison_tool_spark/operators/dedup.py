@@ -574,6 +574,104 @@ def gram_novelty(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
     )
 
 
+BLOOM_M_BITS = 8192   # filter width (bits); sized so the sf0.01 fill
+                      # ratio makes false positives measurable
+BLOOM_K = 4           # hash functions = disjoint 32-bit md5 slices
+BLOOM_SCREEN_DEN = 20  # screened when bloom hits ≥ 1/20 of doc grams
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    n: int = DECON_NGRAM,
+    eval_buckets: int = DECON_EVAL_BUCKETS,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter decontamination SCREEN + false-positive audit — the
+    stage-0 prefilter a 10^12-doc pipeline runs before the exact
+    eval-overlap join of :func:`decontaminate`: build an ``m_bits``-wide
+    Bloom set from the eval slice's n-grams (``k`` positions per gram =
+    disjoint 32-bit slices of one md5), then test every corpus gram
+    against it. Output per doc: gram count, Bloom hits, exact hits
+    (ground truth on the same gram sets), false positives and the
+    ``screened`` routing verdict (Bloom-hit fraction ≥ 1/BLOOM_SCREEN_DEN).
+
+    Scale shape — the whole point of the Bloom form: the set-bit table
+    is bounded by ``m_bits`` rows (hard ``broadcast`` is safe by
+    construction), so the corpus side crosses ``k`` BroadcastHashJoins
+    and ONE map-side-combinable groupBy(doc_id) — the corpus never
+    shuffles at gram granularity at all, vs. the exact join's
+    gram-level exchange. At 3×10^13 corpus grams that is the difference
+    between a metadata-sized broadcast and a corpus-wide shuffle; the
+    audit columns are what sizes m/k before the fleet run. Eval docs
+    hit their own grams by design (a filter has no ids) — the screen
+    routes them to the exact stage, which then applies the self-pair
+    exclusion.
+    """
+    from .features import hash_bucket
+
+    toks = tokens_col(F.col("text"))
+    md5h = F.md5(F.col("gram"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),
+    ).select("doc_id", md5h.alias("h"))
+
+    def pos(hcol, j):
+        return (
+            F.conv(F.substring(hcol, 1 + 8 * j, 8), 16, 10).cast("long")
+            % m_bits
+        )
+
+    eval_h = (
+        grams.filter(hash_bucket(F.col("doc_id"), eval_buckets) == 0)
+        .select("h")
+        .distinct()
+    )
+    bits = (
+        eval_h.select(
+            F.explode(F.array(*[pos(F.col("h"), j) for j in range(k)])).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+    # per-gram membership: k broadcast joins (bits ≤ m_bits rows by
+    # construction), no corpus-side exchange
+    g = grams.select(
+        "doc_id", "h", *[pos(F.col("h"), j).alias(f"pos{j}") for j in range(k)]
+    )
+    for j in range(k):
+        bj = F.broadcast(
+            bits.select(
+                F.col("pos").alias(f"pos{j}"), F.lit(1).alias(f"m{j}")
+            )
+        )
+        g = g.join(bj, f"pos{j}", "left")
+    hit_all = F.lit(True)
+    for j in range(k):
+        hit_all = hit_all & F.col(f"m{j}").isNotNull()
+    exact = eval_h.withColumn("ex", F.lit(1))
+    g = g.join(exact, "h", "left")
+    per_doc = g.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(hit_all.cast("long")).alias("n_bloom_hit"),
+        F.sum(F.coalesce("ex", F.lit(0)).cast("long")).alias("n_exact_hit"),
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    ng = F.coalesce("n_grams", F.lit(0)).cast("long")
+    nb = F.coalesce("n_bloom_hit", F.lit(0)).cast("long")
+    ne = F.coalesce("n_exact_hit", F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        ng.alias("n_grams"),
+        nb.alias("n_bloom_hit"),
+        ne.alias("n_exact_hit"),
+        (nb - ne).alias("n_false_pos"),
+        ((nb * BLOOM_SCREEN_DEN >= ng) & (ng > 0)).alias("screened"),
+    )
+
+
 LINE_SEG_TOKENS = 16
 
 

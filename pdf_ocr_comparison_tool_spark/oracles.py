@@ -5031,3 +5031,91 @@ SELECT doc_id,
        CAST(coalesce(sum(text_chars) FILTER (WHERE final_class <> 'content'), 0) AS BIGINT) AS boiler_chars
 FROM mb_fin
 GROUP BY doc_id"""
+
+
+def bloom_decontaminate_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.bloom_decontaminate: eval-slice grams
+    → k md5-slice positions → distinct set-bit table; corpus grams LEFT
+    JOIN the bit table once per position (all k set = Bloom hit) +
+    exact membership on the full 128-bit hash; per-doc audit rollup."""
+    from .operators.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        BLOOM_SCREEN_DEN,
+        DECON_EVAL_BUCKETS,
+        DECON_NGRAM,
+    )
+
+    n = DECON_NGRAM
+    if d == SPARK:
+        grams = (
+            f"CASE WHEN size(toks) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )
+        gram_select = (
+            "SELECT doc_id, explode(array_distinct(grams)) AS gram FROM bd_ga"
+        )
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+        gram_select = (
+            "SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM bd_ga"
+        )
+    bucket = f"({G.hexint(G.cast_str('doc_id', d), d)}) % {DECON_EVAL_BUCKETS}"
+    ps = [
+        f"({G.hexint_slice('h', 1 + 8 * j, d)}) % {BLOOM_M_BITS}"
+        for j in range(BLOOM_K)
+    ]
+    pos_cols = ", ".join(f"{p} AS pos{j}" for j, p in enumerate(ps))
+    bit_union = "\n  UNION ALL\n".join(
+        f"  SELECT {p} AS pos FROM bd_e" for p in ps
+    )
+    bit_joins = "\n".join(
+        f"  LEFT JOIN bd_bits b{j} ON g.pos{j} = b{j}.pos" for j in range(BLOOM_K)
+    )
+    hit_all = " AND ".join(f"b{j}.pos IS NOT NULL" for j in range(BLOOM_K))
+    return f"""WITH {_tok_cte(d, docs)},
+bd_ga AS (
+  SELECT doc_id, {grams} AS grams FROM dd_tok
+),
+bd_g AS (
+  SELECT doc_id, md5(gram) AS h FROM ({gram_select})
+),
+bd_e AS (
+  SELECT DISTINCT h FROM bd_g
+  WHERE doc_id IN (SELECT doc_id FROM {docs} WHERE {bucket} = 0)
+),
+bd_bits AS (
+  SELECT DISTINCT pos FROM (
+{bit_union}
+  )
+),
+bd_p AS (
+  SELECT doc_id, h, {pos_cols} FROM bd_g
+),
+bd_hit AS (
+  SELECT g.doc_id,
+         CASE WHEN {hit_all} THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+  FROM bd_p g
+{bit_joins}
+  LEFT JOIN bd_e e ON g.h = e.h
+),
+bd_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hit,
+         CAST(sum(exact_hit) AS BIGINT) AS n_exact_hit
+  FROM bd_hit GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_bloom_hit, 0) AS n_bloom_hit,
+       coalesce(p.n_exact_hit, 0) AS n_exact_hit,
+       coalesce(p.n_bloom_hit, 0) - coalesce(p.n_exact_hit, 0) AS n_false_pos,
+       (coalesce(p.n_bloom_hit, 0) * {BLOOM_SCREEN_DEN} >= coalesce(p.n_grams, 0)
+        AND coalesce(p.n_grams, 0) > 0) AS screened
+FROM {docs} dd LEFT JOIN bd_doc p ON dd.doc_id = p.doc_id"""

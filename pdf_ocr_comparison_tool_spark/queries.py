@@ -573,6 +573,18 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bloom_decontaminate", oracle=O.bloom_decontaminate_sql(G.DUCK))
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen + false-positive audit: the
+    stage-0 prefilter before the exact eval-overlap join — set-bit
+    table bounded by BLOOM_M_BITS (hard-broadcast safe by
+    construction), k membership tests as BroadcastHashJoins, ONE
+    map-side groupBy; the corpus never shuffles at gram granularity."""
+    return dedup.bloom_decontaminate(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("boilerplate_blocks", oracle=O.boilerplate_blocks_sql(G.DUCK))
 def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText-style DOM-block classification over the synthetic HTML
@@ -2084,6 +2096,7 @@ _QUERY_ORDER = [
     # type-strict parity gate this round, r6 head for first driver rows
     "boilerplate_blocks",
     "main_content",
+    "bloom_decontaminate",
 ]
 
 

@@ -150,6 +150,15 @@ def hexint48(expr: str, d: str) -> str:
     return f"CAST('0x' || substr(md5({s}), 1, 12) AS BIGINT)"
 
 
+def hexint_slice(expr: str, start1: int, d: str) -> str:
+    """One 32-bit slice of an ALREADY-COMPUTED md5 hex string → BIGINT
+    (8 hex chars at 1-based *start1*). Gives k independent hash
+    functions from a single md5 — the Bloom-filter position family."""
+    if d == SPARK:
+        return f"CAST(conv(substr({expr}, {start1}, 8), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr({expr}, {start1}, 8) AS BIGINT)"
+
+
 def array_join(arr: str, sep: str, d: str) -> str:
     if d == SPARK:
         return f"array_join({arr}, {sep})"

@@ -238,3 +238,47 @@ def test_containment_relations(spark):
     assert out[(1, 3)]["relation"] == "duplicate"
     assert out[(1, 4)]["relation"] == "overlap"
     assert (1, 5) not in out  # below CONTAIN_MIN → dropped
+
+
+def test_bloom_decontaminate_audit(spark):
+    """Bloom screen invariants: exact hits are a subset of Bloom hits
+    (identical positions for identical grams — false negatives are
+    impossible), eval docs fully self-hit and get screened, the FP rate
+    stays in the band the m/k arithmetic predicts, and the per-gram
+    membership stage is broadcast-join-only (no gram-level exchange)."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR_01
+
+    docs = synth.load_table(spark, SF_DIR_01, "documents")
+    out = dedup.bloom_decontaminate(docs).cache()
+    assert out.filter(F.col("n_exact_hit") > F.col("n_bloom_hit")).count() == 0
+    assert out.filter(F.col("n_false_pos") < 0).count() == 0
+    # eval docs: every own gram is in the set -> exact == n_grams, screened
+    from pdf_ocr_comparison_tool_spark.operators.features import hash_bucket
+    ev = out.join(
+        docs.select("doc_id").filter(
+            hash_bucket(F.col("doc_id"), dedup.DECON_EVAL_BUCKETS) == 0
+        ),
+        "doc_id",
+    ).filter(F.col("n_grams") > 0)
+    assert ev.filter(F.col("n_exact_hit") != F.col("n_grams")).count() == 0
+    assert ev.filter(~F.col("screened")).count() == 0
+    # fp rate over non-eval grams: positive (m sized to make it
+    # measurable) but bounded well under the screen usefulness ceiling
+    tot = out.agg(
+        F.sum("n_grams").alias("g"),
+        F.sum("n_exact_hit").alias("e"),
+        F.sum("n_false_pos").alias("fp"),
+    ).collect()[0]
+    rate = tot.fp / max(tot.g - tot.e, 1)
+    assert 0.001 < rate < 0.15, rate
+    # plan: k membership joins + exact join + doc join are ALL
+    # broadcast — corpus rows never cross a shuffled join (the only
+    # gram-keyed exchanges are the eval-side distincts, bounded by the
+    # eval slice)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= dedup.BLOOM_K
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    out.unpersist()
