@@ -5119,3 +5119,21 @@ SELECT dd.doc_id,
        (coalesce(p.n_bloom_hit, 0) * {BLOOM_SCREEN_DEN} >= coalesce(p.n_grams, 0)
         AND coalesce(p.n_grams, 0) > 0) AS screened
 FROM {docs} dd LEFT JOIN bd_doc p ON dd.doc_id = p.doc_id"""
+
+
+def main_content_quality_sql(d: str, docs: str = "documents") -> str:
+    """Composed strip→admission shift: Gopher quality verdicts on the
+    RAW document text vs the boilerplate-STRIPPED main content
+    (main_content_sql nested as the stripped source) — the measurement
+    that justifies running the strip before quality filtering."""
+    mc = main_content_sql(d, docs)
+    stripped_src = f"(SELECT doc_id, main_text AS text FROM ({mc}) mcq) mtb"
+    return f"""WITH mq_raw AS ({gopher_quality_sql(d, docs)}),
+mq_st AS ({gopher_quality_sql(d, stripped_src)})
+SELECT r.doc_id,
+       r.n_words AS raw_words,
+       s.n_words AS stripped_words,
+       r.gopher_keep AS raw_keep,
+       s.gopher_keep AS stripped_keep,
+       r.gopher_keep <> s.gopher_keep AS verdict_changed
+FROM mq_raw r JOIN mq_st s ON r.doc_id = s.doc_id"""

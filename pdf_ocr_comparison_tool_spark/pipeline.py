@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> None:
         "--job",
         choices=(
             "extract", "corpus", "match", "tokenize", "dedup", "embed",
-            "govern",
+            "govern", "html",
         ),
         default="extract",
         help="extract = spans pipeline; corpus = admission filter + split "
@@ -51,7 +51,9 @@ def main(argv: list[str] | None = None) -> None:
         "triangle cohesion) off one cached candidate-pair build; "
         "govern = the release governance bundle (dataset card + PII "
         "rollup + contamination report + mixture weights + quality "
-        "agreement) as one parquet directory per table",
+        "agreement) as one parquet directory per table; html = DOM "
+        "boilerplate strip (parse blocks -> jusText classify -> "
+        "main_content + per-block report)",
     )
     p.add_argument(
         "--publish",
@@ -230,6 +232,41 @@ def main(argv: list[str] | None = None) -> None:
             for name in outputs
         }
         print(json.dumps({"job": "govern", "run_id": run_id, "rows": card}))
+        spark.stop()
+        return
+
+    if args.job == "html":
+        # HTML boilerplate strip end to end: one classified-block frame
+        # (cached — pruned to the columns both consumers read) feeds the
+        # per-block classification report AND the per-doc main-content
+        # strip, so the parse + window run once.
+        from .operators import boilerplate as bp
+
+        classified = bp.classify_blocks(
+            bp.parse_blocks(synth.html_df(spark, args.input))
+        ).select(
+            "doc_id", "b", "tag", "media_ref", "text", "text_chars",
+            "n_links", "link_density", "stop_density", "cf_class",
+            "final_class",
+        ).cache()
+        blocks_report = classified.drop("text")
+        content = bp.main_content(classified)
+        blocks_report.write.mode("overwrite").parquet(f"{args.output}/blocks")
+        content.write.mode("overwrite").parquet(f"{args.output}/main_content")
+        agg = spark.read.parquet(f"{args.output}/main_content").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_blocks").alias("blocks"),
+            F.sum("n_content").alias("content_blocks"),
+            F.sum("content_chars").alias("content_chars"),
+            F.sum("boiler_chars").alias("boiler_chars"),
+        ).collect()[0]
+        classified.unpersist()
+        print(json.dumps({
+            "job": "html", "run_id": run_id, "docs": agg["docs"],
+            "blocks": agg["blocks"], "content_blocks": agg["content_blocks"],
+            "content_chars": agg["content_chars"],
+            "boiler_chars": agg["boiler_chars"],
+        }))
         spark.stop()
         return
 

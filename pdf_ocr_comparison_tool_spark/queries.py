@@ -610,6 +610,36 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate.main_content(boilerplate.classify_blocks(blocks))
 
 
+@register("main_content_quality", oracle=O.main_content_quality_sql(G.DUCK))
+def q_main_content_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip→admission shift: Gopher quality verdicts on the RAW text
+    vs the boilerplate-STRIPPED main content — quantifies how many
+    admission decisions the DOM strip changes (the reason the strip
+    runs before quality filtering in every production pipeline)."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    content = boilerplate.main_content(
+        boilerplate.classify_blocks(
+            boilerplate.parse_blocks(synth.html_df(spark, sf_dir))
+        )
+    )
+    raw = textstats.gopher_quality(docs).select(
+        "doc_id",
+        F.col("n_words").alias("raw_words"),
+        F.col("gopher_keep").alias("raw_keep"),
+    )
+    stripped = textstats.gopher_quality(
+        content.select("doc_id", F.col("main_text").alias("text"))
+    ).select(
+        "doc_id",
+        F.col("n_words").alias("stripped_words"),
+        F.col("gopher_keep").alias("stripped_keep"),
+    )
+    return raw.join(stripped, "doc_id").select(
+        "doc_id", "raw_words", "stripped_words", "raw_keep", "stripped_keep",
+        (F.col("raw_keep") != F.col("stripped_keep")).alias("verdict_changed"),
+    )
+
+
 @register("promo_revenue", oracle=O.promo_revenue_sql(G.DUCK))
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promotion effect: promo-part revenue share of
@@ -2097,6 +2127,7 @@ _QUERY_ORDER = [
     "boilerplate_blocks",
     "main_content",
     "bloom_decontaminate",
+    "main_content_quality",
 ]
 
 
