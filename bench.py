@@ -184,6 +184,7 @@ _SCALE_REP_DEFAULTS = {
     "media_decode": "8",
     "dedup_clusters": "8192",
     "pagerank": "4096",
+    "main_content": "384",
 }
 SCALE_REPLICATION = int(
     os.environ.get("SPARK_GRAFT_SCALE_REP")
@@ -253,7 +254,10 @@ def _run_scaling_child(n_executors: str) -> dict:
     # narrow extraction job tracks cores
     shuffle = (
         int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
-        if job in ("line_dedup", "match_best", "dedup_clusters", "pagerank")
+        if job in (
+            "line_dedup", "match_best", "dedup_clusters", "pagerank",
+            "main_content",
+        )
         else total_cores * 4
     )
     # the shuffling jobs disable broadcast joins: the replicated corpus
@@ -434,6 +438,19 @@ def _run_scaling_child(n_executors: str) -> dict:
         v, r = _featured_from_pages(spark, pages)
         ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
         out = matching.best_matches(v, ranked)
+    elif job == "main_content":
+        # the WINDOW-EXCHANGE counterpart: the HTML boilerplate strip is
+        # narrow through parse/classify features, then exactly one
+        # doc_id hash exchange feeds BOTH the neighbour-propagation
+        # window and the per-doc strip aggregate (plan-guarded in
+        # tests). Replicated doc_ids are disjoint, so window partitions
+        # stay block-bounded — the job measures the window + reused-
+        # exchange aggregate path across executor JVMs.
+        from pdf_ocr_comparison_tool_spark.operators import boilerplate as bp
+
+        out = bp.main_content(
+            bp.classify_blocks(bp.parse_blocks(synth.html_from_docs(rep)))
+        )
     elif job == "media_decode":
         # the ARROW-UDF counterpart of the (expression-only) extraction
         # job: spans → media manifest → payload fetch (pandas UDF) →

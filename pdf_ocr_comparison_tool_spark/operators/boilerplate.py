@@ -174,3 +174,37 @@ def main_content(classified: DataFrame) -> DataFrame:
             F.when(~is_content, F.col("text_chars")).otherwise(F.lit(0))
         ).alias("boiler_chars"),
     )
+
+
+def strip_confusion(classified: DataFrame) -> DataFrame:
+    """Confusion table of the strip vs synthesis ground truth: the
+    htmlgen spec marks chrome blocks by TAG (nav/footer/aside) but the
+    classifier never reads the tag, so (truth_chrome × final_class)
+    counts/char masses measure real leakage both ways — the jusText
+    evaluation shape. Tiny aggregate: groupBy over 4 cells + a 1-row
+    totals broadcast."""
+    from ..htmlgen import HB_CHROME_TAGS
+
+    lab = classified.select(
+        F.col("tag").isin(*HB_CHROME_TAGS).alias("truth_chrome"),
+        "final_class",
+        "text_chars",
+    )
+    cells = lab.groupBy("truth_chrome", "final_class").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("text_chars").cast("long").alias("sum_chars"),
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).alias("all_blocks"),
+        F.sum("text_chars").cast("long").alias("all_chars"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "truth_chrome",
+        "final_class",
+        "n_blocks",
+        "sum_chars",
+        (F.col("n_blocks").cast("double") / F.col("all_blocks").cast("double")
+         ).alias("block_share"),
+        (F.col("sum_chars").cast("double") / F.col("all_chars").cast("double")
+         ).alias("char_share"),
+    )

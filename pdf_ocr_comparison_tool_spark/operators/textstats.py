@@ -601,6 +601,62 @@ LM_SMOOTH = 1  # Laplace add-k
 LM_BUCKET_BINS = 1000  # lm_buckets score-bin granularity (spec constant)
 
 
+# Flesch / Flesch-Kincaid coefficients — plain floats, interpolated
+# into BOTH engines' SQL via repr so each parses the identical double
+# (the bm25 literal recipe); the syllable heuristic is vowel-group
+# counting with a floor of one per word (zero-vowel words count 1).
+FLESCH_BASE, FLESCH_WPS, FLESCH_SPW = 206.835, 1.015, 84.6
+FK_WPS, FK_SPW, FK_BASE = 0.39, 11.8, 15.59
+READ_WORD_RE = r"[^a-z0-9]+"
+READ_SENT_RE = r"[.!?]+"
+READ_VOWEL_RE = r"[aeiou]+"
+READ_BANDS = ((90.0, "very_easy"), (70.0, "easy"), (50.0, "medium"),
+              (30.0, "hard"))
+READ_BAND_DEFAULT = "very_hard"
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic curriculum/quality signal next to the Gopher rules. Word,
+    sentence and vowel-group counts are integers; per-word syllables
+    use the vowel-group heuristic with a floor of 1 (zero-vowel words
+    — ids, numbers — count one syllable). Both scores are a FIXED
+    CHAIN of IEEE double ops over int/int divisions, so the values
+    (and thus the band CASE) are bit-identical cross-engine — the
+    collocations/bm25 float recipe. Narrow projection end to end."""
+    low = F.lower(F.col("text"))
+    words = F.filter(F.split(low, READ_WORD_RE), lambda t: t != F.lit(""))
+    sents = F.filter(F.split(low, READ_SENT_RE), lambda s: F.trim(s) != F.lit(""))
+    vgroups = F.size(F.regexp_extract_all(low, F.lit(READ_VOWEL_RE), F.lit(0)))
+    novowel = F.size(F.filter(words, lambda w: ~w.rlike(READ_VOWEL_RE)))
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.greatest(F.size(sents), F.lit(1)).cast("long").alias("n_sentences"),
+        (vgroups + novowel).cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.greatest(
+        F.col("n_words"), F.lit(1)
+    ).cast("double")
+    flesch = (
+        F.lit(FLESCH_BASE) - F.lit(FLESCH_WPS) * F.col("words_per_sentence")
+        - F.lit(FLESCH_SPW) * F.col("syllables_per_word")
+    )
+    grade = (
+        F.lit(FK_WPS) * F.col("words_per_sentence")
+        + F.lit(FK_SPW) * F.col("syllables_per_word")
+        - F.lit(FK_BASE)
+    )
+    scored = base.select(
+        "*", wps.alias("words_per_sentence"), spw.alias("syllables_per_word")
+    ).select("*", flesch.alias("flesch"), grade.alias("fk_grade"))
+    band = F.lit(READ_BAND_DEFAULT)
+    for cut, name in reversed(READ_BANDS):
+        band = F.when(F.col("flesch") >= cut, name).otherwise(band)
+    return scored.select("*", band.alias("band"))
+
+
 def _tokenized(docs: DataFrame) -> DataFrame:
     """(doc_id, toks) — the single tokenization all LM consumers share."""
     return docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))

@@ -5137,3 +5137,97 @@ SELECT r.doc_id,
        s.gopher_keep AS stripped_keep,
        r.gopher_keep <> s.gopher_keep AS verdict_changed
 FROM mq_raw r JOIN mq_st s ON r.doc_id = s.doc_id"""
+
+
+def readability_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.readability: vowel-group syllable
+    heuristic (floor 1 per word), fixed-chain IEEE double scores,
+    identical-literal band thresholds."""
+    from .operators.textstats import (
+        FK_BASE,
+        FK_SPW,
+        FK_WPS,
+        FLESCH_BASE,
+        FLESCH_SPW,
+        FLESCH_WPS,
+        READ_BAND_DEFAULT,
+        READ_BANDS,
+        READ_SENT_RE,
+        READ_VOWEL_RE,
+        READ_WORD_RE,
+    )
+
+    dbl = lambda x: f"CAST({x!r} AS DOUBLE)"  # noqa: E731
+    low = "lower(text)"
+    words = _lfilter(split_rx(low, READ_WORD_RE, d), "t -> t <> ''", d)
+    sents = _lfilter(split_rx(low, READ_SENT_RE, d), "s -> trim(s) <> ''", d)
+    vg = _arr_size(G.extract_all(low, READ_VOWEL_RE, d), d)
+    nv = _arr_size(
+        _lfilter("words", f"w -> NOT ({G.rlike('w', READ_VOWEL_RE, d)})", d), d
+    )
+    flesch = (
+        f"{dbl(FLESCH_BASE)} - {dbl(FLESCH_WPS)} * words_per_sentence"
+        f" - {dbl(FLESCH_SPW)} * syllables_per_word"
+    )
+    grade = (
+        f"{dbl(FK_WPS)} * words_per_sentence"
+        f" + {dbl(FK_SPW)} * syllables_per_word - {dbl(FK_BASE)}"
+    )
+    band = "CASE " + " ".join(
+        f"WHEN flesch >= {dbl(cut)} THEN '{name}'" for cut, name in READ_BANDS
+    ) + f" ELSE '{READ_BAND_DEFAULT}' END"
+    return f"""WITH rd_w AS (
+  SELECT doc_id, {words} AS words,
+         {_arr_size(sents, d)} AS n_sent, {vg} AS vg
+  FROM {docs}
+),
+rd_c AS (
+  SELECT doc_id,
+         CAST({_arr_size('words', d)} AS BIGINT) AS n_words,
+         CAST(greatest(n_sent, 1) AS BIGINT) AS n_sentences,
+         CAST(vg + {nv} AS BIGINT) AS n_syllables
+  FROM rd_w
+),
+rd_s AS (
+  SELECT *,
+         CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+           AS words_per_sentence,
+         CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+           AS syllables_per_word
+  FROM rd_c
+),
+rd_f AS (
+  SELECT *, {flesch} AS flesch, {grade} AS fk_grade FROM rd_s
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       words_per_sentence, syllables_per_word, flesch, fk_grade,
+       {band} AS band
+FROM rd_f"""
+
+
+def strip_confusion_sql(d: str, docs: str = "documents") -> str:
+    """Strip evaluation vs synthesis ground truth: htmlgen KNOWS which
+    blocks are chrome (nav/footer/aside) — the classifier never reads
+    the tag, so grouping its final verdict by the truth label yields a
+    real confusion table (the jusText-evaluation shape) with char
+    masses and per-cell block/char shares."""
+    from . import htmlgen as H
+
+    chrome = "('" + "', '".join(H.HB_CHROME_TAGS) + "')"
+    return f"""WITH {_html_blocks_ctes(d, docs)},
+sc_lab AS (
+  SELECT tag IN {chrome} AS truth_chrome, final_class, text_chars
+  FROM mb_fin
+),
+sc_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS all_blocks,
+         CAST(sum(text_chars) AS BIGINT) AS all_chars
+  FROM sc_lab
+)
+SELECT truth_chrome, final_class,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(text_chars) AS BIGINT) AS sum_chars,
+       CAST(count(*) AS DOUBLE) / CAST(all_blocks AS DOUBLE) AS block_share,
+       CAST(sum(text_chars) AS DOUBLE) / CAST(all_chars AS DOUBLE) AS char_share
+FROM sc_lab CROSS JOIN sc_tot
+GROUP BY truth_chrome, final_class, all_blocks, all_chars"""

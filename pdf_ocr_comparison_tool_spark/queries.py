@@ -610,6 +610,25 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate.main_content(boilerplate.classify_blocks(blocks))
 
 
+@register("readability", oracle=O.readability_sql(G.DUCK))
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade with the vowel-group
+    syllable heuristic (floor 1 per word) — fixed-chain IEEE double
+    scores over int/int divisions, identical-literal band thresholds;
+    narrow projection end to end."""
+    return textstats.readability(synth.load_table(spark, sf_dir, "documents"))
+
+
+@register("strip_confusion", oracle=O.strip_confusion_sql(G.DUCK))
+def q_strip_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-strip evaluation vs synthesis ground truth: the
+    classifier never reads the tag, so grouping its verdict by the
+    spec's chrome/prose truth yields a real confusion table (chrome
+    leakage 3.6% of chars at sf0.01)."""
+    blocks = boilerplate.parse_blocks(synth.html_df(spark, sf_dir))
+    return boilerplate.strip_confusion(boilerplate.classify_blocks(blocks))
+
+
 @register("main_content_quality", oracle=O.main_content_quality_sql(G.DUCK))
 def q_main_content_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strip→admission shift: Gopher quality verdicts on the RAW text
@@ -2128,6 +2147,8 @@ _QUERY_ORDER = [
     "main_content",
     "bloom_decontaminate",
     "main_content_quality",
+    "readability",
+    "strip_confusion",
 ]
 
 

@@ -162,7 +162,14 @@ def grounded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents parquet → (doc_id, html) per the :mod:`htmlgen` spec.
+    """documents parquet → (doc_id, html) per the :mod:`htmlgen` spec."""
+    return html_from_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def html_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, html) per the :mod:`htmlgen` spec.
 
     Narrow-only DataFrame twin of ``htmlgen.html_cte``: one transform
     over a sequence builds the per-doc block array in order b = 0..n-1,
@@ -170,7 +177,6 @@ def html_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted and ``array_join`` with a newline IS the string_agg."""
     from . import htmlgen as H
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tlen = F.length("text")
 
     def mk_block(b):

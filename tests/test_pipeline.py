@@ -501,3 +501,29 @@ def test_incremental_dedup_semantics(spark):
     assert 0.5 <= out[11]["near_jaccard"] < 1.0
     assert out[12]["status"] == "new"
     assert out[12]["exact_dup_of"] is None and out[12]["near_dup_of"] is None
+
+
+def test_readability_fixture(spark):
+    """Hand-computed Flesch fixture + structural invariants: every word
+    carries >= 1 syllable (vowel groups + zero-vowel floor), sentences
+    floor at 1, band agrees with the score."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "the data table. big row!"), (2, "xy9 zz7"), (3, "a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ts.readability(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (5, 2, 7)
+    exp = 206.835 - 1.015 * (5 / 2) - 84.6 * (7 / 5)
+    assert r1.flesch == exp  # fixed-chain IEEE ops, bit-exact
+    assert out[2].n_syllables == 2  # zero-vowel words floor at 1 each
+    assert out[3].n_sentences == 1
+    big = ts.readability(
+        spark.createDataFrame([(9, "go. go. go. go. go. go?")],
+                              "doc_id long, text string")
+    ).collect()[0]
+    assert big.band == "very_easy" and big.flesch >= 90.0
