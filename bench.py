@@ -118,6 +118,9 @@ HEADLINE = [
     "boilerplate_blocks",
     "main_content",
     "bloom_decontaminate",
+    "main_content_quality",
+    "strip_confusion",
+    "readability",
 ]
 
 

@@ -90,8 +90,13 @@ def html_cte(d: str, docs: str = "documents") -> str:
         f" THEN '<img src=\"m://' || {cast_str('doc_id', d)} || '/'"
         f" || {cast_str('b', d)} || '\"/>' ELSE '' END"
     )
+    # newline-fold makes the derivation total: blocks are joined with
+    # chr(10), so a text slice containing one would split a block in
+    # two at parse time (driver text is newline-free today; the fold
+    # keeps the spec correct for any input)
     body = (
-        f"substr(text, 1 + (b * {HB_STRIDE}) % greatest(tlen - 20, 1), blen)"
+        f"translate(substr(text, 1 + (b * {HB_STRIDE})"
+        f" % greatest(tlen - 20, 1), blen), chr(10), ' ')"
     )
     if d == G.SPARK:
         # Spark SQL rejects array_agg(x ORDER BY y) — sort-after-collect

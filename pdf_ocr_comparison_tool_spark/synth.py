@@ -226,9 +226,13 @@ def html_from_docs(docs: DataFrame) -> DataFrame:
                 F.lit('"/>'),
             ),
         ).otherwise(F.lit(""))
-        body = F.expr("text").substr(
-            F.lit(1) + (b * H.HB_STRIDE) % F.greatest(tlen - 20, F.lit(1)),
-            blen,
+        body = F.translate(
+            F.expr("text").substr(
+                F.lit(1) + (b * H.HB_STRIDE) % F.greatest(tlen - 20, F.lit(1)),
+                blen,
+            ),
+            "\n",
+            " ",
         )
         return F.concat(
             F.lit("<"), tag, F.lit(">"), img, body, anchors,

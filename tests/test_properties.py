@@ -1349,3 +1349,43 @@ def test_inverted_index_postings_sound(spark):
             toks = [t for t in re.split(r"[^a-z0-9]+", texts[i]) if len(t) >= 2]
             grams = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
             assert r["token"] in grams
+
+
+@_FAST
+@given(
+    st.lists(
+        st.text(alphabet="abe theo <a>\n记.!#'\"", min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_boilerplate_strip_total_on_arbitrary_text(spark, texts):
+    """The html derivation + strip is TOTAL: for arbitrary document
+    text (newlines, CJK, quote/angle/markup fragments, empty), every
+    doc yields exactly 3 + doc_id % 6 parsed blocks, classes always
+    land in the closed sets, and the char accounting balances."""
+    from pdf_ocr_comparison_tool_spark import htmlgen as H
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import boilerplate as B
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cls = B.classify_blocks(B.parse_blocks(synth.html_from_docs(docs))).cache()
+    rows = cls.collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+        assert r.cf_class in {"bad", "short", "good", "near_good"}
+        assert r.final_class in {"content", "boilerplate"}
+        assert r.n_links >= 0 and r.text_chars >= 0
+    assert per_doc == {
+        i: 3 + i % H.HB_NBLOCK_MOD for i in range(len(texts))
+    }
+    out = B.main_content(cls).collect()
+    for r in out:
+        assert r.n_blocks == 3 + r.doc_id % H.HB_NBLOCK_MOD
+        assert r.content_chars + r.boiler_chars == sum(
+            x.text_chars for x in rows if x.doc_id == r.doc_id
+        )
+    cls.unpersist()
