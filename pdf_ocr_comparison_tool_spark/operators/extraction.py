@@ -132,6 +132,32 @@ def parse_grounded(df: DataFrame, blob_col: str = "grounded") -> DataFrame:
     )
 
 
+COL_WIDTH = 450  # layout grid: two columns over the synthetic x∈[0,900)
+
+
+def column_layout(grounded: DataFrame) -> DataFrame:
+    """Multi-column reading order (XY-cut-lite) over parsed grounded
+    spans: bucket each span's left edge into a fixed column grid, then
+    linearize column-major (col, y, x) — the layout-parse step a
+    two-column PDF needs where the flat y-then-x order interleaves the
+    columns. Emits both orders + the moved flag so the divergence is
+    directly measurable. One additional per-doc window on the same
+    doc_id partitioning as the parse reindex — no extra exchange."""
+    from pyspark.sql import Window
+
+    col_id = F.floor(F.col("x1") / COL_WIDTH).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("col_id", "y1", "x1", "ord_flat")
+    out = grounded.select(
+        "doc_id", col_id.alias("col_id"),
+        F.col("ord").alias("ord_flat"), "x1", "y1", "txt",
+    ).select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("ord_col"),
+        "col_id", "ord_flat", "x1", "y1", "txt",
+    )
+    return out.withColumn("moved", F.col("ord_col") != F.col("ord_flat"))
+
+
 def exploded_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Extraction result in per-row form (doc_id, ord, kind, text,
     media_ref) — the shape the DuckDB oracle compares. posexplode keeps

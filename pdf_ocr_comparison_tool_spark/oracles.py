@@ -5231,3 +5231,22 @@ SELECT truth_chrome, final_class,
        CAST(sum(text_chars) AS DOUBLE) / CAST(all_chars AS DOUBLE) AS char_share
 FROM sc_lab CROSS JOIN sc_tot
 GROUP BY truth_chrome, final_class, all_blocks, all_chars"""
+
+
+def layout_columns_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.extraction.column_layout: fixed column grid
+    over the grounded-parse output, column-major reindex, moved flag."""
+    from .operators.extraction import COL_WIDTH
+
+    cdiv = f"x1 DIV {COL_WIDTH}" if d == SPARK else f"x1 // {COL_WIDTH}"
+    return f"""WITH lc_gp AS ({G.grounded_parse_sql(d, docs)}),
+lc_o AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY ({cdiv}), y1, x1, ord
+         ) - 1 AS BIGINT) AS ord_col,
+         CAST({cdiv} AS BIGINT) AS col_id,
+         ord AS ord_flat, x1, y1, txt
+  FROM lc_gp
+)
+SELECT *, ord_col <> ord_flat AS moved FROM lc_o"""

@@ -629,6 +629,17 @@ def q_strip_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate.strip_confusion(boilerplate.classify_blocks(blocks))
 
 
+@register("layout_columns", oracle=O.layout_columns_sql(G.DUCK))
+def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column reading order (XY-cut-lite) over the grounded
+    parse: fixed column grid on the left edge, column-major reindex
+    next to the flat y-then-x order, moved flag — the layout-parse
+    deepening for two-column pages. Same doc_id window partitioning
+    as the parse reindex."""
+    grounded = extraction.parse_grounded(synth.grounded_df(spark, sf_dir))
+    return extraction.column_layout(grounded)
+
+
 @register("main_content_quality", oracle=O.main_content_quality_sql(G.DUCK))
 def q_main_content_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strip→admission shift: Gopher quality verdicts on the RAW text
@@ -2149,6 +2160,7 @@ _QUERY_ORDER = [
     "main_content_quality",
     "readability",
     "strip_confusion",
+    "layout_columns",
 ]
 
 
