@@ -294,6 +294,46 @@ def doc_chunks(docs: DataFrame, chunk: int = CHUNK_TOKENS) -> DataFrame:
     )
 
 
+CHUNK_STRIDE_DEN = 2  # overlap stride = CHUNK_TOKENS / 2 (50% overlap)
+
+
+def doc_chunks_overlap(docs: DataFrame, chunk: int = CHUNK_TOKENS) -> DataFrame:
+    """SLIDING-window chunking (RAG indexing shape): chunks of ``chunk``
+    tokens every ``chunk // CHUNK_STRIDE_DEN`` tokens, so consecutive
+    chunks overlap 50% and no query phrase straddles a hard boundary.
+
+    Ownership is enumerated, never derived by division on a negative
+    numerator: token at ``pos`` belongs to chunks ``pos DIV stride - j``
+    for j in [0, chunk/stride) that satisfy ``idx >= 0 AND pos <
+    idx*stride + chunk`` — all operands non-negative, so Spark's
+    truncating DIV and DuckDB's flooring ``//`` agree (they DIVERGE on
+    negatives — the cross-engine trap this shape avoids). Same bounded
+    groupBy scale story as :func:`doc_chunks`, K× the rows (K = 2)."""
+    stride = chunk // CHUNK_STRIDE_DEN
+    k = (chunk + stride - 1) // stride
+    toks = dedup.tokens_col(F.col("text"))
+    pos = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    owned = pos.select(
+        "doc_id", "pos", "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    ).select(
+        "doc_id", "pos", "tok",
+        ((F.col("pos") / stride).cast("long") - F.col("j")).alias("chunk_idx"),
+    ).filter(
+        (F.col("chunk_idx") >= 0)
+        & (F.col("pos") < F.col("chunk_idx") * stride + chunk)
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    return owned.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_join(ordered, " ").alias("chunk_text"),
+    )
+
+
 def corpus_stats(docs: DataFrame, lang_dim: DataFrame) -> DataFrame:
     """The dataset-card rollup: per (source, predicted language) —
     doc count, admitted count (corpus_filter verdict), and total

@@ -392,6 +392,40 @@ QUALITY_MODEL_BIAS_MILLI = 0
 QUALITY_SCORE_KEEP_MIN = 2.0  # avg milli-weight threshold for 'keep'
 
 
+SPECTRUM_N = 3  # word n-gram order (unigrams are degenerate on the
+                # closed synthetic vocab — same rationale as INDEX trigram
+                # postings)
+
+
+def gram_spectrum(docs: DataFrame, n: int = SPECTRUM_N) -> DataFrame:
+    """Zipf frequency-of-frequency spectrum over word n-grams: bucket
+    gram frequencies by power of two (bucket = bit-length(count) - 1
+    via the portable ``length(bin(c))`` trick — no log crosses the
+    oracle) and report types / occurrence mass / count range per
+    bucket. The corpus-health table a dedup/vocab decision reads
+    (hapax mass = novelty; heavy head = boilerplate). Two map-side-
+    combinable groupBys; the spectrum is ≤64 rows at ANY corpus size.
+    """
+    from .dedup import _ngrams_col
+
+    toks = tokens_col(F.col("text"))
+    counts = (
+        docs.select(F.explode(_ngrams_col(toks, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+    )
+    bucket = (F.length(F.bin(F.col("c"))) - 1).cast("long")
+    return (
+        counts.groupBy(bucket.alias("freq_bucket"))
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.min("c").cast("long").alias("min_count"),
+            F.max("c").cast("long").alias("max_count"),
+        )
+    )
+
+
 def quality_model_dim(spark) -> DataFrame:
     """The trained-model artifact as a DataFrame — on a real pipeline
     this is `spark.read.parquet(model_path)`; here the deterministic

@@ -5250,3 +5250,86 @@ lc_o AS (
   FROM lc_gp
 )
 SELECT *, ord_col <> ord_flat AS moved FROM lc_o"""
+
+
+def doc_chunks_overlap_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.doc_chunks_overlap: enumerated
+    chunk ownership (j in [0, K)) with non-negative arithmetic only —
+    Spark's truncating DIV and DuckDB's flooring // diverge on
+    negative numerators, so ownership is never derived by division on
+    (pos - chunk)."""
+    from .operators.pipeline import CHUNK_STRIDE_DEN, CHUNK_TOKENS
+
+    chunk = CHUNK_TOKENS
+    stride = chunk // CHUNK_STRIDE_DEN
+    k = (chunk + stride - 1) // stride
+    if d == SPARK:
+        pos_rows = "posexplode(toks) AS (pos, tok)"
+        js = f"explode(sequence(0, {k - 1})) AS j"
+        agg = (
+            "array_join(transform(array_sort(collect_list(struct(pos, tok)))"
+            ", s -> s.tok), ' ')"
+        )
+        j_select = "SELECT doc_id, pos, tok, " + js + " FROM co_p"
+    else:
+        pos_rows = (
+            "generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok"
+        )
+        agg = "string_agg(tok, ' ' ORDER BY pos ASC)"
+        j_select = (
+            f"SELECT doc_id, pos, tok, unnest(range({k})) AS j FROM co_p"
+        )
+    idx = f"({P.idiv('pos', str(stride), d)} - j)"
+    return f"""WITH {_tok_cte(d, docs)},
+co_p AS (
+  SELECT doc_id, {pos_rows} FROM dd_tok
+),
+co_j AS ({j_select}),
+co_o AS (
+  SELECT doc_id, pos, tok, CAST({idx} AS BIGINT) AS chunk_idx
+  FROM co_j
+  WHERE {idx} >= 0 AND pos < {idx} * {stride} + {chunk}
+)
+SELECT doc_id, chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {agg} AS chunk_text
+FROM co_o
+GROUP BY doc_id, chunk_idx"""
+
+
+def gram_spectrum_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.gram_spectrum: word n-grams via
+    the shared gram builders, power-of-two frequency buckets via
+    length(bin(count)) - 1 (identical binary string in both engines;
+    no log crosses the oracle)."""
+    from .operators.textstats import SPECTRUM_N
+
+    n = SPECTRUM_N
+    if d == SPARK:
+        grams = (
+            f"CASE WHEN size(toks) < {n} THEN array()"
+            f" ELSE transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )
+        gram_rows = "SELECT explode(grams) AS gram FROM zs_g"
+    else:
+        grams = (
+            f"list_transform(range(greatest({_arr_size('toks', d)} - {n - 1}, 0)),"
+            f" i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))"
+        )
+        gram_rows = "SELECT unnest(grams) AS gram FROM zs_g"
+    return f"""WITH {_tok_cte(d, docs)},
+zs_g AS (
+  SELECT {grams} AS grams FROM dd_tok
+),
+zs_t AS ({gram_rows}),
+zs_c AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS c FROM zs_t GROUP BY gram
+)
+SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS freq_bucket,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_occurrences,
+       CAST(min(c) AS BIGINT) AS min_count,
+       CAST(max(c) AS BIGINT) AS max_count
+FROM zs_c
+GROUP BY length(bin(c)) - 1"""

@@ -640,6 +640,26 @@ def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction.column_layout(grounded)
 
 
+@register("doc_chunks_overlap", oracle=O.doc_chunks_overlap_sql(G.DUCK))
+def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG indexing shape, 50% overlap):
+    chunk ownership is ENUMERATED with non-negative arithmetic only —
+    Spark's truncating DIV and DuckDB's flooring // diverge on
+    negative numerators, the trap a (pos - chunk)/stride derivation
+    would hit. Same bounded-group scale story as doc_chunks."""
+    return pipeline.doc_chunks_overlap(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register("gram_spectrum", oracle=O.gram_spectrum_sql(G.DUCK))
+def q_gram_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-of-frequency spectrum over word trigrams:
+    power-of-two buckets via length(bin(count)) - 1 — no log crosses
+    the oracle; ≤64-row output at any corpus size."""
+    return textstats.gram_spectrum(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("main_content_quality", oracle=O.main_content_quality_sql(G.DUCK))
 def q_main_content_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strip→admission shift: Gopher quality verdicts on the RAW text
@@ -2161,6 +2181,8 @@ _QUERY_ORDER = [
     "readability",
     "strip_confusion",
     "layout_columns",
+    "doc_chunks_overlap",
+    "gram_spectrum",
 ]
 
 
