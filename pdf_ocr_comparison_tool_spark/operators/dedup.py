@@ -580,6 +580,64 @@ BLOOM_K = 4           # hash functions = disjoint 32-bit md5 slices
 BLOOM_SCREEN_DEN = 20  # screened when bloom hits ≥ 1/20 of doc grams
 
 
+def _bloom_pos(hcol, j: int, m_bits: int):
+    """Position j of a gram's md5 hex in an m_bits-wide Bloom filter:
+    disjoint 32-bit slices of the one md5 give k independent hash
+    functions (sqlgen.hexint_slice is the oracle twin)."""
+    return (
+        F.conv(F.substring(hcol, 1 + 8 * j, 8), 16, 10).cast("long") % m_bits
+    )
+
+
+def _bloom_grams(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """(doc_id, text) → per-doc DISTINCT word-n-gram md5 rows (doc_id,
+    h) — the shared front end of the Bloom screen (batch or stream)."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),
+    ).select("doc_id", F.md5(F.col("gram")).alias("h"))
+
+
+def bloom_bits(eval_h: DataFrame, m_bits: int = BLOOM_M_BITS,
+               k: int = BLOOM_K) -> DataFrame:
+    """Distinct set-bit table (pos) of the Bloom filter for a distinct
+    eval-gram-hash frame — bounded by ``m_bits`` rows by construction,
+    so it is always broadcast-safe (build once, reuse across batch runs
+    AND as the STATIC side of a stream-static join)."""
+    return (
+        eval_h.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("h"), j, m_bits) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_gram_hits(grams: DataFrame, bits: DataFrame,
+                    m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Per-gram Bloom membership: k broadcast LEFT joins against the
+    set-bit table (≤ m_bits rows), hit iff ALL k positions are set.
+    STREAM-SAFE: contains no aggregation or window, so the same code
+    path runs on a batch frame and as a stream-static join on a
+    readStream frame (proven equal in tests). → (doc_id, h, bloom_hit).
+    """
+    g = grams.select(
+        "doc_id", "h",
+        *[_bloom_pos(F.col("h"), j, m_bits).alias(f"pos{j}") for j in range(k)],
+    )
+    for j in range(k):
+        bj = F.broadcast(
+            bits.select(F.col("pos").alias(f"pos{j}"), F.lit(1).alias(f"m{j}"))
+        )
+        g = g.join(bj, f"pos{j}", "left")
+    hit_all = F.lit(True)
+    for j in range(k):
+        hit_all = hit_all & F.col(f"m{j}").isNotNull()
+    return g.select("doc_id", "h", hit_all.alias("bloom_hit"))
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     n: int = DECON_NGRAM,
@@ -610,52 +668,19 @@ def bloom_decontaminate(
     """
     from .features import hash_bucket
 
-    toks = tokens_col(F.col("text"))
-    md5h = F.md5(F.col("gram"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(_ngrams_col(toks, n))).alias("gram"),
-    ).select("doc_id", md5h.alias("h"))
-
-    def pos(hcol, j):
-        return (
-            F.conv(F.substring(hcol, 1 + 8 * j, 8), 16, 10).cast("long")
-            % m_bits
-        )
-
+    grams = _bloom_grams(docs, n)
     eval_h = (
         grams.filter(hash_bucket(F.col("doc_id"), eval_buckets) == 0)
         .select("h")
         .distinct()
     )
-    bits = (
-        eval_h.select(
-            F.explode(F.array(*[pos(F.col("h"), j) for j in range(k)])).alias(
-                "pos"
-            )
-        )
-        .distinct()
-    )
-    # per-gram membership: k broadcast joins (bits ≤ m_bits rows by
-    # construction), no corpus-side exchange
-    g = grams.select(
-        "doc_id", "h", *[pos(F.col("h"), j).alias(f"pos{j}") for j in range(k)]
-    )
-    for j in range(k):
-        bj = F.broadcast(
-            bits.select(
-                F.col("pos").alias(f"pos{j}"), F.lit(1).alias(f"m{j}")
-            )
-        )
-        g = g.join(bj, f"pos{j}", "left")
-    hit_all = F.lit(True)
-    for j in range(k):
-        hit_all = hit_all & F.col(f"m{j}").isNotNull()
+    bits = bloom_bits(eval_h, m_bits=m_bits, k=k)
+    g = bloom_gram_hits(grams, bits, m_bits=m_bits, k=k)
     exact = eval_h.withColumn("ex", F.lit(1))
     g = g.join(exact, "h", "left")
     per_doc = g.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
-        F.sum(hit_all.cast("long")).alias("n_bloom_hit"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hit"),
         F.sum(F.coalesce("ex", F.lit(0)).cast("long")).alias("n_exact_hit"),
     )
     out = docs.select("doc_id").join(per_doc, "doc_id", "left")

@@ -484,3 +484,19 @@ def streaming_rate_monitor(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_bloom_screen(docs_stream: DataFrame, bits: DataFrame) -> DataFrame:
+    """STREAM-STATIC join twin of the Bloom decontamination screen
+    (operators.dedup.bloom_gram_hits): the set-bit table is built ONCE
+    from the eval corpus in batch (bounded by BLOOM_M_BITS rows —
+    broadcast-safe forever) and each arriving document's distinct
+    n-grams cross the same k broadcast membership joins. Completely
+    stateless — append mode, no watermark, no state store — which is
+    exactly why the Bloom form is the streaming-admission shape: the
+    exact-join screen would need the full eval gram table as a
+    streaming join side. Per-gram verdicts; the per-doc rollup stays a
+    downstream batch aggregate (or a session-windowed one)."""
+    from ..operators.dedup import _bloom_grams, bloom_gram_hits
+
+    return bloom_gram_hits(_bloom_grams(docs_stream), bits)

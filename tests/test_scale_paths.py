@@ -663,3 +663,56 @@ def test_streaming_last_touch_matches_batch_asof(spark):
         ).collect()
     }
     assert got and got == exp
+
+
+def test_streaming_bloom_screen_matches_batch(spark):
+    """The stream-static Bloom screen (k broadcast membership joins,
+    stateless) emits exactly the batch per-gram verdict set on the
+    same docs — the streaming-admission twin of bloom_decontaminate."""
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark.operators import dedup
+    from pdf_ocr_comparison_tool_spark.streaming import stateful
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                             # long doc: many 8-grams
+        (2, base + " extra tail words here"),  # shares grams with 1
+        (3, "totally different words " * 4),
+        (4, "short"),                          # < n tokens: zero grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # eval set = doc 1's grams (build bits in BATCH, the static side)
+    eval_h = dedup._bloom_grams(docs.filter("doc_id = 1")).select("h").distinct()
+    bits = dedup.bloom_bits(eval_h).cache()
+    batch = {
+        (r.doc_id, r.h, r.bloom_hit)
+        for r in dedup.bloom_gram_hits(dedup._bloom_grams(docs), bits).collect()
+    }
+    with tempfile.TemporaryDirectory() as tdir:
+        docs.coalesce(1).write.parquet(f"{tdir}/f1")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tdir}/f1")
+        )
+        out = stateful.streaming_bloom_screen(stream, bits)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_bloom")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.doc_id, r.h, r.bloom_hit)
+            for r in spark.sql("SELECT * FROM stream_bloom").collect()
+        }
+    assert got == batch
+    # eval doc's own grams all hit; the disjoint doc has no exact hits
+    d1 = [hit for (d, _, hit) in got if d == 1]
+    assert d1 and all(d1)
+    bits.unpersist()
