@@ -230,3 +230,84 @@ def media_filter(decoded: DataFrame) -> DataFrame:
         F.col("drop_reason").isNull().alias("keep"),
         "drop_reason",
     )
+
+
+THUMB_GRID = 4  # thumbnail = GRID×GRID sampled cells (spec constant —
+                # change oracles.media_thumbnail_sql together)
+
+THUMB_SCHEMA = (
+    "doc_id string, media_ref string, format string, "
+    "thumb_sig string, thumb_mean double"
+)
+
+
+def _thumb_values(payload: bytes, t: int) -> tuple[str, list[int]]:
+    """REAL codec-free downsample on the container bytes: BMP →
+    nearest-neighbour t×t pixel grid (value = B+G+R byte sum per cell;
+    the synthetic pixel buffer is row-major stride 3·w, no alignment
+    padding — documented in synth_media_payload); WAV → t² evenly
+    spaced int16 waveform samples. Compressed codecs raise at the same
+    stub boundary as parse_media."""
+    if payload[:2] == b"BM":
+        (off,) = struct.unpack_from("<I", payload, 10)
+        _hsz, w, h = struct.unpack_from("<Iii", payload, 14)
+        h = abs(h)
+        pix = payload[off:]
+        vals = []
+        for i in range(t * t):
+            ty, tx = divmod(i, t)
+            base = 3 * (((ty * h) // t) * w + (tx * w) // t)
+            vals.append(pix[base] + pix[base + 1] + pix[base + 2])
+        return "bmp", vals
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import array
+
+        pos, data = 12, b""
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (sz,) = struct.unpack_from("<I", payload, pos + 4)
+            if cid == b"data":
+                data = payload[pos + 8:pos + 8 + sz]
+            pos += 8 + sz + (sz % 2)
+        a = array.array("h")
+        a.frombytes(data[: 2 * (len(data) // 2)])
+        n = len(a)
+        vals = [int(a[(i * n) // (t * t)]) for i in range(t * t)]
+        return "wav", vals
+    raise NotImplementedError(
+        "compressed codec (JPEG/PNG/H.264 ...) — requires an image/audio "
+        "library this container does not ship"
+    )
+
+
+def thumbnail_media(with_payload: DataFrame, t: int = THUMB_GRID) -> DataFrame:
+    """mapInPandas thumbnail stage — the RESIZE step of the multimodal
+    pipeline, REAL for the codec-free formats (BMP pixel grid, WAV
+    waveform envelope): one integer per grid cell, comma-joined so the
+    signature crosses the oracle boundary as a string, plus the cell
+    mean (one int/int division). Same Arrow-batch shape and stub
+    boundary as decode_media."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            fmts, sigs, means = [], [], []
+            for payload in pdf["payload"]:
+                fmt, vals = _thumb_values(payload, t)
+                fmts.append(fmt)
+                sigs.append(",".join(str(v) for v in vals))
+                means.append(float(sum(vals)) / (t * t))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_ref": pdf["media_ref"].values,
+                    "format": fmts,
+                    "thumb_sig": sigs,
+                    "thumb_mean": means,
+                }
+            )
+
+    return with_payload.select("doc_id", "media_ref", "payload").mapInPandas(
+        _batches, THUMB_SCHEMA
+    )

@@ -5333,3 +5333,72 @@ SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS freq_bucket,
        CAST(max(c) AS BIGINT) AS max_count
 FROM zs_c
 GROUP BY length(bin(c)) - 1"""
+
+
+def media_thumbnail_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.multimodal.thumbnail_media: the payload
+    bytes are md5-spec-synthesized (data byte k = digest(ref||'#px')
+    [k % 16]), so every SAMPLED value — not just the header — is a
+    pure function of the ref; the oracle states that function while
+    the Spark side genuinely downsamples the real container bytes."""
+    from .operators.multimodal import THUMB_GRID
+
+    t = THUMB_GRID
+    t2 = t * t
+
+    def mb(i: int) -> str:
+        if d == SPARK:
+            return f"CAST(conv(substr(md5(media_ref), {2 * i + 1}, 2), 16, 10) AS BIGINT)"
+        return f"CAST('0x' || substr(md5(media_ref), {2 * i + 1}, 2) AS BIGINT)"
+
+    def pb(k: str) -> str:
+        sub = f"substr(px, 2 * (({k}) % 16) + 1, 2)"
+        if d == SPARK:
+            return f"CAST(conv({sub}, 16, 10) AS BIGINT)"
+        return f"CAST('0x' || {sub} AS BIGINT)"
+
+    h8 = G.hexint("media_ref", d)
+    px = (
+        "md5(media_ref || '#px')" if d == DUCK
+        else "md5(concat(media_ref, '#px'))"
+    )
+    ty = P.idiv("i", str(t), d)
+    sy = P.idiv(f"(({ty}) * hh)", str(t), d)
+    sx = P.idiv("((i % " + str(t) + ") * w)", str(t), d)
+    base = f"(3 * (({sy}) * w + {sx}))"
+    bval = f"({pb(base)} + {pb(base + ' + 1')} + {pb(base + ' + 2')})"
+    idx = P.idiv("(i * ns)", str(t2), d)
+    k0 = f"(2 * ({idx}))"
+    raw = f"({pb(k0)} + 256 * {pb(k0 + ' + 1')})"
+    wval = f"({raw} - CASE WHEN {raw} >= 32768 THEN 65536 ELSE 0 END)"
+    if d == SPARK:
+        sig = (
+            "array_join(transform(array_sort(collect_list(named_struct("
+            "'o', i, 'x', CAST(val AS STRING)))), s -> s.x), ',')"
+        )
+    else:
+        sig = "string_agg(CAST(val AS VARCHAR), ',' ORDER BY i)"
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)}),
+mt_h AS (
+  SELECT {G.cast_str('doc_id', d)} AS doc_id, media_ref,
+         ({h8}) % 2 = 0 AS is_bmp,
+         4 * (1 + ({mb(0)}) % 8) AS w,
+         1 + ({mb(1)}) % 8 AS hh,
+         64 + 4 * ({mb(2)}) AS ns,
+         {px} AS px
+  FROM ext WHERE kind = 'media'
+),
+mt_i AS (
+  SELECT h.*, p.pos AS i FROM mt_h h CROSS JOIN {_pos_table(t2, d)} p
+),
+mt_v AS (
+  SELECT doc_id, media_ref, is_bmp, i,
+         CASE WHEN is_bmp THEN {bval} ELSE {wval} END AS val
+  FROM mt_i
+)
+SELECT doc_id, media_ref,
+       CASE WHEN is_bmp THEN 'bmp' ELSE 'wav' END AS format,
+       {sig} AS thumb_sig,
+       CAST(sum(val) AS DOUBLE) / {t2} AS thumb_mean
+FROM mt_v
+GROUP BY doc_id, media_ref, is_bmp"""

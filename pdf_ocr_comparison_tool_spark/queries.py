@@ -512,6 +512,22 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.compaction_plan(committed)
 
 
+@register("media_thumbnail", oracle=O.media_thumbnail_sql(G.DUCK))
+def q_media_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE, driver-oracled and REAL for the codec-free
+    formats: BMP → nearest-neighbour 4×4 pixel grid, WAV → 16-point
+    waveform envelope, sampled from the actual container bytes in
+    mapInPandas; the oracle re-derives every sampled value from the
+    md5 synthesis spec, so the bytes→downsample round trip is
+    externally verified cell by cell (not just headers)."""
+    from .operators import multimodal
+
+    ext = extraction.extract_ordered_spans(synth.spans_df(spark, sf_dir))
+    return multimodal.thumbnail_media(
+        multimodal.fetch_bytes(multimodal.media_manifest(ext))
+    )
+
+
 @register("media_decode", oracle=O.media_decode_sql(G.DUCK))
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode, driver-oracled: fetch (Arrow pandas UDF,
@@ -2183,6 +2199,7 @@ _QUERY_ORDER = [
     "layout_columns",
     "doc_chunks_overlap",
     "gram_spectrum",
+    "media_thumbnail",
 ]
 
 
