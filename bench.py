@@ -78,6 +78,7 @@ HEADLINE = [
     "pii_stats",
     "quality_agreement",
     "media_filter",
+    "media_thumbnail",
     "bpe_encode",
     "tokenizer_fertility",
     "text_repetition",

@@ -716,3 +716,73 @@ def test_streaming_bloom_screen_matches_batch(spark):
     d1 = [hit for (d, _, hit) in got if d == 1]
     assert d1 and all(d1)
     bits.unpersist()
+
+
+def test_watermark_drops_late_data_and_finalizes(spark):
+    """Watermark semantics pinned end to end (north rule: watermarks +
+    windowed aggs for late data): in APPEND mode a window is emitted
+    exactly once when the watermark passes its end; an event arriving
+    AFTER finalization is dropped — it neither duplicates nor
+    resurrects the emitted window — and unfinalized windows are
+    withheld. (An event later than the watermark whose window state is
+    still live DOES merge in Spark — eviction happens at batch end —
+    so the drop is demonstrated one batch after finalization.)"""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pdf_ocr_comparison_tool_spark.streaming import windows as W
+
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+
+    def rows(*mins):
+        return [
+            (i, t0 + dt.timedelta(minutes=m), "u", "click", 1.0)
+            for i, m in enumerate(mins)
+        ]
+
+    schema = (
+        "event_id long, ts timestamp, user_id string, "
+        "event_type string, value double"
+    )
+    with tempfile.TemporaryDirectory() as tdir:
+        batches = [
+            rows(0, 2, 40),   # two on-time in [12:00, 12:05); 12:40
+                              # advances the watermark to 12:30
+            rows(35),         # benign: batch runs with wm 12:30 ->
+                              # the 12:00 window finalizes (n=2)
+            rows(1, 41),      # 12:01 arrives AFTER finalization ->
+                              # dropped; 12:41 stays unfinalized
+        ]
+        for j, rs in enumerate(batches, start=1):
+            spark.createDataFrame(rs, schema).coalesce(1).write.parquet(
+                f"{tdir}/f{j}"
+            )
+            for root, _, files in os.walk(f"{tdir}/f{j}"):
+                for f in files:
+                    os.utime(os.path.join(root, f), (j * 1000, j * 1000))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(f"{tdir}/f*")
+        )
+        q = (
+            W.windowed_rollup(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("wm_late")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = [
+            (r.w_start.minute, r.n)
+            for r in spark.sql("SELECT * FROM wm_late").collect()
+        ]
+    # exactly ONE emission of the [12:00, 12:05) window with the two
+    # on-time events; the post-finalization 12:01 arrival vanished (no
+    # duplicate / no n=3 re-emission); 12:35+ windows withheld
+    assert got == [(0, 2)]
