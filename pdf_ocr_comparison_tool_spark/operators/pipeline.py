@@ -606,6 +606,40 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def corpus_upsert(
+    old: DataFrame, new: DataFrame, old_ver: int = 1, new_ver: int = 2
+) -> DataFrame:
+    """SCD-style corpus MERGE — the APPLY side of :func:`corpus_diff`
+    (Iceberg ``MERGE INTO`` semantics as one full-outer id join):
+    resolve two snapshots into the next table state with the lineage
+    columns an incremental pipeline needs — current content hash (new
+    wins; a tombstone keeps the last known hash), ``is_tombstone`` for
+    removed ids (retained so downstream deltas can propagate deletes),
+    ``first_seen_ver`` (ingest history survives the merge) and
+    ``last_changed_ver`` (bumped only when content actually changed —
+    the re-extraction trigger).
+
+    Scale shape: inherits corpus_diff's — narrow (id, hash)
+    projections, one full-outer join on the unique id, content never
+    shuffles."""
+    d = corpus_diff(old, new)
+    st = F.col("status")
+    return d.select(
+        "doc_id",
+        F.coalesce("new_hash", "old_hash").alias("text_hash"),
+        (st == "removed").alias("is_tombstone"),
+        F.when(st == "added", F.lit(new_ver))
+        .otherwise(F.lit(old_ver))
+        .cast("long")
+        .alias("first_seen_ver"),
+        F.when(st == "unchanged", F.lit(old_ver))
+        .otherwise(F.lit(new_ver))
+        .cast("long")
+        .alias("last_changed_ver"),
+        "status",
+    )
+
+
 def mixture_drift(old: DataFrame, new: DataFrame) -> DataFrame:
     """Per-source MIXTURE DRIFT between two corpus snapshots — the
     governance check before swapping training-corpus versions: did the

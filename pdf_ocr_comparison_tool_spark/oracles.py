@@ -5402,3 +5402,18 @@ SELECT doc_id, media_ref,
        CAST(sum(val) AS DOUBLE) / {t2} AS thumb_mean
 FROM mt_v
 GROUP BY doc_id, media_ref, is_bmp"""
+
+
+def corpus_upsert_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.corpus_upsert over the corpus_diff
+    version-pair spec: MERGE resolution + lineage columns."""
+    return f"""WITH cu_d AS ({corpus_diff_sql(d, docs)})
+SELECT doc_id,
+       coalesce(new_hash, old_hash) AS text_hash,
+       status = 'removed' AS is_tombstone,
+       CAST(CASE WHEN status = 'added' THEN 2 ELSE 1 END AS BIGINT)
+         AS first_seen_ver,
+       CAST(CASE WHEN status = 'unchanged' THEN 1 ELSE 2 END AS BIGINT)
+         AS last_changed_ver,
+       status
+FROM cu_d"""

@@ -1851,6 +1851,26 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_diff(old, new)
 
 
+@register("corpus_upsert", oracle=O.corpus_upsert_sql(G.DUCK))
+def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-style corpus merge (the APPLY side of corpus_diff, Iceberg
+    MERGE INTO semantics): next table state with tombstones,
+    first_seen_ver and the last_changed_ver re-extraction trigger —
+    same deterministic version pair as corpus_diff."""
+    from .operators.features import hash_bucket
+
+    docs = synth.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 10)
+    old = docs.filter(b != 0).select("doc_id", "text")
+    new = docs.filter(b != 9).select(
+        "doc_id",
+        F.when(b == 1, F.concat("text", F.lit(" rev2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pipeline.corpus_upsert(old, new)
+
+
 @register("mixture_drift", oracle=O.mixture_drift_sql(G.DUCK))
 def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture drift between the corpus_diff snapshot pair:
@@ -2200,6 +2220,7 @@ _QUERY_ORDER = [
     "doc_chunks_overlap",
     "gram_spectrum",
     "media_thumbnail",
+    "corpus_upsert",
 ]
 
 
