@@ -327,6 +327,33 @@ def ann_recall(
     return _recall_against(truth, approx, k)
 
 
+TRUNC_DIM = 16  # Matryoshka truncation eval: keep the first 16 of 64
+
+
+def mrl_truncation_recall(
+    embeddings: DataFrame,
+    trunc_dim: int = TRUNC_DIM,
+    n_queries: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka (MRL) truncation eval: recall@k of cosine top-k over
+    the FIRST ``trunc_dim`` dimensions against the full-dimension
+    ground truth — the measurement behind serving embeddings at a
+    fraction of their stored width (truncate + renormalize ≡ cosine on
+    the prefix). Both sides are the explicitly bounded brute baseline;
+    the truncated side just slices the vector column, so at corpus
+    scale this evaluates BEFORE re-encoding anything. (The synthetic
+    Gaussian embeddings carry no Matryoshka structure, so measured
+    recall sits near the k/N random baseline of ~0.02 -- the harness
+    proves the metric; an MRL-trained corpus supplies the signal.)"""
+    truth = ann_brute_topk(embeddings, n_queries, k).select("q_id", "c_id")
+    trunc = embeddings.select(
+        "vec_id", F.slice("embedding", 1, trunc_dim).alias("embedding")
+    )
+    approx = ann_brute_topk(trunc, n_queries, k).select("q_id", "c_id")
+    return _recall_against(truth, approx, k)
+
+
 def lsh_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.35,

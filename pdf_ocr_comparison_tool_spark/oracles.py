@@ -2147,16 +2147,17 @@ def _dot_sql(a: str, b: str, d: str, dim: int = 64) -> str:
     return _fold_double(arr, d)
 
 
-def ann_topk_sql(d: str, n_queries: int = 8, k: int = 10) -> str:
+def ann_topk_sql(d: str, n_queries: int = 8, k: int = 10,
+                 emb: str = "embeddings", dim: int = 64) -> str:
     return f"""WITH an_n AS (
-  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d)} AS nsq
-  FROM embeddings
+  SELECT vec_id, embedding, {_dot_sql('embedding', 'embedding', d, dim)} AS nsq
+  FROM {emb}
 ),
 an_q AS (SELECT vec_id AS q_id, embedding AS qv, nsq AS q_nsq FROM an_n WHERE vec_id < {n_queries}),
 an_c AS (SELECT vec_id AS c_id, embedding AS cv, nsq AS c_nsq FROM an_n),
 an_s AS (
   SELECT q_id, c_id,
-         CAST({_dot_sql('qv', 'cv', d)} AS DOUBLE)
+         CAST({_dot_sql('qv', 'cv', d, dim)} AS DOUBLE)
            / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS sim
   FROM an_c CROSS JOIN an_q WHERE c_id <> q_id
 ),
@@ -5417,3 +5418,33 @@ SELECT doc_id,
          AS last_changed_ver,
        status
 FROM cu_d"""
+
+
+def mrl_truncation_recall_sql(d: str) -> str:
+    """Mirror of similarity_search.mrl_truncation_recall: brute top-k
+    over the first TRUNC_DIM dims vs the full-dim brute truth."""
+    from .operators.similarity_search import TRUNC_DIM
+
+    trunc = (
+        f"(SELECT vec_id, {_arr_slice('embedding', 1, TRUNC_DIM, d)}"
+        f" AS embedding FROM embeddings)"
+    )
+    if d == DUCK:
+        trunc += " te"
+    return f"""WITH mr_t AS (
+{ann_topk_sql(d)}
+),
+mr_a AS (
+{ann_topk_sql(d, emb=trunc, dim=TRUNC_DIM)}
+),
+mr_h AS (
+  SELECT a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM mr_a a JOIN mr_t t ON a.q_id = t.q_id AND a.c_id = t.c_id
+  GROUP BY a.q_id
+),
+mr_q AS (SELECT DISTINCT q_id FROM mr_t)
+SELECT q.q_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(10 AS BIGINT) AS k,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+FROM mr_q q LEFT JOIN mr_h h ON q.q_id = h.q_id"""

@@ -1851,6 +1851,17 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_diff(old, new)
 
 
+@register("emb_truncation_recall", oracle=O.mrl_truncation_recall_sql(G.DUCK))
+def q_emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: recall@10 of cosine top-k over the
+    first 16 dims vs the full 64-dim brute truth — the serve-at-
+    fraction-width decision metric (synthetic embeddings sit at the
+    random baseline; the harness is the deliverable)."""
+    return similarity_search.mrl_truncation_recall(
+        synth.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @register("corpus_upsert", oracle=O.corpus_upsert_sql(G.DUCK))
 def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-style corpus merge (the APPLY side of corpus_diff, Iceberg
@@ -2221,6 +2232,7 @@ _QUERY_ORDER = [
     "gram_spectrum",
     "media_thumbnail",
     "corpus_upsert",
+    "emb_truncation_recall",
 ]
 
 
