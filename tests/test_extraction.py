@@ -145,3 +145,27 @@ def test_full_text_hash(spark):
         assert row["full_text"] == joined
         norm = re.sub(r"\s+", "", joined).lower()
         assert row["text_hash"] == hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
+def test_column_layout_order_invariants(spark):
+    """Column-major reindex: within a doc, ord_col enumerates 0..n-1
+    and is sorted by (col_id, y1, x1); all flat spans survive."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import extraction
+
+    g = extraction.parse_grounded(synth.grounded_df(spark, SF_DIR))
+    out = extraction.column_layout(g)
+    assert out.count() == g.count()
+    rows = out.collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda r: r.ord_col)
+        assert [r.ord_col for r in rs] == list(range(len(rs)))
+        keys = [(r.col_id, r.y1, r.x1) for r in rs]
+        assert keys == sorted(keys), doc
+        # flat order preserved as a column (permutation of 0..n-1)
+        assert sorted(r.ord_flat for r in rs) == list(range(len(rs)))

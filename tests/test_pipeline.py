@@ -527,3 +527,27 @@ def test_readability_fixture(spark):
                               "doc_id long, text string")
     ).collect()[0]
     assert big.band == "very_easy" and big.flesch >= 90.0
+
+
+def test_corpus_upsert_semantics(spark):
+    """MERGE resolution table: tombstones for removed ids, new hash
+    wins for changed, ingest history preserved, last_changed_ver bumps
+    only on real change."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark.operators import pipeline as pl
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in pl.corpus_upsert(old, new).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].status == "unchanged" and out[1].last_changed_ver == 1
+    assert out[2].status == "changed" and out[2].last_changed_ver == 2
+    assert out[2].first_seen_ver == 1
+    assert out[3].is_tombstone and out[3].text_hash is not None
+    assert out[4].status == "added" and out[4].first_seen_ver == 2
+    assert not out[1].is_tombstone and not out[4].is_tombstone
