@@ -122,6 +122,11 @@ HEADLINE = [
     "main_content_quality",
     "strip_confusion",
     "readability",
+    "layout_columns",
+    "doc_chunks_overlap",
+    "gram_spectrum",
+    "corpus_upsert",
+    "emb_truncation_recall",
 ]
 
 
@@ -189,6 +194,7 @@ _SCALE_REP_DEFAULTS = {
     "dedup_clusters": "8192",
     "pagerank": "4096",
     "main_content": "384",
+    "bloom_decontaminate": "160",
 }
 SCALE_REPLICATION = int(
     os.environ.get("SPARK_GRAFT_SCALE_REP")
@@ -260,7 +266,7 @@ def _run_scaling_child(n_executors: str) -> dict:
         int(os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE", "64"))
         if job in (
             "line_dedup", "match_best", "dedup_clusters", "pagerank",
-            "main_content",
+            "main_content", "bloom_decontaminate",
         )
         else total_cores * 4
     )
@@ -442,6 +448,19 @@ def _run_scaling_child(n_executors: str) -> dict:
         v, r = _featured_from_pages(spark, pages)
         ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
         out = matching.best_matches(v, ranked)
+    elif job == "bloom_decontaminate":
+        # the BROADCAST-MEMBERSHIP counterpart: gram explode is narrow,
+        # the k position tests + exact membership are BroadcastHashJoins
+        # (set-bit table bounded by BLOOM_M_BITS), and the only shuffle
+        # of replicated rows is the map-side-combinable groupBy(doc_id)
+        # — the plan family where the corpus never crosses a shuffled
+        # join. Replicated doc_ids are disjoint so the eval slice (and
+        # thus the broadcast side) scales sublinearly with REP.
+        from pdf_ocr_comparison_tool_spark.operators.dedup import (
+            bloom_decontaminate,
+        )
+
+        out = bloom_decontaminate(rep)
     elif job == "main_content":
         # the WINDOW-EXCHANGE counterpart: the HTML boilerplate strip is
         # narrow through parse/classify features, then exactly one
