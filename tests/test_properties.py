@@ -1389,3 +1389,33 @@ def test_boilerplate_strip_total_on_arbitrary_text(spark, texts):
             x.text_chars for x in rows if x.doc_id == r.doc_id
         )
     cls.unpersist()
+
+
+@_FAST
+@given(st.lists(st.sampled_from("ab cd ef gh ij kl".split()), max_size=40))
+def test_overlap_chunk_ownership(spark, words):
+    """Sliding-window chunking invariants on arbitrary token streams:
+    every token lands in chunk pos//stride and, when it exists, also
+    in the previous chunk iff pos < prev*stride + chunk — i.e. exactly
+    the enumerated ownership set; chunk sizes never exceed the window
+    and consecutive chunk texts overlap by stride except at the tail."""
+    from pdf_ocr_comparison_tool_spark.operators import pipeline as pl
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunk = pl.CHUNK_TOKENS
+    stride = chunk // pl.CHUNK_STRIDE_DEN
+    out = {
+        r.chunk_idx: r for r in pl.doc_chunks_overlap(docs).collect()
+    }
+    toks = [w for w in text.lower().split() if len(w) >= 2]
+    expected: dict[int, list[str]] = {}
+    for pos, tok in enumerate(toks):
+        for j in range((chunk + stride - 1) // stride):
+            idx = pos // stride - j
+            if idx >= 0 and pos < idx * stride + chunk:
+                expected.setdefault(idx, []).append(tok)
+    assert set(out) == set(expected)
+    for idx, exp_toks in expected.items():
+        assert out[idx].n_tokens == len(exp_toks) <= chunk
+        assert out[idx].chunk_text == " ".join(exp_toks)
