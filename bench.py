@@ -127,6 +127,7 @@ HEADLINE = [
     "gram_spectrum",
     "corpus_upsert",
     "emb_truncation_recall",
+    "url_canonical",
 ]
 
 

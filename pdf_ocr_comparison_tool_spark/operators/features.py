@@ -232,3 +232,85 @@ def pii_stats(docs: DataFrame) -> DataFrame:
         "redact_delta",
         dens.alias("pii_per_kchar"),
     )
+
+
+# ---- URL canonicalization spec (change oracles.url_canonical_sql
+# together): synthetic URL per doc with the messy shapes a crawler
+# actually yields — cased hosts, /amp suffixes, tracking params,
+# fragments, trailing slashes ----
+URL_CASED_MOD = 7      # doc_id % 7 == 0 -> 'WWW.' host prefix
+URL_AMP_MOD = 5        # doc_id % 5 == 0 -> '/amp' path suffix
+URL_SLASH_MOD = 4      # doc_id % 4 == 0 -> trailing '/'
+URL_UTM_MOD = 3        # doc_id % 3 == 0 -> '?utm_source=feed' (+ maybe id)
+URL_ID_MOD = 11        # doc_id % 11 == 0 -> real 'id=' param (kept)
+URL_FRAG_MOD = 6       # doc_id % 6 == 0 -> '#section2'
+URL_BLOCK_MOD = 10     # md5-bucket of source == 0 -> blocklisted host
+
+
+def synth_url(doc_id: Column, source: Column) -> Column:
+    """Deterministic messy URL for (doc_id, source) — the crawl-log
+    shape url_canonical normalizes. Pure column arithmetic; the
+    DuckDB oracle derives the identical string."""
+    host = F.concat(
+        F.when(doc_id % URL_CASED_MOD == 0, F.lit("WWW.")).otherwise("www."),
+        source,
+        F.lit(".example.com"),
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        doc_id.cast("string"),
+        F.when(doc_id % URL_AMP_MOD == 0, F.lit("/amp")).otherwise(""),
+        F.when(doc_id % URL_SLASH_MOD == 0, F.lit("/")).otherwise(""),
+    )
+    q_utm = doc_id % URL_UTM_MOD == 0
+    q_id = doc_id % URL_ID_MOD == 0
+    query = (
+        F.when(q_utm & q_id,
+               F.concat(F.lit("?utm_source=feed&id="),
+                        (doc_id % 100).cast("string")))
+        .when(q_utm, F.lit("?utm_source=feed"))
+        .when(q_id, F.concat(F.lit("?id="), (doc_id % 100).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(doc_id % URL_FRAG_MOD == 0, F.lit("#section2")).otherwise("")
+    return F.concat(F.lit("https://"), host, path, query, frag)
+
+
+def url_canonical(docs: DataFrame) -> DataFrame:
+    """URL CANONICALIZATION + policy — the crawl-side dedup key every
+    web pipeline computes before content ever downloads: case-fold the
+    host, drop the fragment, strip tracking (utm_*) params, strip the
+    /amp variant segment, strip the trailing slash; then the host
+    blocklist verdict (deterministic md5-bucket of the source dim
+    stands in for the curated list). Narrow projection end to end —
+    at 10^12 rows this runs in the scan stage; the canonical key then
+    feeds the exact-dedup groupBy."""
+    url = synth_url(F.col("doc_id"), F.col("source"))
+    base = docs.select("doc_id", "source", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^https://([^/?#]*)", 1))
+    path0 = F.regexp_extract("url", r"^https://[^/?#]*([^?#]*)", 1)
+    path1 = F.regexp_replace(path0, r"/amp(/|$)", "$1")
+    query0 = F.regexp_extract("url", r"\?([^#]*)", 1)
+    query1 = F.regexp_replace(query0, r"utm_[^&]*", "")
+    query2 = F.regexp_replace(query1, r"^&+|&+$", "")
+    parts = base.select(
+        "doc_id", "source", "url", host.alias("host"), path1.alias("path1"),
+        query2.alias("query2"),
+    )
+    path = F.when(
+        (F.length("path1") > 1) & F.col("path1").endswith("/"),
+        F.expr("substring(path1, 1, length(path1) - 1)"),
+    ).otherwise(F.col("path1"))
+    canon_q = F.when(
+        F.col("query2") != "", F.concat(F.lit("?"), F.col("query2"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(F.lit("https://"), F.col("host"), path, canon_q)
+    blocked = hash_bucket(F.col("source"), URL_BLOCK_MOD) == 0
+    return parts.select(
+        "doc_id",
+        "url",
+        "host",
+        canon.alias("canon_url"),
+        (canon != F.col("url")).alias("changed"),
+        F.when(blocked, "blocked_host").otherwise(F.lit("ok")).alias("policy"),
+    )

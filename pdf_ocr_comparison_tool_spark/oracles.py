@@ -5448,3 +5448,68 @@ SELECT q.q_id,
        CAST(10 AS BIGINT) AS k,
        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
 FROM mr_q q LEFT JOIN mr_h h ON q.q_id = h.q_id"""
+
+
+def url_canonical_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.features.url_canonical: synthesize the messy
+    URL from the shared spec, then case-fold host / drop fragment /
+    strip utm_* params / strip the /amp segment / strip the trailing
+    slash + the blocklist verdict. Backreference syntax differs by
+    engine ($1 in Java regex, \\1 in RE2) — dialect-branched here."""
+    from .operators.features import (
+        URL_AMP_MOD,
+        URL_BLOCK_MOD,
+        URL_CASED_MOD,
+        URL_FRAG_MOD,
+        URL_ID_MOD,
+        URL_SLASH_MOD,
+        URL_UTM_MOD,
+    )
+
+    ds = G.cast_str("doc_id", d)
+    idmod = G.cast_str("doc_id % 100", d)
+    url = f"""'https://'
+    || CASE WHEN doc_id % {URL_CASED_MOD} = 0 THEN 'WWW.' ELSE 'www.' END
+    || source || '.example.com'
+    || '/p/' || {ds}
+    || CASE WHEN doc_id % {URL_AMP_MOD} = 0 THEN '/amp' ELSE '' END
+    || CASE WHEN doc_id % {URL_SLASH_MOD} = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % {URL_UTM_MOD} = 0 AND doc_id % {URL_ID_MOD} = 0
+            THEN '?utm_source=feed&id=' || {idmod}
+            WHEN doc_id % {URL_UTM_MOD} = 0 THEN '?utm_source=feed'
+            WHEN doc_id % {URL_ID_MOD} = 0 THEN '?id=' || {idmod}
+            ELSE '' END
+    || CASE WHEN doc_id % {URL_FRAG_MOD} = 0 THEN '#section2' ELSE '' END"""
+    backref = "'$1'" if d == SPARK else "'\\1'"
+    amp_re = G.rx(r"/amp(/|$)", d)
+    host = f"lower(regexp_extract(url, {G.rx('^https://([^/?#]*)', d)}, 1))"
+    path0 = f"regexp_extract(url, {G.rx('^https://[^/?#]*([^?#]*)', d)}, 1)"
+    if d == SPARK:
+        path1 = f"regexp_replace({path0}, {amp_re}, {backref})"
+    else:
+        path1 = f"regexp_replace({path0}, {amp_re}, {backref}, 'g')"
+    q0 = f"regexp_extract(url, {G.rx(chr(92) + '?([^#]*)', d)}, 1)"
+    q2 = G.replace_all(G.replace_all(q0, r"utm_[^&]*", "", d), r"^&+|&+$", "", d)
+    bucket = f"({G.hexint('source', d)}) % {URL_BLOCK_MOD}"
+    return f"""WITH uc_b AS (
+  SELECT doc_id, source, {url} AS url FROM {docs}
+),
+uc_p AS (
+  SELECT doc_id, source, url,
+         {host} AS host, {path1} AS path1, {q2} AS query2
+  FROM uc_b
+),
+uc_c AS (
+  SELECT doc_id, url, host,
+         'https://' || host
+         || CASE WHEN length(path1) > 1 AND path1 LIKE '%/'
+                 THEN substring(path1, 1, length(path1) - 1)
+                 ELSE path1 END
+         || CASE WHEN query2 <> '' THEN '?' || query2 ELSE '' END AS canon_url,
+         {bucket} = 0 AS blocked
+  FROM uc_p
+)
+SELECT doc_id, url, host, canon_url,
+       canon_url <> url AS changed,
+       CASE WHEN blocked THEN 'blocked_host' ELSE 'ok' END AS policy
+FROM uc_c"""

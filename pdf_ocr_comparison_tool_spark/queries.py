@@ -1862,6 +1862,19 @@ def q_emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("url_canonical", oracle=O.url_canonical_sql(G.DUCK))
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host policy — the crawl-side dedup key
+    computed before content ever downloads: case-fold host, drop
+    fragment, strip utm_* tracking params, strip the /amp variant,
+    strip the trailing slash; blocklist verdict from the source dim.
+    Narrow projection end to end (runs in the scan stage at 10^12
+    rows); the canonical key then feeds exact dedup."""
+    return features.url_canonical(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("corpus_upsert", oracle=O.corpus_upsert_sql(G.DUCK))
 def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-style corpus merge (the APPLY side of corpus_diff, Iceberg
@@ -2233,6 +2246,7 @@ _QUERY_ORDER = [
     "media_thumbnail",
     "corpus_upsert",
     "emb_truncation_recall",
+    "url_canonical",
 ]
 
 
