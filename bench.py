@@ -128,6 +128,7 @@ HEADLINE = [
     "corpus_upsert",
     "emb_truncation_recall",
     "url_canonical",
+    "url_dup_groups",
 ]
 
 

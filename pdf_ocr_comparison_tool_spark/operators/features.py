@@ -245,6 +245,11 @@ URL_UTM_MOD = 3        # doc_id % 3 == 0 -> '?utm_source=feed' (+ maybe id)
 URL_ID_MOD = 11        # doc_id % 11 == 0 -> real 'id=' param (kept)
 URL_FRAG_MOD = 6       # doc_id % 6 == 0 -> '#section2'
 URL_BLOCK_MOD = 10     # md5-bucket of source == 0 -> blocklisted host
+URL_PAGE_DIV = 40      # page id = doc_id DIV 40: the driver source dim
+                       # is periodic mod 20, so ids i and i+20 share
+                       # (host, page) — re-crawls of the SAME logical
+                       # page that differ only in mess -> the canonical
+                       # key genuinely collides
 
 
 def synth_url(doc_id: Column, source: Column) -> Column:
@@ -258,7 +263,7 @@ def synth_url(doc_id: Column, source: Column) -> Column:
     )
     path = F.concat(
         F.lit("/p/"),
-        doc_id.cast("string"),
+        ((doc_id - doc_id % URL_PAGE_DIV) / URL_PAGE_DIV).cast("long").cast("string"),
         F.when(doc_id % URL_AMP_MOD == 0, F.lit("/amp")).otherwise(""),
         F.when(doc_id % URL_SLASH_MOD == 0, F.lit("/")).otherwise(""),
     )
@@ -313,4 +318,23 @@ def url_canonical(docs: DataFrame) -> DataFrame:
         canon.alias("canon_url"),
         (canon != F.col("url")).alias("changed"),
         F.when(blocked, "blocked_host").otherwise(F.lit("ok")).alias("policy"),
+    )
+
+
+def url_dup_groups(docs: DataFrame) -> DataFrame:
+    """URL-level dedup — the pre-fetch stage: group the corpus by the
+    CANONICAL url (url_canonical), keep the min doc_id per group, and
+    report variant multiplicity (how many distinct raw spellings the
+    canonical key collapsed). Only groups with >1 doc emit, exactly
+    like content-level exact_dup_groups. Hash groupBy on the canonical
+    key — map-side combinable, no skew beyond genuine dup mass."""
+    c = url_canonical(docs)
+    return (
+        c.groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
     )

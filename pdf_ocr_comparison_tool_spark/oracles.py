@@ -5462,11 +5462,12 @@ def url_canonical_sql(d: str, docs: str = "documents") -> str:
         URL_CASED_MOD,
         URL_FRAG_MOD,
         URL_ID_MOD,
+        URL_PAGE_DIV,
         URL_SLASH_MOD,
         URL_UTM_MOD,
     )
 
-    ds = G.cast_str("doc_id", d)
+    ds = G.cast_str(P.idiv("doc_id", str(URL_PAGE_DIV), d), d)
     idmod = G.cast_str("doc_id % 100", d)
     url = f"""'https://'
     || CASE WHEN doc_id % {URL_CASED_MOD} = 0 THEN 'WWW.' ELSE 'www.' END
@@ -5513,3 +5514,16 @@ SELECT doc_id, url, host, canon_url,
        canon_url <> url AS changed,
        CASE WHEN blocked THEN 'blocked_host' ELSE 'ok' END AS policy
 FROM uc_c"""
+
+
+def url_dup_groups_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.features.url_dup_groups over the
+    url_canonical spec."""
+    return f"""WITH ud_c AS ({url_canonical_sql(d, docs)})
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       min(doc_id) AS keep_doc
+FROM ud_c
+GROUP BY canon_url
+HAVING count(*) > 1"""

@@ -1875,6 +1875,17 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("url_dup_groups", oracle=O.url_dup_groups_sql(G.DUCK))
+def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (pre-fetch): group by the canonical url, keep
+    min doc_id, report how many raw spellings collapsed — re-crawls of
+    the same logical page differing only in tracking mess genuinely
+    collide under the canonical key (196 groups at sf0.01)."""
+    return features.url_dup_groups(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("corpus_upsert", oracle=O.corpus_upsert_sql(G.DUCK))
 def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-style corpus merge (the APPLY side of corpus_diff, Iceberg
@@ -2247,6 +2258,7 @@ _QUERY_ORDER = [
     "corpus_upsert",
     "emb_truncation_recall",
     "url_canonical",
+    "url_dup_groups",
 ]
 
 
