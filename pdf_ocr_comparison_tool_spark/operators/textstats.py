@@ -54,6 +54,30 @@ def lang_id(docs: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def lang_agreement(docs: DataFrame, dim: DataFrame) -> DataFrame:
+    """Language-ID CONFUSION vs the corpus's declared labels: cross the
+    stopword-vote prediction with the driver ``lang`` column — the
+    calibration table that decides whether the cheap detector can
+    replace (or must defer to) upstream metadata per language. Tiny
+    aggregate over the lang_id output + a 1-row totals broadcast."""
+    pred = lang_id(docs, dim).select("doc_id", "pred_lang")
+    lab = docs.select("doc_id", F.col("lang").alias("label_lang"))
+    cells = (
+        lab.join(pred, "doc_id")
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cells.agg(F.sum("n_docs").alias("n_total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "label_lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("label_lang") == F.col("pred_lang")).alias("agree"),
+        (F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+         ).alias("share"),
+    )
+
+
 def quality_exprs(text) -> dict:
     """The quality-heuristic expressions as a dict of Columns — shared
     by :func:`text_quality` (batch, oracled) and the streaming

@@ -5527,3 +5527,20 @@ SELECT canon_url,
 FROM ud_c
 GROUP BY canon_url
 HAVING count(*) > 1"""
+
+
+def lang_agreement_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.lang_agreement: lang_id nested as
+    a CTE crossed with the declared label column."""
+    return f"""WITH la_p AS ({lang_id_sql(d, docs)}),
+la_c AS (
+  SELECT dd.lang AS label_lang, p.pred_lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM {docs} dd JOIN la_p p ON dd.doc_id = p.doc_id
+  GROUP BY dd.lang, p.pred_lang
+),
+la_t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM la_c)
+SELECT label_lang, pred_lang, n_docs,
+       label_lang = pred_lang AS agree,
+       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM la_c CROSS JOIN la_t"""

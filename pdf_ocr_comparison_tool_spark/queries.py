@@ -1862,6 +1862,19 @@ def q_emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lang_agreement", oracle=O.lang_agreement_sql(G.DUCK))
+def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion vs the corpus's declared lang labels —
+    the calibration table deciding whether the cheap stopword-vote
+    detector can replace upstream metadata per language (the synthetic
+    text is English-vocab regardless of label, so off-diagonal mass is
+    the honest reading)."""
+    return textstats.lang_agreement(
+        synth.load_table(spark, sf_dir, "documents"),
+        textstats.lang_dim(spark),
+    )
+
+
 @register("url_canonical", oracle=O.url_canonical_sql(G.DUCK))
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host policy — the crawl-side dedup key
@@ -2259,6 +2272,7 @@ _QUERY_ORDER = [
     "emb_truncation_recall",
     "url_canonical",
     "url_dup_groups",
+    "lang_agreement",
 ]
 
 
