@@ -129,6 +129,7 @@ HEADLINE = [
     "emb_truncation_recall",
     "url_canonical",
     "url_dup_groups",
+    "lang_agreement",
 ]
 
 
