@@ -130,6 +130,7 @@ HEADLINE = [
     "url_canonical",
     "url_dup_groups",
     "lang_agreement",
+    "host_stats",
 ]
 
 

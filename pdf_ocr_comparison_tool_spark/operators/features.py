@@ -338,3 +338,33 @@ def url_dup_groups(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def host_stats(docs: DataFrame) -> DataFrame:
+    """Per-HOST crawl governance rollup — the table a fetch scheduler
+    and a blocklist review both read: doc mass, how much of it is
+    URL-level duplicate mass (docs beyond each canonical group's
+    keeper), the policy verdict, and corpus share. Composes
+    url_canonical + a canonical-key groupBy; hosts are bounded by the
+    source dim so the final rollup is tiny."""
+    c = url_canonical(docs)
+    per_canon = c.groupBy("host", "policy", "canon_url").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    agg = per_canon.groupBy("host", "policy").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.col("n_docs") - 1).cast("long").alias("n_dup_docs"),
+    )
+    tot = agg.agg(F.sum("n_docs").alias("n_total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "policy",
+        "n_docs",
+        "n_pages",
+        "n_dup_docs",
+        (F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+         ).alias("dup_frac"),
+        (F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+         ).alias("share"),
+    )

@@ -5544,3 +5544,25 @@ SELECT label_lang, pred_lang, n_docs,
        label_lang = pred_lang AS agree,
        CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
 FROM la_c CROSS JOIN la_t"""
+
+
+def host_stats_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.features.host_stats: canonical-key groupBy
+    under a per-host rollup + 1-row totals broadcast."""
+    return f"""WITH hs_c AS ({url_canonical_sql(d, docs)}),
+hs_p AS (
+  SELECT host, policy, canon_url, CAST(count(*) AS BIGINT) AS n_docs
+  FROM hs_c GROUP BY host, policy, canon_url
+),
+hs_a AS (
+  SELECT host, policy,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(n_docs - 1) AS BIGINT) AS n_dup_docs
+  FROM hs_p GROUP BY host, policy
+),
+hs_t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM hs_a)
+SELECT host, policy, n_docs, n_pages, n_dup_docs,
+       CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
+       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM hs_a CROSS JOIN hs_t"""

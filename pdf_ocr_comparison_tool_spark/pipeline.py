@@ -218,6 +218,7 @@ def main(argv: list[str] | None = None) -> None:
         )
         outputs = {
             "corpus_stats": pl.corpus_stats(docs, ts.lang_dim(spark)),
+            "host_stats": fe.host_stats(docs),
             "pii_stats": fe.pii_stats(docs),
             "contamination_report": dd.contamination_report(docs),
             "mixture_weights": pl.mixture_weights(docs),

@@ -1875,6 +1875,14 @@ def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("host_stats", oracle=O.host_stats_sql(G.DUCK))
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl governance rollup: doc mass, URL-duplicate mass
+    beyond each canonical keeper, policy verdict, corpus share —
+    composes url_canonical under a bounded host rollup."""
+    return features.host_stats(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("url_canonical", oracle=O.url_canonical_sql(G.DUCK))
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host policy — the crawl-side dedup key
@@ -2273,6 +2281,7 @@ _QUERY_ORDER = [
     "url_canonical",
     "url_dup_groups",
     "lang_agreement",
+    "host_stats",
 ]
 
 
