@@ -131,6 +131,7 @@ HEADLINE = [
     "url_dup_groups",
     "lang_agreement",
     "host_stats",
+    "quality_calibration",
 ]
 
 

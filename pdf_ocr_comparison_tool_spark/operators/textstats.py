@@ -450,6 +450,50 @@ def gram_spectrum(docs: DataFrame, n: int = SPECTRUM_N) -> DataFrame:
     )
 
 
+QCAL_NUM, QCAL_DEN = 1, 2  # per-source target keep rate <= 1/2
+
+
+def quality_calibration(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Per-source ADAPTIVE quality threshold (the CCNet trick applied
+    to the trained scorer): a single global cutoff over-prunes clean
+    domains and under-prunes noisy ones, so each source gets the
+    smallest integer score bin whose top-down cumulative mass stays
+    within the target keep rate — the same bin-granular convention as
+    :func:`lm_buckets` (a bin is kept iff DEN·cum_before < NUM·total;
+    all BIGINT arithmetic). Windows touch only the (source × bins)
+    count frame, never the corpus. Output: one calibration row per
+    source (threshold, keep mass, achieved rate)."""
+    q = quality_score(docs, model).select(
+        "doc_id", F.floor(F.col("avg_score_milli")).cast("long").alias("bin")
+    )
+    s = q.join(docs.select("doc_id", "source"), "doc_id")
+    binc = s.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("bin").desc())
+    totals = binc.groupBy("source").agg(F.sum("n").cast("long").alias("n_total"))
+    ranked = binc.select(
+        "source", "bin", "n",
+        (F.sum("n").over(w) - F.col("n")).cast("long").alias("cum_before"),
+    ).join(totals, "source")
+    kept = ranked.filter(
+        QCAL_DEN * F.col("cum_before") < QCAL_NUM * F.col("n_total")
+    )
+    out = kept.groupBy("source").agg(
+        F.min("bin").alias("threshold_milli"),
+        F.sum("n").cast("long").alias("n_keep"),
+        F.min("n_total").alias("n_total"),
+    )
+    return out.select(
+        "source",
+        "threshold_milli",
+        "n_keep",
+        "n_total",
+        (F.col("n_keep").cast("double") / F.col("n_total").cast("double")
+         ).alias("keep_rate"),
+    )
+
+
 def quality_model_dim(spark) -> DataFrame:
     """The trained-model artifact as a DataFrame — on a real pipeline
     this is `spark.read.parquet(model_path)`; here the deterministic

@@ -5566,3 +5566,37 @@ SELECT host, policy, n_docs, n_pages, n_dup_docs,
        CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_frac,
        CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
 FROM hs_a CROSS JOIN hs_t"""
+
+
+def quality_calibration_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.textstats.quality_calibration: integer
+    score bins, top-down cumulative keep rule on the tiny
+    (source × bins) frame."""
+    from .operators.textstats import QCAL_DEN, QCAL_NUM
+
+    return f"""WITH qc_s AS ({quality_score_sql(d, docs)}),
+qc_b AS (
+  SELECT dd.source, CAST(floor(q.avg_score_milli) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM qc_s q JOIN {docs} dd ON q.doc_id = dd.doc_id
+  GROUP BY dd.source, floor(q.avg_score_milli)
+),
+qc_t AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_total FROM qc_b GROUP BY source
+),
+qc_r AS (
+  SELECT b.source, b.bin, b.n, t.n_total,
+         CAST(sum(b.n) OVER (PARTITION BY b.source ORDER BY b.bin DESC)
+              - b.n AS BIGINT) AS cum_before
+  FROM qc_b b JOIN qc_t t ON b.source = t.source
+),
+qc_k AS (
+  SELECT * FROM qc_r WHERE {QCAL_DEN} * cum_before < {QCAL_NUM} * n_total
+)
+SELECT source,
+       min(bin) AS threshold_milli,
+       CAST(sum(n) AS BIGINT) AS n_keep,
+       min(n_total) AS n_total,
+       CAST(sum(n) AS DOUBLE) / CAST(min(n_total) AS DOUBLE) AS keep_rate
+FROM qc_k
+GROUP BY source"""

@@ -1875,6 +1875,18 @@ def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_calibration", oracle=O.quality_calibration_sql(G.DUCK))
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality threshold (CCNet-style): smallest
+    integer score bin whose top-down cumulative mass stays within the
+    1/2 target keep rate — bin-granular (the boundary bin is kept
+    whole), windows only on the (source × bins) count frame."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return textstats.quality_calibration(
+        docs, textstats.quality_model_dim(spark)
+    )
+
+
 @register("host_stats", oracle=O.host_stats_sql(G.DUCK))
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl governance rollup: doc mass, URL-duplicate mass
@@ -2282,6 +2294,7 @@ _QUERY_ORDER = [
     "url_dup_groups",
     "lang_agreement",
     "host_stats",
+    "quality_calibration",
 ]
 
 
