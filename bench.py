@@ -132,6 +132,7 @@ HEADLINE = [
     "lang_agreement",
     "host_stats",
     "quality_calibration",
+    "dedup_threshold_sweep",
 ]
 
 

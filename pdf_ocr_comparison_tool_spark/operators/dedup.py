@@ -898,6 +898,74 @@ def incremental_dedup(
     )
 
 
+SWEEP_THRESHOLDS_10 = (5, 6, 7, 8, 9)  # threshold ladder, tenths
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    withsig: DataFrame | None = None,
+) -> DataFrame:
+    """Operating-point SWEEP for the near-dup verifier: at each
+    threshold t in the ladder, how many LSH candidate pairs the
+    signature ESTIMATE would pass vs the exact Jaccard, with the
+    estimator's precision/recall against exact-at-t — the curve that
+    picks the production threshold before a 100 TB run. All
+    classifications are INTEGER cross-multiplications
+    (n_agree·10 ≥ t₁₀·NUM_HASHES; |∩|·10 ≥ t₁₀·|∪|), so no float
+    boundary decides a count. Per-pair math is narrow; the ladder is a
+    5-row explode; output is 5 rows."""
+    withsig = with_minhash(docs) if withsig is None else withsig
+    pairs = lsh_candidate_pairs(withsig, max_bucket=max_bucket)
+    sa = withsig.select(
+        F.col("doc_id").alias("a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    sb = withsig.select(
+        F.col("doc_id").alias("b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    n_agree = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    )
+    base = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            n_agree.cast("long").alias("n_agree"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("ni"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("nu"),
+        )
+    )
+    lad = base.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS_10])
+        ).alias("t10"),
+    )
+    est_pos = (F.col("n_agree") * 10 >= F.col("t10") * NUM_HASHES).cast("long")
+    ex_pos = (F.col("ni") * 10 >= F.col("t10") * F.col("nu")).cast("long")
+    agg = lad.groupBy("t10").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(est_pos).alias("n_est_pos"),
+        F.sum(ex_pos).alias("n_exact_pos"),
+        F.sum(est_pos * ex_pos).alias("n_true_pos"),
+    )
+    return agg.select(
+        (F.col("t10").cast("double") / 10.0).alias("threshold"),
+        "n_pairs",
+        "n_est_pos",
+        "n_exact_pos",
+        "n_true_pos",
+        (F.col("n_true_pos").cast("double")
+         / F.greatest("n_est_pos", F.lit(1)).cast("double")).alias("precision"),
+        (F.col("n_true_pos").cast("double")
+         / F.greatest("n_exact_pos", F.lit(1)).cast("double")).alias("recall"),
+    )
+
+
 def minhash_calibration(
     docs: DataFrame,
     max_bucket: int = MAX_BUCKET,

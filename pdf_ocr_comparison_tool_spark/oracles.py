@@ -5600,3 +5600,52 @@ SELECT source,
        CAST(sum(n) AS DOUBLE) / CAST(min(n_total) AS DOUBLE) AS keep_rate
 FROM qc_k
 GROUP BY source"""
+
+
+def dedup_threshold_sweep_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.dedup.dedup_threshold_sweep: integer
+    cross-multiplied classifications per (pair × ladder threshold)."""
+    from .operators.dedup import NUM_HASHES, SWEEP_THRESHOLDS_10
+
+    if d == SPARK:
+        agree = "size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))"
+        inter = "size(array_intersect(sa.sh, sb.sh))"
+        uni = "size(array_union(sa.sh, sb.sh))"
+        lad = "explode(array(" + ", ".join(
+            str(t) for t in SWEEP_THRESHOLDS_10
+        ) + ")) AS t10"
+        lad_sel = f"SELECT *, {lad} FROM ts_b"
+    else:
+        agree = "len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))"
+        inter = "len(list_intersect(sa.sh, sb.sh))"
+        uni = "len(list_distinct(list_concat(sa.sh, sb.sh)))"
+        lad_sel = (
+            "SELECT *, unnest([" + ", ".join(
+                str(t) for t in SWEEP_THRESHOLDS_10
+            ) + "]) AS t10 FROM ts_b"
+        )
+    return f"""WITH {dedup_cte(d, docs)},
+{_lsh_pairs_cte(d, "dd")},
+ts_b AS (
+  SELECT CAST({agree} AS BIGINT) AS n_agree,
+         CAST({inter} AS BIGINT) AS ni,
+         CAST({uni} AS BIGINT) AS nu
+  FROM dd_pairs p
+  JOIN dd_sig sa ON sa.doc_id = p.a
+  JOIN dd_sig sb ON sb.doc_id = p.b
+),
+ts_l AS ({lad_sel}),
+ts_a AS (
+  SELECT t10,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN n_agree * 10 >= t10 * {NUM_HASHES} THEN 1 ELSE 0 END) AS BIGINT) AS n_est_pos,
+         CAST(sum(CASE WHEN ni * 10 >= t10 * nu THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_pos,
+         CAST(sum(CASE WHEN n_agree * 10 >= t10 * {NUM_HASHES}
+                        AND ni * 10 >= t10 * nu THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos
+  FROM ts_l GROUP BY t10
+)
+SELECT CAST(t10 AS DOUBLE) / 10.0 AS threshold,
+       n_pairs, n_est_pos, n_exact_pos, n_true_pos,
+       CAST(n_true_pos AS DOUBLE) / CAST(greatest(n_est_pos, 1) AS DOUBLE) AS precision,
+       CAST(n_true_pos AS DOUBLE) / CAST(greatest(n_exact_pos, 1) AS DOUBLE) AS recall
+FROM ts_a"""

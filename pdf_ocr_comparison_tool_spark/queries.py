@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from . import config as C
 from . import oracles as O
+from . import pagesgen as PG
 from . import sqlgen as G
 from . import synth
 from .operators import (
@@ -1875,6 +1876,26 @@ def q_lang_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_threshold_sweep",
+    oracle=O.dedup_threshold_sweep_sql(
+        G.DUCK,
+        docs="(SELECT doc_id * 100 + page_num AS doc_id, text FROM ("
+        + PG.pages_sql(G.DUCK) + ") pq) pgv",
+    ),
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup operating-point sweep over the PAGES IR (the corpus
+    with graded suffix-edit near-dups): per ladder threshold, the
+    signature estimate's pass counts and precision/recall vs exact
+    Jaccard — the curve that picks the production threshold. All
+    classifications are integer cross-multiplications."""
+    pages = synth.pages_df(spark, sf_dir).select(
+        (F.col("doc_id") * 100 + F.col("page_num")).alias("doc_id"), "text"
+    )
+    return dedup.dedup_threshold_sweep(pages)
+
+
 @register("quality_calibration", oracle=O.quality_calibration_sql(G.DUCK))
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source adaptive quality threshold (CCNet-style): smallest
@@ -2295,6 +2316,7 @@ _QUERY_ORDER = [
     "lang_agreement",
     "host_stats",
     "quality_calibration",
+    "dedup_threshold_sweep",
 ]
 
 
