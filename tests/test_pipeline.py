@@ -551,3 +551,46 @@ def test_corpus_upsert_semantics(spark):
     assert out[3].is_tombstone and out[3].text_hash is not None
     assert out[4].status == "added" and out[4].first_seen_ver == 2
     assert not out[1].is_tombstone and not out[4].is_tombstone
+
+
+def test_url_canonical_idempotent(spark):
+    """Canonicalization is a FIXPOINT: re-normalizing a canonical URL
+    changes nothing (host already folded, mess already stripped), and
+    every canonical URL is fragment-, utm-, amp- and trailing-slash-
+    free."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import features as fe
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    c1 = fe.url_canonical(docs).select("doc_id", "canon_url")
+    # feed the canonical form back through the same parse/normalize
+    # projections by treating it as the raw url
+    host = F.lower(F.regexp_extract("canon_url", r"^https://([^/?#]*)", 1))
+    path0 = F.regexp_extract("canon_url", r"^https://[^/?#]*([^?#]*)", 1)
+    path1 = F.regexp_replace(path0, r"/amp(/|$)", "$1")
+    q0 = F.regexp_extract("canon_url", r"\?([^#]*)", 1)
+    q2 = F.regexp_replace(F.regexp_replace(q0, r"utm_[^&]*", ""), r"^&+|&+$", "")
+    path = F.when(
+        (F.length(path1) > 1) & path1.endswith("/"),
+        F.expr("substring(p1, 1, length(p1) - 1)"),
+    ).otherwise(path1)
+    again = c1.withColumn("p1", path1).select(
+        "doc_id",
+        "canon_url",
+        F.concat(
+            F.lit("https://"), host,
+            F.when(
+                (F.length("p1") > 1) & F.col("p1").endswith("/"),
+                F.expr("substring(p1, 1, length(p1) - 1)"),
+            ).otherwise(F.col("p1")),
+            F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+        ).alias("canon2"),
+    )
+    assert again.filter(F.col("canon2") != F.col("canon_url")).count() == 0
+    bad = c1.filter(
+        F.col("canon_url").rlike(r"#|utm_|/amp(/|$)|/$|WWW")
+    ).count()
+    assert bad == 0
