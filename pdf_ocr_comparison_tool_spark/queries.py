@@ -2140,9 +2140,16 @@ _QUERY_ORDER = [
     "incremental_dedup",
     "events_funnel",
     "events_retention",
+    # newest fifth-session operators (never driver-verified; swapped in
+    # for six twin rows whose sibling implementations hold fresh rows —
+    # see the displaced block below)
+    "url_canonical",
+    "url_dup_groups",
+    "lang_agreement",
+    "host_stats",
+    "quality_calibration",
+    "dedup_threshold_sweep",
     # rotated back in (r3-green tail of round 4)
-    "dedup_winnow_clusters",
-    "dedup_simhash_clusters",
     "doc_majority_type",
     "page_keywords",
     "lineitem_rollup",
@@ -2153,15 +2160,12 @@ _QUERY_ORDER = [
     "keyword_top",
     "engine_cascade",
     "type_islands",
-    "match_cosine_pairs",
     "pages_synth",
     "match_best_jaccard",
-    "match_summary_wide",
     "page_top_keywords",
     "events_sessions",
     "events_topk",
     "events_pivot",
-    "dedup_exact",
     "dedup_winnow",
     "dedup_simhash",
     "ann_brute_topk",
@@ -2170,13 +2174,25 @@ _QUERY_ORDER = [
     "ann_pq_encode",
     "ann_lsh_search",
     "ann_ivf_search",
-    "emb_near_dups",
     # touched this round (CC loop + relational-argmax rewrites — their
     # r4 rows reflect pre-rewrite code, so they MUST re-verify;
     # emb_dup_clusters' CC path re-proves via dedup_clusters and rides
     # the tail this round)
     "dedup_clusters",
     "text_repetition",
+    # ---- displaced from the head for the six newest governance
+    # queries: each twin's sibling implementation holds a fresh row in
+    # this head (dedup_winnow/simhash pair-gen + dedup_clusters CC cover
+    # the *_clusters twins; similarity_dispatch runs the cosine path for
+    # the UDF twin match_cosine_pairs; match_summary/dedup_exact_pages/
+    # emb_near_dups_lsh are r4-green for the remaining three) and every
+    # one stays covered by the all-164 type-strict local parity gate ----
+    "dedup_winnow_clusters",
+    "dedup_simhash_clusters",
+    "match_cosine_pairs",
+    "match_summary_wide",
+    "dedup_exact",
+    "emb_near_dups",
     # ---- tail: displaced to make room for the three newest
     # never-verified queries above (corpus_filter's new stages are
     # opt-in flags — the registered query path is byte-identical to its
@@ -2311,12 +2327,6 @@ _QUERY_ORDER = [
     "media_thumbnail",
     "corpus_upsert",
     "emb_truncation_recall",
-    "url_canonical",
-    "url_dup_groups",
-    "lang_agreement",
-    "host_stats",
-    "quality_calibration",
-    "dedup_threshold_sweep",
 ]
 
 
