@@ -329,3 +329,58 @@ def doc_outline(exploded: DataFrame) -> DataFrame:
         F.min("n_spans").cast("long").alias("n_spans"),
         F.min("doc_id").alias("example_doc"),
     )
+
+
+def media_captions(exploded: DataFrame) -> DataFrame:
+    """Caption-candidate alignment over the interleaved text+media
+    sequence: every media span paired with the nearest text span on
+    EACH side in reading order, plus the caption pick — the nearer
+    side, ties broken toward the preceding text (the convention
+    figure-caption harvesting uses: a caption usually precedes or
+    immediately follows its figure). This is the alignment table an
+    interleaved multimodal packer reads to attach text supervision to
+    an image, and the per-media counterpart of
+    :func:`interleave_stats`'s document-level density signal.
+
+    Scale shape: two frames of the SAME self-keyed per-doc window
+    (one exchange, fan-in = spans per doc) carrying only (kind, ord,
+    text) — media bytes never enter; the media filter then drops the
+    text rows before anything wide is emitted. No joins.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    t_text = F.when(F.col("kind") == "text", F.col("text"))
+    t_ord = F.when(F.col("kind") == "text", F.col("ord"))
+    sided = (
+        exploded.select(
+            "doc_id",
+            F.col("ord").cast("long").alias("ord"),
+            "kind",
+            "media_ref",
+            F.last(t_text, ignorenulls=True).over(wp).alias("prev_text"),
+            F.last(t_ord, ignorenulls=True).over(wp).cast("long").alias("prev_ord"),
+            F.first(t_text, ignorenulls=True).over(wn).alias("next_text"),
+            F.first(t_ord, ignorenulls=True).over(wn).cast("long").alias("next_ord"),
+        )
+        .filter(F.col("kind") == "media")
+        .drop("kind")
+    )
+    nearer_next = (
+        F.col("prev_ord").isNotNull()
+        & F.col("next_ord").isNotNull()
+        & ((F.col("next_ord") - F.col("ord")) < (F.col("ord") - F.col("prev_ord")))
+    )
+    side = (
+        F.when(F.col("prev_ord").isNull() & F.col("next_ord").isNull(), F.lit("none"))
+        .when(F.col("prev_ord").isNull() | nearer_next, F.lit("next"))
+        .otherwise(F.lit("prev"))
+    )
+    return sided.withColumn("caption_side", side).withColumn(
+        "caption",
+        F.when(F.col("caption_side") == "prev", F.col("prev_text"))
+        .when(F.col("caption_side") == "next", F.col("next_text"))
+        .otherwise(F.lit("")),
+    )

@@ -5649,3 +5649,56 @@ SELECT CAST(t10 AS DOUBLE) / 10.0 AS threshold,
        CAST(n_true_pos AS DOUBLE) / CAST(greatest(n_est_pos, 1) AS DOUBLE) AS precision,
        CAST(n_true_pos AS DOUBLE) / CAST(greatest(n_exact_pos, 1) AS DOUBLE) AS recall
 FROM ts_a"""
+
+
+def media_captions_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of extraction.media_captions: per media span the nearest
+    text span on each side of the reading order (frame-bounded
+    last/first_value IGNORE NULLS over the per-doc window) and the
+    nearer-side caption pick with prev-on-tie."""
+    prev_t = (
+        "last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS) "
+        "OVER (PARTITION BY doc_id ORDER BY ord "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    prev_o = (
+        "last_value(CASE WHEN kind = 'text' THEN ord END IGNORE NULLS) "
+        "OVER (PARTITION BY doc_id ORDER BY ord "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    next_t = (
+        "first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS) "
+        "OVER (PARTITION BY doc_id ORDER BY ord "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    )
+    next_o = (
+        "first_value(CASE WHEN kind = 'text' THEN ord END IGNORE NULLS) "
+        "OVER (PARTITION BY doc_id ORDER BY ord "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    )
+    side = """CASE
+        WHEN prev_ord IS NULL AND next_ord IS NULL THEN 'none'
+        WHEN prev_ord IS NULL
+             OR (next_ord IS NOT NULL
+                 AND (next_ord - ord) < (ord - prev_ord)) THEN 'next'
+        ELSE 'prev' END"""
+    return f"""WITH ext AS ({G.extraction_sql(d, docs)}),
+mc_w AS (
+  SELECT doc_id, CAST(ord AS BIGINT) AS ord, kind, media_ref,
+         {prev_t} AS prev_text,
+         CAST({prev_o} AS BIGINT) AS prev_ord,
+         {next_t} AS next_text,
+         CAST({next_o} AS BIGINT) AS next_ord
+  FROM ext
+),
+mc_m AS (
+  SELECT doc_id, ord, media_ref, prev_text, prev_ord, next_text,
+         next_ord, {side} AS caption_side
+  FROM mc_w WHERE kind = 'media'
+)
+SELECT doc_id, ord, media_ref, prev_text, prev_ord, next_text, next_ord,
+       caption_side,
+       CASE caption_side WHEN 'prev' THEN prev_text
+                         WHEN 'next' THEN next_text
+                         ELSE '' END AS caption
+FROM mc_m"""

@@ -484,6 +484,16 @@ def q_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction.interleave_stats(ex)
 
 
+@register("media_captions", oracle=O.media_captions_sql(G.DUCK))
+def q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-candidate alignment: every media span paired with the
+    nearest text span on each side of the reading order, caption =
+    the nearer side (prev on tie) — the table an interleaved
+    multimodal packer reads to attach text supervision to an image."""
+    ex = extraction.exploded_spans(synth.spans_df(spark, sf_dir))
+    return extraction.media_captions(ex)
+
+
 @register("media_filter", oracle=O.media_filter_sql(G.DUCK))
 def q_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media admission policy (the multimodal corpus_filter): integer
@@ -2149,6 +2159,11 @@ _QUERY_ORDER = [
     "host_stats",
     "quality_calibration",
     "dedup_threshold_sweep",
+    # brand-new this session (never driver-verified; pages_synth
+    # displaced — the span-synthesis spec it checks re-proves via the
+    # entry() smoke on extract_spans plus every head row that consumes
+    # spans, and it stays in the all-registry parity gate)
+    "media_captions",
     # rotated back in (r3-green tail of round 4)
     "doc_majority_type",
     "page_keywords",
@@ -2160,7 +2175,6 @@ _QUERY_ORDER = [
     "keyword_top",
     "engine_cascade",
     "type_islands",
-    "pages_synth",
     "match_best_jaccard",
     "page_top_keywords",
     "events_sessions",
@@ -2189,6 +2203,7 @@ _QUERY_ORDER = [
     # one stays covered by the all-164 type-strict local parity gate ----
     "dedup_winnow_clusters",
     "dedup_simhash_clusters",
+    "pages_synth",
     "match_cosine_pairs",
     "match_summary_wide",
     "dedup_exact",

@@ -169,3 +169,55 @@ def test_column_layout_order_invariants(spark):
         assert keys == sorted(keys), doc
         # flat order preserved as a column (permutation of 0..n-1)
         assert sorted(r.ord_flat for r in rs) == list(range(len(rs)))
+
+
+def test_media_captions_semantics(spark):
+    """Hand-built interleaved layout: nearer side wins, tie goes to
+    the preceding text, edge media fall back to the only side, and a
+    media-only document yields ('none', '')."""
+    rows = [
+        # doc 1 (ords 0..3): m(1) is equidistant from alpha(0) and
+        # gamma(3)? no — t(0) m(1) m(2) t(3): m(1) prev dist 1 vs next
+        # dist 2 -> prev; m(2) prev dist 2 vs next dist 1 -> next.
+        (1, [("text", "alpha", "", 0), ("media", "", "m://1/a", 1),
+             ("media", "", "m://1/b", 2), ("text", "gamma", "", 3)]),
+        # doc 2: media first (no prev -> next), media last (no next -> prev)
+        (2, [("media", "", "m://2/a", 0), ("text", "mid", "", 1),
+             ("media", "", "m://2/b", 2)]),
+        # doc 3: media only -> none
+        (3, [("media", "", "m://3/a", 0)]),
+    ]
+    exploded = spark.createDataFrame(
+        [
+            (d, i, k, t, m)
+            for d, spans in rows
+            for i, (k, t, m, o) in enumerate(sorted(spans, key=lambda s: s[3]))
+        ],
+        "doc_id long, ord long, kind string, text string, media_ref string",
+    )
+    out = {
+        (r.doc_id, r.media_ref): r
+        for r in extraction.media_captions(exploded).collect()
+    }
+    assert len(out) == 5
+    r = out[(1, "m://1/a")]
+    assert (r.caption_side, r.caption) == ("prev", "alpha")
+    r = out[(1, "m://1/b")]
+    assert (r.caption_side, r.caption) == ("next", "gamma")
+    assert (r.prev_ord, r.next_ord) == (0, 3)
+    # tie case: t(0) m(1) t(2) -> equidistant -> prev
+    tie = spark.createDataFrame(
+        [(9, 0, "text", "left", ""), (9, 1, "media", "", "m://9/a"),
+         (9, 2, "text", "right", "")],
+        "doc_id long, ord long, kind string, text string, media_ref string",
+    )
+    t = extraction.media_captions(tie).collect()[0]
+    assert (t.caption_side, t.caption) == ("prev", "left")
+    r = out[(2, "m://2/a")]
+    assert (r.caption_side, r.caption) == ("next", "mid")
+    assert r.prev_ord is None
+    r = out[(2, "m://2/b")]
+    assert (r.caption_side, r.caption) == ("prev", "mid")
+    assert r.next_ord is None
+    r = out[(3, "m://3/a")]
+    assert (r.caption_side, r.caption) == ("none", "")
