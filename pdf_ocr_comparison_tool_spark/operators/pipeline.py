@@ -802,6 +802,62 @@ def corpus_filter(
     )
 
 
+# corpus_filter's drop reasons in their fixed precedence order —
+# shared with the funnel oracle (oracles.filter_funnel_sql); a new
+# stage in corpus_filter's `reason` ladder must be appended here too.
+FUNNEL_STAGES: tuple[str, ...] = (
+    "exact_dup",
+    "near_dup",
+    "too_short",
+    "low_quality",
+    "repetitive_2gram",
+    "repetitive_3gram",
+)
+
+
+def filter_funnel(
+    docs: DataFrame, cache_registry: list | None = None
+) -> DataFrame:
+    """Admission waterfall over :func:`corpus_filter`'s verdict — the
+    governance table every curation report leads with: per stage (in
+    the verdict's fixed precedence) how many documents that stage
+    dropped and how many survive after it, so a threshold change's
+    blast radius reads off one 6-row table instead of a corpus diff.
+
+    Scale shape: ONE aggregation of the verdict frame (groupBy
+    drop_reason — 7 distinct keys, map-side combinable), then all
+    waterfall arithmetic on the tiny stage table: the cumulative-sum
+    window is ordered but bounded by ``len(FUNNEL_STAGES)`` rows BY
+    CONSTRUCTION (the stage dim is a literal), never by corpus size.
+    Integer-only output — no float crosses the oracle boundary."""
+    verdict = corpus_filter(docs, cache_registry=cache_registry)
+    counts = verdict.groupBy("drop_reason").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("n_corpus"))
+    stages = docs.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(FUNNEL_STAGES)],
+        "stage_no long, stage string",
+    )
+    w = Window.orderBy("stage_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        stages.join(counts, stages.stage == counts.drop_reason, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage_no",
+            "stage",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_dropped"),
+            "n_corpus",
+        )
+        .withColumn(
+            "survivors",
+            (F.col("n_corpus") - F.sum("n_dropped").over(w)).cast("long"),
+        )
+    )
+
+
 CLUSTER_CAP = 25
 
 

@@ -5702,3 +5702,34 @@ SELECT doc_id, ord, media_ref, prev_text, prev_ord, next_text, next_ord,
                          WHEN 'next' THEN next_text
                          ELSE '' END AS caption
 FROM mc_m"""
+
+
+def filter_funnel_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.filter_funnel: the corpus_filter
+    verdict aggregated into the fixed-precedence drop waterfall.
+    Integer-only; the window sum is re-cast to BIGINT (DuckDB window
+    SUM widens to HUGEINT — the round-2 match_merged lesson)."""
+    from .operators.pipeline import FUNNEL_STAGES
+
+    dim = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return f"""WITH ff_v AS ({corpus_filter_sql(d, docs)}),
+ff_c AS (
+  SELECT drop_reason, CAST(count(*) AS BIGINT) AS n
+  FROM ff_v GROUP BY drop_reason
+),
+ff_t AS (SELECT CAST(sum(n) AS BIGINT) AS n_corpus FROM ff_c),
+ff_s AS (SELECT * FROM (VALUES {dim}) AS t(stage_no, stage)),
+ff_j AS (
+  SELECT CAST(s.stage_no AS BIGINT) AS stage_no, s.stage,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped, t.n_corpus
+  FROM ff_s s LEFT JOIN ff_c c ON s.stage = c.drop_reason
+  CROSS JOIN ff_t t
+)
+SELECT stage_no, stage, n_dropped, n_corpus,
+       CAST(n_corpus - sum(n_dropped) OVER (
+         ORDER BY stage_no
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS survivors
+FROM ff_j"""

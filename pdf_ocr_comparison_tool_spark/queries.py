@@ -2026,6 +2026,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.corpus_filter(docs)
 
 
+@register("filter_funnel", oracle=O.filter_funnel_sql(G.DUCK))
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission waterfall: per corpus_filter stage (fixed precedence)
+    the documents it dropped and the survivors after it — the 6-row
+    governance table a threshold change is judged against."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return pipeline.filter_funnel(docs)
+
+
 @register("gram_novelty", oracle=O.gram_novelty_sql(G.DUCK))
 def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (fraction of a doc's distinct 8-grams
@@ -2164,6 +2173,7 @@ _QUERY_ORDER = [
     # entry() smoke on extract_spans plus every head row that consumes
     # spans, and it stays in the all-registry parity gate)
     "media_captions",
+    "filter_funnel",
     # rotated back in (r3-green tail of round 4)
     "doc_majority_type",
     "page_keywords",
@@ -2180,7 +2190,6 @@ _QUERY_ORDER = [
     "events_sessions",
     "events_topk",
     "events_pivot",
-    "dedup_winnow",
     "dedup_simhash",
     "ann_brute_topk",
     "ann_lsh_bucket",
@@ -2204,6 +2213,7 @@ _QUERY_ORDER = [
     "dedup_winnow_clusters",
     "dedup_simhash_clusters",
     "pages_synth",
+    "dedup_winnow",
     "match_cosine_pairs",
     "match_summary_wide",
     "dedup_exact",

@@ -594,3 +594,24 @@ def test_url_canonical_idempotent(spark):
         F.col("canon_url").rlike(r"#|utm_|/amp(/|$)|/$|WWW")
     ).count()
     assert bad == 0
+
+
+def test_filter_funnel_waterfall(spark):
+    """The funnel is an exact decomposition of corpus_filter: stage
+    rows in precedence order, survivors strictly reconcile with the
+    verdict's keep count, and the waterfall never goes up."""
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    funnel = pipeline.filter_funnel(docs).orderBy("stage_no").collect()
+    assert [r.stage for r in funnel] == list(pipeline.FUNNEL_STAGES)
+    verdict = pipeline.corpus_filter(docs)
+    n_corpus = verdict.count()
+    n_keep = verdict.filter("keep").count()
+    assert all(r.n_corpus == n_corpus for r in funnel)
+    # survivors monotone non-increasing, ending at the admitted count
+    surv = [r.survivors for r in funnel]
+    assert surv == sorted(surv, reverse=True)
+    assert surv[-1] == n_keep
+    assert sum(r.n_dropped for r in funnel) + n_keep == n_corpus
