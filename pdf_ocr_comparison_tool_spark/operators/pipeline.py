@@ -206,6 +206,68 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+# token-budget planner spec constants — shared with the oracle
+# (oracles.epochs_per_source_sql); change both sides together.
+TOKEN_BUDGET = 1_000_000  # training-run token budget
+EPOCH_CAP = 4  # data-constrained repeat ceiling (Muennighoff et al. '23)
+
+
+def epochs_per_source(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Token-budget planner — the step between :func:`mixture_weights`
+    and a training run's dataloader config: per source its unique
+    whitespace-token mass, the √-temperature share of the run's token
+    ``budget``, and the implied REPEAT EPOCHS (allocation ÷ unique
+    tokens). Sources whose implied epochs exceed ``EPOCH_CAP`` are
+    flagged and their effective allocation capped — the
+    data-constrained-scaling rule of thumb (repeating data beyond ~4
+    epochs returns ~nothing), which tells the mixture designer exactly
+    how many tokens the cap hands back for re-allocation.
+
+    Cross-engine exactness: integer token sums; the only float ops are
+    one sqrt per source, a Σ√ folded in source order (the
+    mixture_sample pattern), then one division / one multiplication /
+    one division / one least — identical order both sides.
+
+    Scale shape: one map-side-combinable groupBy(source) over narrow
+    (source, n_ws) rows, a 1-row fold broadcast back — the corpus text
+    itself never shuffles."""
+    n_ws = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"), lambda t: t != ""
+        )
+    )
+    per = (
+        docs.select("source", n_ws.cast("long").alias("n_ws"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("src_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "src_tokens"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["src_tokens"].cast("double")),
+        ).alias("sum_sqrt")
+    )
+    toks_d = F.col("src_tokens").cast("double")
+    share = F.sqrt(toks_d) / F.col("sum_sqrt")
+    alloc = share * F.lit(float(budget))
+    epochs = alloc / toks_d
+    cap_d = F.lit(float(EPOCH_CAP))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        share.alias("share"),
+        alloc.alias("alloc_tokens"),
+        epochs.alias("epochs"),
+        (epochs > cap_d).alias("over_cap"),
+        F.least(alloc, cap_d * toks_d).alias("eff_tokens"),
+    )
+
+
 SAMPLE_TARGET = 300
 _SAMPLE_RES = 1_000_000  # hash resolution for the keep threshold
 

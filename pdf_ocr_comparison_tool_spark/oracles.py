@@ -5733,3 +5733,37 @@ SELECT stage_no, stage, n_dropped, n_corpus,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS survivors
 FROM ff_j"""
+
+
+def epochs_per_source_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.epochs_per_source: integer token
+    sums, source-ordered Σ√ fold, then the identical single-op double
+    chain (divide → multiply → divide → compare/least) via stacked
+    CTEs so evaluation order matches Spark's expression tree."""
+    from .operators.pipeline import EPOCH_CAP, TOKEN_BUDGET
+
+    ws = _lfilter(split_rx("text", r"[ \t\n\x0B\f\r]+", d), "t -> t <> ''", d)
+    fold = _ordered_fold("sqrt(CAST(src_tokens AS DOUBLE))", "source", d)
+    b = f"CAST({TOKEN_BUDGET} AS DOUBLE)"
+    cap = f"CAST({EPOCH_CAP} AS DOUBLE)"
+    toks = "CAST(src_tokens AS DOUBLE)"
+    return f"""WITH ep_d AS (
+  SELECT source, CAST({_arr_size(ws, d)} AS BIGINT) AS n_ws FROM {docs}
+),
+ep_p AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_ws) AS BIGINT) AS src_tokens
+  FROM ep_d GROUP BY source
+),
+ep_t AS (SELECT {fold} AS sum_sqrt FROM ep_p),
+ep_s AS (
+  SELECT source, n_docs, src_tokens,
+         sqrt({toks}) / t.sum_sqrt AS share
+  FROM ep_p CROSS JOIN ep_t t
+),
+ep_a AS (SELECT *, share * {b} AS alloc_tokens FROM ep_s),
+ep_e AS (SELECT *, alloc_tokens / {toks} AS epochs FROM ep_a)
+SELECT source, n_docs, src_tokens, share, alloc_tokens, epochs,
+       epochs > {cap} AS over_cap,
+       least(alloc_tokens, {cap} * {toks}) AS eff_tokens
+FROM ep_e"""

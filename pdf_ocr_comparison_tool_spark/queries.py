@@ -1842,6 +1842,17 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.mixture_weights(synth.load_table(spark, sf_dir, "documents"))
 
 
+@register("epochs_per_source", oracle=O.epochs_per_source_sql(G.DUCK))
+def q_epochs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planner: per source the √-temperature share of the
+    run's token budget, the implied repeat epochs over its unique
+    tokens, and the data-constrained EPOCH_CAP flag + capped effective
+    allocation — the dataloader config a mixture designer reads."""
+    return pipeline.epochs_per_source(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("corpus_diff", oracle=O.corpus_diff_sql(G.DUCK))
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus version diff (incremental-ingest primitive): two
@@ -2174,6 +2185,7 @@ _QUERY_ORDER = [
     # spans, and it stays in the all-registry parity gate)
     "media_captions",
     "filter_funnel",
+    "epochs_per_source",
     # rotated back in (r3-green tail of round 4)
     "doc_majority_type",
     "page_keywords",
@@ -2190,7 +2202,6 @@ _QUERY_ORDER = [
     "events_sessions",
     "events_topk",
     "events_pivot",
-    "dedup_simhash",
     "ann_brute_topk",
     "ann_lsh_bucket",
     "ann_ivf_assign",
@@ -2214,6 +2225,7 @@ _QUERY_ORDER = [
     "dedup_simhash_clusters",
     "pages_synth",
     "dedup_winnow",
+    "dedup_simhash",
     "match_cosine_pairs",
     "match_summary_wide",
     "dedup_exact",

@@ -615,3 +615,30 @@ def test_filter_funnel_waterfall(spark):
     assert surv == sorted(surv, reverse=True)
     assert surv[-1] == n_keep
     assert sum(r.n_dropped for r in funnel) + n_keep == n_corpus
+
+
+def test_epochs_per_source_budget_math(spark):
+    """Planner invariants: shares form a distribution, epochs are the
+    allocation over unique tokens, the cap flag matches EPOCH_CAP and
+    the capped effective allocation never exceeds either bound."""
+    import math
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    rows = pipeline.epochs_per_source(docs).collect()
+    assert rows, "at least one source"
+    assert math.isclose(sum(r.share for r in rows), 1.0, rel_tol=1e-9)
+    for r in rows:
+        assert math.isclose(r.alloc_tokens, r.share * pipeline.TOKEN_BUDGET)
+        assert math.isclose(r.epochs, r.alloc_tokens / r.src_tokens)
+        assert r.over_cap == (r.epochs > pipeline.EPOCH_CAP)
+        assert r.eff_tokens <= r.alloc_tokens + 1e-9
+        assert r.eff_tokens <= pipeline.EPOCH_CAP * r.src_tokens + 1e-9
+        if not r.over_cap:
+            assert math.isclose(r.eff_tokens, r.alloc_tokens)
+    # rare sources get up-weighted: smaller source => more epochs
+    by_tok = sorted(rows, key=lambda r: r.src_tokens)
+    ep = [r.epochs for r in by_tok]
+    assert ep == sorted(ep, reverse=True)
