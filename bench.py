@@ -133,6 +133,9 @@ HEADLINE = [
     "host_stats",
     "quality_calibration",
     "dedup_threshold_sweep",
+    "media_captions",
+    "filter_funnel",
+    "epochs_per_source",
 ]
 
 
