@@ -136,6 +136,7 @@ HEADLINE = [
     "media_captions",
     "filter_funnel",
     "epochs_per_source",
+    "shard_assign",
 ]
 
 

@@ -206,6 +206,54 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
     )
 
 
+# rendezvous-sharding spec constants — shared with the oracle
+# (oracles.shard_assign_sql); change both sides together.
+SHARDS_BEFORE = 8
+SHARDS_AFTER = 9
+
+
+def shard_assign(docs: DataFrame) -> DataFrame:
+    """Rendezvous (highest-random-weight) consistent sharding with a
+    resize-movement audit: each document's shard is
+    ``argmax over s of md5(doc_id ':' s)`` — so growing the fleet from
+    ``SHARDS_BEFORE`` to ``SHARDS_AFTER`` shards moves ONLY the
+    documents whose new shard wins the argmax (expected 1/S′ of the
+    corpus), where modulo sharding would reshuffle (S′−1)/S′ of it.
+    At 100 TB that is the difference between an incremental top-up and
+    a full-corpus rewrite; ``moved`` is exactly the recompute set.
+
+    Scale shape: entirely NARROW — the per-doc argmax is an array fold
+    over S′ in-row candidates (array_max on (h, shard) structs; md5
+    ties cannot occur), zero joins, zero shuffles, and the assignment
+    is a pure function of doc_id (stable across runs and engines)."""
+
+    def hrw(n: int):
+        return F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda s: F.struct(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            s.cast("string"),
+                        )
+                    ).alias("h"),
+                    s.cast("long").alias("shard"),
+                ),
+            )
+        )["shard"]
+
+    return (
+        docs.select(
+            "doc_id",
+            hrw(SHARDS_BEFORE).alias("shard_before"),
+            hrw(SHARDS_AFTER).alias("shard_after"),
+        )
+        .withColumn("moved", F.col("shard_before") != F.col("shard_after"))
+    )
+
+
 # token-budget planner spec constants — shared with the oracle
 # (oracles.epochs_per_source_sql); change both sides together.
 TOKEN_BUDGET = 1_000_000  # training-run token budget

@@ -5767,3 +5767,32 @@ SELECT source, n_docs, src_tokens, share, alloc_tokens, epochs,
        epochs > {cap} AS over_cap,
        least(alloc_tokens, {cap} * {toks}) AS eff_tokens
 FROM ep_e"""
+
+
+def shard_assign_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.shard_assign: per-doc HRW argmax
+    via max_by over a VALUES shard dim (md5 hex compares
+    lexicographically in both engines; ties impossible)."""
+    from .operators.pipeline import SHARDS_AFTER, SHARDS_BEFORE
+
+    dim = ", ".join(f"({s})" for s in range(SHARDS_AFTER))
+    h = (
+        f"md5({G.cast_str('d.doc_id', d)} || ':' || "
+        f"{G.cast_str('s.shard', d)})"
+    )
+    return f"""WITH sa_s AS (SELECT * FROM (VALUES {dim}) AS t(shard)),
+sa_h AS (
+  SELECT d.doc_id, CAST(s.shard AS BIGINT) AS shard, {h} AS h
+  FROM {docs} d CROSS JOIN sa_s s
+),
+sa_a AS (
+  SELECT doc_id,
+         max_by(shard, h) FILTER (WHERE shard < {SHARDS_BEFORE})
+           AS shard_before,
+         max_by(shard, h) AS shard_after
+  FROM sa_h GROUP BY doc_id
+)
+SELECT doc_id, CAST(shard_before AS BIGINT) AS shard_before,
+       CAST(shard_after AS BIGINT) AS shard_after,
+       shard_before <> shard_after AS moved
+FROM sa_a"""

@@ -1853,6 +1853,15 @@ def q_epochs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("shard_assign", oracle=O.shard_assign_sql(G.DUCK))
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous consistent sharding with resize-movement audit:
+    per-doc HRW argmax shard for S=8 and S=9 fleets plus the `moved`
+    recompute set (expected 1/9 of the corpus — vs 8/9 under modulo
+    sharding). Pure narrow argmax, zero shuffles."""
+    return pipeline.shard_assign(synth.load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_diff", oracle=O.corpus_diff_sql(G.DUCK))
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus version diff (incremental-ingest primitive): two
@@ -2186,6 +2195,7 @@ _QUERY_ORDER = [
     "media_captions",
     "filter_funnel",
     "epochs_per_source",
+    "shard_assign",
     # rotated back in (r3-green tail of round 4)
     "doc_majority_type",
     "page_keywords",
@@ -2202,7 +2212,6 @@ _QUERY_ORDER = [
     "events_sessions",
     "events_topk",
     "events_pivot",
-    "ann_brute_topk",
     "ann_lsh_bucket",
     "ann_ivf_assign",
     "ann_pq_encode",
@@ -2226,6 +2235,7 @@ _QUERY_ORDER = [
     "pages_synth",
     "dedup_winnow",
     "dedup_simhash",
+    "ann_brute_topk",
     "match_cosine_pairs",
     "match_summary_wide",
     "dedup_exact",

@@ -642,3 +642,36 @@ def test_epochs_per_source_budget_math(spark):
     by_tok = sorted(rows, key=lambda r: r.src_tokens)
     ep = [r.epochs for r in by_tok]
     assert ep == sorted(ep, reverse=True)
+
+
+def test_shard_assign_hrw_minimal_movement(spark):
+    """HRW guarantees: moved docs land ONLY on the newly added shard,
+    unmoved docs keep their shard exactly, movement is ~1/S', and the
+    assignment is a pure function of doc_id (reorder-stable)."""
+    import hashlib
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    rows = pipeline.shard_assign(docs).collect()
+    n = len(rows)
+    moved = [r for r in rows if r.moved]
+    for r in rows:
+        assert 0 <= r.shard_before < pipeline.SHARDS_BEFORE
+        assert 0 <= r.shard_after < pipeline.SHARDS_AFTER
+        if r.moved:
+            # only the new shard can steal a doc from the old fleet
+            assert r.shard_after == pipeline.SHARDS_AFTER - 1
+        else:
+            assert r.shard_before == r.shard_after
+    # expected movement 1/9 ~ 11%; generous band for n=500
+    assert 0.02 < len(moved) / n < 0.25
+    # python-reference HRW on a sample row
+    r0 = rows[0]
+    hs = [
+        hashlib.md5(f"{r0.doc_id}:{s}".encode()).hexdigest()
+        for s in range(pipeline.SHARDS_AFTER)
+    ]
+    assert r0.shard_before == max(range(pipeline.SHARDS_BEFORE), key=lambda s: hs[s])
+    assert r0.shard_after == max(range(pipeline.SHARDS_AFTER), key=lambda s: hs[s])
