@@ -137,6 +137,8 @@ HEADLINE = [
     "filter_funnel",
     "epochs_per_source",
     "shard_assign",
+    "funnel_by_source",
+    "token_cardinality",
 ]
 
 

@@ -968,6 +968,42 @@ def filter_funnel(
     )
 
 
+def funnel_by_source(
+    docs: DataFrame, cache_registry: list | None = None
+) -> DataFrame:
+    """Drop attribution by source — the question after
+    :func:`filter_funnel`'s corpus-level waterfall: WHICH domains lose
+    their mass to WHICH admission stage (a boilerplate-heavy host dies
+    at dedup, a spam host at quality, a short-form host at length).
+    One row per (source, stage) with the stage's doc count, the
+    source's corpus mass, and the stage's share of it — the table that
+    decides whether a host gets a crawler fix or a blocklist entry.
+
+    Scale shape: the verdict joins the (doc_id, source) projection on
+    the pre-partitioned doc_id key, then ONE map-side-combinable
+    groupBy(source, stage) (≤ 7 stages × sources rows); the
+    per-source total rides a self-keyed window over ≤ 7 rows per
+    source. The only float is one int/int division."""
+    verdict = corpus_filter(docs, cache_registry=cache_registry)
+    joined = verdict.select("doc_id", "drop_reason").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per = joined.groupBy(
+        "source",
+        F.coalesce("drop_reason", F.lit("admitted")).alias("stage"),
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "stage",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("long").alias("src_total"),
+    ).withColumn(
+        "stage_share",
+        F.col("n_docs").cast("double") / F.col("src_total").cast("double"),
+    )
+
+
 CLUSTER_CAP = 25
 
 

@@ -1422,3 +1422,40 @@ def bm25_search(
             "score",
         )
     )
+
+
+# linear-counting sketch width — shared with the oracle
+# (oracles.token_cardinality_sql); change both sides together.
+CARD_BUCKETS = 1024
+
+
+def token_cardinality(docs: DataFrame) -> DataFrame:
+    """Distinct-token cardinality per source, exact AND as the
+    occupancy of a ``CARD_BUCKETS``-wide linear-counting sketch — the
+    vocabulary-size signal a mixture designer reads, computed the two
+    ways a fleet can afford: the exact distinct needs a corpus-wide
+    (source, token) distinct; the sketch needs a FIXED 1024-value
+    state per source regardless of corpus size (what a 100 TB job
+    actually keeps). Emitting both on the same corpus calibrates the
+    estimator. Integer-only output: the ``−M·ln(1−k/M)`` estimate is
+    the consumer's step — ``ln`` is not cross-engine bit-stable, the
+    same boundary mixture_weights draws at normalization.
+
+    Scale shape: groupBy(source, token) is map-side combinable (a
+    10⁹-occurrence stopword partial-aggregates before the shuffle);
+    the bucket distinct sees ≤ CARD_BUCKETS values per source."""
+    from .features import hash_bucket
+
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    pairs = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+    return pairs.groupBy("source").agg(
+        F.sum("n_occ").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.countDistinct(hash_bucket(F.col("tok"), CARD_BUCKETS))
+        .cast("long")
+        .alias("n_buckets_occupied"),
+    )

@@ -5796,3 +5796,48 @@ SELECT doc_id, CAST(shard_before AS BIGINT) AS shard_before,
        CAST(shard_after AS BIGINT) AS shard_after,
        shard_before <> shard_after AS moved
 FROM sa_a"""
+
+
+def token_cardinality_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.token_cardinality: exact distinct tokens
+    per source + linear-counting bucket occupancy (hexint % M, the
+    hash_bucket twin). Integer-only."""
+    from .operators.textstats import CARD_BUCKETS
+
+    toks = _lfilter(split_rx("lower(text)", "[^a-z0-9]+", d), "t -> length(t) >= 2", d)
+    bkt = f"({G.hexint('tok', d)}) % {CARD_BUCKETS}"
+    return f"""WITH tc_d AS (SELECT source, {toks} AS toks FROM {docs}),
+tc_t AS (SELECT source, {explode('toks', 'tok', d)} FROM tc_d),
+tc_p AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n_occ
+  FROM tc_t GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT {bkt}) AS BIGINT) AS n_buckets_occupied
+FROM tc_p GROUP BY source"""
+
+
+def funnel_by_source_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of operators.pipeline.funnel_by_source: corpus_filter's
+    verdict joined back to source, grouped by (source, stage), with
+    the per-source window total re-cast to BIGINT."""
+    return f"""WITH fs_v AS ({corpus_filter_sql(d, docs)}),
+fs_j AS (
+  SELECT dd.source, coalesce(v.drop_reason, 'admitted') AS stage
+  FROM fs_v v JOIN {docs} dd ON v.doc_id = dd.doc_id
+),
+fs_p AS (
+  SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs
+  FROM fs_j GROUP BY source, stage
+),
+fs_t AS (
+  SELECT source, stage, n_docs,
+         CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+           AS src_total
+  FROM fs_p
+)
+SELECT source, stage, n_docs, src_total,
+       CAST(n_docs AS DOUBLE) / CAST(src_total AS DOUBLE) AS stage_share
+FROM fs_t"""

@@ -1853,6 +1853,25 @@ def q_epochs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("funnel_by_source", oracle=O.funnel_by_source_sql(G.DUCK))
+def q_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop attribution by source: which domains lose their mass to
+    which admission stage — one (source, stage) row with counts and
+    the stage's share of the source's corpus mass."""
+    docs = synth.load_table(spark, sf_dir, "documents")
+    return pipeline.funnel_by_source(docs)
+
+
+@register("token_cardinality", oracle=O.token_cardinality_sql(G.DUCK))
+def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size, exact and as linear-counting sketch
+    occupancy (fixed 1024-value state per source — the 100 TB way),
+    on the same corpus so the estimator is calibrated in place."""
+    return textstats.token_cardinality(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("shard_assign", oracle=O.shard_assign_sql(G.DUCK))
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous consistent sharding with resize-movement audit:
@@ -2196,6 +2215,8 @@ _QUERY_ORDER = [
     "filter_funnel",
     "epochs_per_source",
     "shard_assign",
+    "funnel_by_source",
+    "token_cardinality",
     # rotated back in (r3-green tail of round 4)
     "doc_majority_type",
     "page_keywords",
@@ -2215,27 +2236,33 @@ _QUERY_ORDER = [
     "ann_lsh_bucket",
     "ann_ivf_assign",
     "ann_pq_encode",
-    "ann_lsh_search",
-    "ann_ivf_search",
     # touched this round (CC loop + relational-argmax rewrites — their
     # r4 rows reflect pre-rewrite code, so they MUST re-verify;
     # emb_dup_clusters' CC path re-proves via dedup_clusters and rides
     # the tail this round)
     "dedup_clusters",
     "text_repetition",
-    # ---- displaced from the head for the six newest governance
-    # queries: each twin's sibling implementation holds a fresh row in
-    # this head (dedup_winnow/simhash pair-gen + dedup_clusters CC cover
-    # the *_clusters twins; similarity_dispatch runs the cosine path for
-    # the UDF twin match_cosine_pairs; match_summary/dedup_exact_pages/
-    # emb_near_dups_lsh are r4-green for the remaining three) and every
-    # one stays covered by the all-164 type-strict local parity gate ----
+    # ---- displaced from the head for the twelve never-driver-verified
+    # queries above (six governance rows + media_captions,
+    # filter_funnel, epochs_per_source, shard_assign, funnel_by_source,
+    # token_cardinality): each displaced twin's sibling implementation
+    # holds a fresh row (dedup_winnow/simhash pair-gen via the r4-green
+    # *_pairs rows + dedup_clusters CC in the head cover the fingerprint
+    # and *_clusters twins; similarity_dispatch runs the cosine path for
+    # the UDF twin match_cosine_pairs; the stand-in ann_*_search rows'
+    # bucket/assign stages stay in the head and their fitted variants
+    # are r4-green; match_summary/dedup_exact_pages/emb_near_dups_lsh
+    # are r4-green for the remaining three; pages_synth's span-spec
+    # re-proves via the entry() smoke) and every one stays covered by
+    # the all-registry type-strict local parity gate ----
     "dedup_winnow_clusters",
     "dedup_simhash_clusters",
     "pages_synth",
     "dedup_winnow",
     "dedup_simhash",
     "ann_brute_topk",
+    "ann_lsh_search",
+    "ann_ivf_search",
     "match_cosine_pairs",
     "match_summary_wide",
     "dedup_exact",

@@ -675,3 +675,24 @@ def test_shard_assign_hrw_minimal_movement(spark):
     ]
     assert r0.shard_before == max(range(pipeline.SHARDS_BEFORE), key=lambda s: hs[s])
     assert r0.shard_after == max(range(pipeline.SHARDS_AFTER), key=lambda s: hs[s])
+
+
+def test_funnel_by_source_reconciles(spark):
+    """Per-source attribution sums back to the corpus-level funnel:
+    stage shares form a distribution per source, and the admitted
+    counts match corpus_filter's keep verdicts."""
+    import math
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    rows = pipeline.funnel_by_source(docs).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert math.isclose(sum(r.stage_share for r in rs), 1.0, rel_tol=1e-9)
+        assert all(r.src_total == sum(x.n_docs for x in rs) for r in rs)
+    admitted = sum(r.n_docs for r in rows if r.stage == "admitted")
+    assert admitted == pipeline.corpus_filter(docs).filter("keep").count()
