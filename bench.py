@@ -139,6 +139,7 @@ HEADLINE = [
     "shard_assign",
     "funnel_by_source",
     "token_cardinality",
+    "media_phash",
 ]
 
 

@@ -311,3 +311,43 @@ def thumbnail_media(with_payload: DataFrame, t: int = THUMB_GRID) -> DataFrame:
     return with_payload.select("doc_id", "media_ref", "payload").mapInPandas(
         _batches, THUMB_SCHEMA
     )
+
+
+def media_phash_groups(thumbs: DataFrame) -> DataFrame:
+    """Average-hash perceptual dedup over the REAL decoded thumbnails
+    — the standard cheap image/audio near-dup pass (logo and
+    boilerplate images repeated across millions of pages; identical
+    audio stings): aHash bit i = (cell_i > thumbnail mean), media
+    sharing a (format, aHash) bucket form a dup group. Runs ON TOP of
+    :func:`thumbnail_media`'s output, so the only Python is the
+    already-oracled decode/resize stage; the hash and grouping are
+    pure relational expressions.
+
+    Scale shape: one narrow projection (split + per-element compare +
+    join — all inside codegen) then one map-side-combinable
+    groupBy((format, aHash)); a billion-copy logo is ONE group row.
+    Emits only groups with ≥ 2 members."""
+    cells = F.transform(
+        F.split("thumb_sig", ","), lambda s: s.cast("double")
+    )
+    bits = F.transform(
+        cells,
+        lambda c: F.when(c > F.col("thumb_mean"), F.lit("1")).otherwise(
+            F.lit("0")
+        ),
+    )
+    hashed = thumbs.select(
+        "doc_id",
+        "media_ref",
+        "format",
+        F.concat_ws("", bits).alias("ahash"),
+    )
+    return (
+        hashed.groupBy("format", "ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("media_ref").alias("example_ref"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )

@@ -5841,3 +5841,30 @@ fs_t AS (
 SELECT source, stage, n_docs, src_total,
        CAST(n_docs AS DOUBLE) / CAST(src_total AS DOUBLE) AS stage_share
 FROM fs_t"""
+
+
+def media_phash_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of multimodal.media_phash_groups: aHash bits from the
+    cell-by-cell oracled thumbnail signature, grouped per (format,
+    hash) with a ≥2 dup-group filter."""
+    if d == SPARK:
+        bits = (
+            "concat_ws('', transform(split(thumb_sig, ','), "
+            "x -> CASE WHEN CAST(x AS DOUBLE) > thumb_mean "
+            "THEN '1' ELSE '0' END))"
+        )
+    else:
+        bits = (
+            "array_to_string(list_transform(string_split(thumb_sig, ','), "
+            "x -> CASE WHEN CAST(x AS DOUBLE) > thumb_mean "
+            "THEN '1' ELSE '0' END), '')"
+        )
+    return f"""WITH ph_t AS ({media_thumbnail_sql(d, docs)}),
+ph_h AS (
+  SELECT doc_id, media_ref, format, {bits} AS ahash FROM ph_t
+)
+SELECT format, ahash,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(media_ref) AS example_ref
+FROM ph_h GROUP BY format, ahash HAVING count(*) >= 2"""

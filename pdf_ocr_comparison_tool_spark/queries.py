@@ -494,6 +494,21 @@ def q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction.media_captions(ex)
 
 
+@register("media_phash", oracle=O.media_phash_sql(G.DUCK))
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) media dedup over the real decoded
+    thumbnails: aHash bit = cell > mean, dup groups per (format,
+    hash) — the cheap image/audio near-dup pass; a billion-copy logo
+    is one group row."""
+    from .operators import multimodal
+
+    ext = extraction.extract_ordered_spans(synth.spans_df(spark, sf_dir))
+    thumbs = multimodal.thumbnail_media(
+        multimodal.fetch_bytes(multimodal.media_manifest(ext))
+    )
+    return multimodal.media_phash_groups(thumbs)
+
+
 @register("media_filter", oracle=O.media_filter_sql(G.DUCK))
 def q_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media admission policy (the multimodal corpus_filter): integer
@@ -2217,10 +2232,10 @@ _QUERY_ORDER = [
     "shard_assign",
     "funnel_by_source",
     "token_cardinality",
+    "media_phash",
     # rotated back in (r3-green tail of round 4)
     "doc_majority_type",
     "page_keywords",
-    "lineitem_rollup",
     "timeline",
     "engine_cascade_stats",
     "page_quality",
@@ -2263,6 +2278,7 @@ _QUERY_ORDER = [
     "ann_brute_topk",
     "ann_lsh_search",
     "ann_ivf_search",
+    "lineitem_rollup",
     "match_cosine_pairs",
     "match_summary_wide",
     "dedup_exact",

@@ -786,3 +786,25 @@ def test_watermark_drops_late_data_and_finalizes(spark):
     # on-time events; the post-finalization 12:01 arrival vanished (no
     # duplicate / no n=3 re-emission); 12:35+ windows withheld
     assert got == [(0, 2)]
+
+
+def test_media_phash_groups_semantics(spark):
+    """aHash bits match the python reference (cell > mean, strict);
+    identical signatures group across docs; singletons are excluded."""
+    from pdf_ocr_comparison_tool_spark.operators import multimodal
+
+    sig_a = ",".join(str(v) for v in range(16))        # mean 7.5 -> 8 high bits
+    sig_b = ",".join(str(15 - v) for v in range(16))   # reversed bits
+    rows = [
+        ("d1", "m://1/a", "bmp", sig_a, 7.5),
+        ("d2", "m://2/a", "bmp", sig_a, 7.5),   # dup of d1's logo
+        ("d3", "m://3/a", "bmp", sig_b, 7.5),   # singleton
+        ("d4", "m://4/a", "wav", sig_a, 7.5),   # same bits, other format
+    ]
+    thumbs = spark.createDataFrame(rows, multimodal.THUMB_SCHEMA)
+    out = multimodal.media_phash_groups(thumbs).collect()
+    assert len(out) == 1
+    g = out[0]
+    ref_hash = "".join("1" if v > 7.5 else "0" for v in range(16))
+    assert (g.format, g.ahash) == ("bmp", ref_hash)
+    assert (g.n_media, g.n_docs, g.example_ref) == (2, 2, "m://1/a")
