@@ -140,6 +140,7 @@ HEADLINE = [
     "funnel_by_source",
     "token_cardinality",
     "media_phash",
+    "length_quantiles",
 ]
 
 

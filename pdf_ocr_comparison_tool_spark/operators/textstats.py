@@ -1459,3 +1459,51 @@ def token_cardinality(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_buckets_occupied"),
     )
+
+
+# per-source length-quantile checkpoints — shared with the oracle
+# (oracles.length_quantiles_sql); change both sides together.
+QUANTILE_PCTS: tuple[int, ...] = (25, 50, 75, 95)
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact per-source document-length quantiles via the HISTOGRAM
+    route — the only way percentiles scale to 10⁹ docs/source: a
+    corpus-wide sort per source is a single-reducer death, but the
+    (source, length) histogram is map-side combinable and bounded by
+    the integer LENGTH DOMAIN, not the doc count. The discrete
+    quantile rule is pure integers (smallest length whose cumulative
+    count reaches ``ceil(p·n/100)``), so the result is cross-engine
+    exact — no interpolation float ever exists.
+
+    Scale shape: groupBy((source, len)) partial-aggregates; the
+    cumulative window is self-keyed per source over the bounded length
+    domain; thresholds come from a broadcast 4-row pct dim."""
+    lens = docs.select(
+        "source", F.length("text").cast("long").alias("len")
+    )
+    hist = lens.groupBy("source", "len").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w).cast("long"))
+    tot = hist.groupBy("source").agg(F.sum("n").cast("long").alias("n_docs"))
+    pcts = docs.sparkSession.createDataFrame(
+        [(int(p),) for p in QUANTILE_PCTS], "pct long"
+    )
+    # ceil(p·n/100) in pure integer arithmetic (no float, no cast-floor)
+    thr = F.expr("CAST((pct * n_docs + 99) DIV 100 AS BIGINT)")
+    return (
+        cum.join(tot, "source")
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") >= thr)
+        .groupBy("source", "pct")
+        .agg(
+            F.min("len").alias("q_len"),
+            F.min("n_docs").alias("n_docs"),
+        )
+    )

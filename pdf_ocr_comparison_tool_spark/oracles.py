@@ -5868,3 +5868,35 @@ SELECT format, ahash,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        min(media_ref) AS example_ref
 FROM ph_h GROUP BY format, ahash HAVING count(*) >= 2"""
+
+
+def length_quantiles_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of textstats.length_quantiles: (source, length)
+    histogram, per-source cumulative window (re-cast to BIGINT), pct
+    VALUES dim, integer ceil-rank rule, min length at-or-past rank."""
+    from .operators.textstats import QUANTILE_PCTS
+
+    dim = ", ".join(f"({int(p)})" for p in QUANTILE_PCTS)
+    thr = P.idiv("(p.pct * t.n_docs + 99)", "100", d)
+    return f"""WITH lq_h AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS len,
+         CAST(count(*) AS BIGINT) AS n
+  FROM {docs} GROUP BY source, CAST(length(text) AS BIGINT)
+),
+lq_c AS (
+  SELECT source, len, n,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum
+  FROM lq_h
+),
+lq_t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM lq_h GROUP BY source),
+lq_p AS (SELECT CAST(pct AS BIGINT) AS pct FROM (VALUES {dim}) AS v(pct))
+SELECT c.source, p.pct,
+       CAST(min(c.len) AS BIGINT) AS q_len,
+       CAST(min(t.n_docs) AS BIGINT) AS n_docs
+FROM lq_c c
+JOIN lq_t t ON c.source = t.source
+CROSS JOIN lq_p p
+WHERE c.cum >= CAST({thr} AS BIGINT)
+GROUP BY c.source, p.pct"""

@@ -1877,6 +1877,17 @@ def q_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.funnel_by_source(docs)
 
 
+@register("length_quantiles", oracle=O.length_quantiles_sql(G.DUCK))
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles the histogram way — map-side
+    combinable (source, len) counts bounded by the length DOMAIN, a
+    self-keyed cumulative window, integer ceil-rank rule; the only
+    percentile shape that survives 10⁹ docs per source."""
+    return textstats.length_quantiles(
+        synth.load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("token_cardinality", oracle=O.token_cardinality_sql(G.DUCK))
 def q_token_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary size, exact and as linear-counting sketch
@@ -2233,8 +2244,8 @@ _QUERY_ORDER = [
     "funnel_by_source",
     "token_cardinality",
     "media_phash",
+    "length_quantiles",
     # rotated back in (r3-green tail of round 4)
-    "doc_majority_type",
     "page_keywords",
     "timeline",
     "engine_cascade_stats",
@@ -2279,6 +2290,7 @@ _QUERY_ORDER = [
     "ann_lsh_search",
     "ann_ivf_search",
     "lineitem_rollup",
+    "doc_majority_type",
     "match_cosine_pairs",
     "match_summary_wide",
     "dedup_exact",

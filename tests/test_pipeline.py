@@ -696,3 +696,28 @@ def test_funnel_by_source_reconciles(spark):
         assert all(r.src_total == sum(x.n_docs for x in rs) for r in rs)
     admitted = sum(r.n_docs for r in rows if r.stage == "admitted")
     assert admitted == pipeline.corpus_filter(docs).filter("keep").count()
+
+
+def test_length_quantiles_match_python_reference(spark):
+    """Histogram-route quantiles equal the direct python rule
+    (smallest length with cum count >= ceil(p*n/100)) per source."""
+    import math
+
+    from pdf_ocr_comparison_tool_spark import synth
+    from pdf_ocr_comparison_tool_spark.operators import textstats
+    from tests.conftest import SF_DIR
+
+    docs = synth.load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.source, r.pct): (r.q_len, r.n_docs)
+        for r in textstats.length_quantiles(docs).collect()
+    }
+    by_src: dict = {}
+    for r in docs.select("source", "text").collect():
+        by_src.setdefault(r.source, []).append(len(r.text))
+    for src, lens in by_src.items():
+        lens.sort()
+        for p in textstats.QUANTILE_PCTS:
+            rank = math.ceil(p * len(lens) / 100)
+            assert got[(src, p)] == (lens[rank - 1], len(lens)), (src, p)
+    assert len(got) == len(by_src) * len(textstats.QUANTILE_PCTS)
