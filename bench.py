@@ -141,6 +141,7 @@ HEADLINE = [
     "token_cardinality",
     "media_phash",
     "length_quantiles",
+    "media_phash_pairs",
 ]
 
 

@@ -351,3 +351,34 @@ def media_phash_groups(thumbs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_media") >= 2)
     )
+
+
+def media_phash_pairs(thumbs: DataFrame) -> DataFrame:
+    """Near-dup media PAIRS at hamming ≤ 3 over the 16-bit aHash — the
+    companion of :func:`media_phash_groups` (exact-equal hashes) for
+    slightly-edited media (re-crops, re-encodes, watermark overlays):
+    the thumbnail bit vector folds to a 16-bit integer fingerprint and
+    reuses the text pipeline's Manku banded machinery verbatim
+    (dedup.simhash_candidate_pairs: 4×4-bit band equi-join —
+    pigeonhole-complete for ham ≤ 3 — hot-band guard, exact popcount
+    verify). Emits (a, b, hamming) with media_refs as the pair ids.
+
+    Scale shape: identical to the text SimHash path — candidate
+    generation is a bounded-bucket equi-join, never all-pairs; media
+    bytes stay out of the plan after the thumbnail stage."""
+    from . import dedup
+
+    cells = F.transform(
+        F.split("thumb_sig", ","), lambda s: s.cast("double")
+    )
+    bits = F.transform(
+        cells,
+        lambda c: (c > F.col("thumb_mean")).cast("long"),
+    )
+    phash = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+    fps = thumbs.select(
+        F.col("media_ref").alias("doc_id"), phash.alias("simhash")
+    )
+    return dedup.simhash_candidate_pairs(fps)

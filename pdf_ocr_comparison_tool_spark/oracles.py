@@ -5900,3 +5900,67 @@ JOIN lq_t t ON c.source = t.source
 CROSS JOIN lq_p p
 WHERE c.cum >= CAST({thr} AS BIGINT)
 GROUP BY c.source, p.pct"""
+
+
+def media_phash_pairs_sql(d: str, docs: str = "documents") -> str:
+    """Mirror of multimodal.media_phash_pairs: thumbnail bits → 16-bit
+    integer fingerprint (order-fixed integer fold), then the exact
+    simhash_pairs machinery (banded equi-join, hot-band guard,
+    popcount verify) with media_refs as ids."""
+    from .operators.dedup import (
+        MAX_BUCKET,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BITS,
+        SIMHASH_HAM_MAX,
+    )
+
+    nb = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bit = (
+        "CASE WHEN CAST(x AS DOUBLE) > thumb_mean "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    if d == SPARK:
+        fold = (
+            "aggregate(transform(split(thumb_sig, ','), "
+            f"x -> {bit}), CAST(0 AS BIGINT), (acc, b) -> acc * 2 + b)"
+        )
+    else:
+        fold = (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(thumb_sig, ','), x -> {bit})), "
+            "(acc, b) -> acc * 2 + b)"
+        )
+
+    def band_val(b: int) -> str:
+        sh = SIMHASH_BAND_BITS * b
+        if d == SPARK:
+            return f"shiftright(simhash, {sh}) % {mask + 1}"
+        return f"(simhash >> {sh}) % {mask + 1}"
+
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, {band_val(b)} AS val"
+        f" FROM mp_f"
+        for b in range(nb)
+    )
+    xor = "xor(fa, fb)" if d == DUCK else "fa ^ fb"
+    ham = f"bit_count({xor})"
+    return f"""WITH mp_t AS ({media_thumbnail_sql(d, docs)}),
+mp_f AS (SELECT media_ref AS doc_id, {fold} AS simhash FROM mp_t),
+mp_bands AS (
+{bands}
+),
+mp_small AS (
+  SELECT band, val FROM mp_bands GROUP BY band, val HAVING count(*) <= {MAX_BUCKET}
+),
+mp_bs AS (
+  SELECT x.* FROM mp_bands x JOIN mp_small s ON x.band = s.band AND x.val = s.val
+),
+mp_pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS fa, y.simhash AS fb
+  FROM mp_bs x JOIN mp_bs y ON x.band = y.band AND x.val = y.val
+    AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST({ham} AS BIGINT) AS hamming
+FROM mp_pairs WHERE {ham} <= {SIMHASH_HAM_MAX}"""

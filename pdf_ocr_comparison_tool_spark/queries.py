@@ -509,6 +509,21 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_phash_groups(thumbs)
 
 
+@register("media_phash_pairs", oracle=O.media_phash_pairs_sql(G.DUCK))
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs at hamming ≤ 3 over the 16-bit aHash —
+    the text pipeline's Manku banded machinery reused verbatim on the
+    decoded-thumbnail fingerprint (slightly-edited media: re-crops,
+    re-encodes)."""
+    from .operators import multimodal
+
+    ext = extraction.extract_ordered_spans(synth.spans_df(spark, sf_dir))
+    thumbs = multimodal.thumbnail_media(
+        multimodal.fetch_bytes(multimodal.media_manifest(ext))
+    )
+    return multimodal.media_phash_pairs(thumbs)
+
+
 @register("media_filter", oracle=O.media_filter_sql(G.DUCK))
 def q_media_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media admission policy (the multimodal corpus_filter): integer
@@ -2429,6 +2444,11 @@ _QUERY_ORDER = [
     "media_thumbnail",
     "corpus_upsert",
     "emb_truncation_recall",
+    # sixth-session post-window addition — the r5 head is fully
+    # committed (32 first-driver rows + the 16 verdict-named rotation
+    # rows + the 2 rewrite re-proofs); this row carries the all-
+    # registry type-strict parity gate this round
+    "media_phash_pairs",
 ]
 
 

@@ -808,3 +808,24 @@ def test_media_phash_groups_semantics(spark):
     ref_hash = "".join("1" if v > 7.5 else "0" for v in range(16))
     assert (g.format, g.ahash) == ("bmp", ref_hash)
     assert (g.n_media, g.n_docs, g.example_ref) == (2, 2, "m://1/a")
+
+
+def test_media_phash_pairs_near_dup_detection(spark):
+    """A one-bit-flipped thumbnail signature is found as a hamming-1
+    pair; a far signature is not; ids are ordered media_refs."""
+    from pdf_ocr_comparison_tool_spark.operators import multimodal
+
+    base = list(range(16))                      # bits: 1 iff v > 7.5
+    near = list(base)
+    near[0] = 8                                 # flips exactly bit 15 (0 -> 1)
+    far = [15 - v for v in base]                # complement bits
+    rows = [
+        ("d1", "m://1/a", "bmp", ",".join(map(str, base)), 7.5),
+        ("d2", "m://2/a", "bmp", ",".join(map(str, near)), 7.5),
+        ("d3", "m://3/a", "bmp", ",".join(map(str, far)), 7.5),
+    ]
+    thumbs = spark.createDataFrame(rows, multimodal.THUMB_SCHEMA)
+    pairs = multimodal.media_phash_pairs(thumbs).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.a, p.b, p.hamming) == ("m://1/a", "m://2/a", 1)
