@@ -176,9 +176,8 @@ def test_media_captions_semantics(spark):
     the preceding text, edge media fall back to the only side, and a
     media-only document yields ('none', '')."""
     rows = [
-        # doc 1 (ords 0..3): m(1) is equidistant from alpha(0) and
-        # gamma(3)? no — t(0) m(1) m(2) t(3): m(1) prev dist 1 vs next
-        # dist 2 -> prev; m(2) prev dist 2 vs next dist 1 -> next.
+        # doc 1 (ords 0..3): t(0) m(1) m(2) t(3) — m(1) prev dist 1 vs
+        # next dist 2 -> prev; m(2) prev dist 2 vs next dist 1 -> next.
         (1, [("text", "alpha", "", 0), ("media", "", "m://1/a", 1),
              ("media", "", "m://1/b", 2), ("text", "gamma", "", 3)]),
         # doc 2: media first (no prev -> next), media last (no next -> prev)
@@ -221,3 +220,20 @@ def test_media_captions_semantics(spark):
     assert r.next_ord is None
     r = out[(3, "m://3/a")]
     assert (r.caption_side, r.caption) == ("none", "")
+
+
+def test_media_captions_partition_invariance(spark):
+    """Caption alignment is a pure function of the document content:
+    byte-identical under any input partitioning (the north-rule
+    invariance, extended to the alignment table)."""
+    from pdf_ocr_comparison_tool_spark.operators.extraction import (
+        exploded_spans,
+        media_captions,
+    )
+
+    ex = exploded_spans(synth.spans_df(spark, SF_DIR))
+    key = lambda r: (r.doc_id, r.ord)  # noqa: E731
+    a = sorted(media_captions(ex.repartition(1)).collect(), key=key)
+    b = sorted(media_captions(ex.repartition(32)).collect(), key=key)
+    assert a == b
+    assert len(a) > 0
