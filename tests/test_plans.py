@@ -390,3 +390,42 @@ def test_knn_label_noise_plan_shape(spark):
     for line in p.splitlines():
         if "Window [" in line:
             assert "vec_id" in line, line
+
+
+def test_shard_assign_is_narrow_no_shuffle(spark):
+    """HRW sharding is a pure projection: zero Exchange, zero joins —
+    the plan that makes a fleet resize an incremental top-up."""
+    plan = _plan(Q.q_shard_assign(spark, SF_DIR))
+    body = plan.split("== Physical Plan ==")[-1]
+    # the loader's conditional rebalance is the only permitted exchange
+    assert body.count("Exchange") <= 1
+    assert "Join" not in body and "CartesianProduct" not in body
+
+
+def test_funnel_windows_are_bounded(spark):
+    """filter_funnel's only unpartitioned window runs on the literal
+    6-row stage dim; the corpus side contributes one hash aggregate."""
+    plan = _plan(Q.q_filter_funnel(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the waterfall total rides a broadcast, never a shuffled join
+    assert "BroadcastExchange" in plan
+
+
+def test_length_quantiles_window_is_source_keyed(spark):
+    """The cumulative window partitions by source (domain-bounded),
+    never a global ordering over the corpus."""
+    plan = _plan(Q.q_length_quantiles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # every Window operator must carry the source partition key — an
+    # unpartitioned window here would globally sort the whole histogram
+    win_lines = [l for l in plan.splitlines() if "Window " in l]
+    assert win_lines, "expected the cumulative window in the plan"
+    for line in win_lines:
+        assert "source" in line, line
+
+
+def test_media_phash_paths_have_no_cartesian(spark):
+    """Both perceptual-dedup paths stay on bounded-bucket equi-joins."""
+    for q in (Q.q_media_phash, Q.q_media_phash_pairs):
+        plan = _plan(q(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
