@@ -309,32 +309,53 @@ def match_pages(
             "bk", F.explode("ps").alias("p")
         ).select("bk", F.col("p.t_doc").alias("t_doc"), F.col("p.t_page").alias("t_page"))
 
-    v_dates = rest.select(*_PROBE, F.explode("dates").alias("bk"))
-    r_dates = _cap(r.select("t_doc", "t_page", F.explode("t_dates").alias("bk")))
-    v_amts = rest.select(
-        *_PROBE, F.explode("amounts").alias("a")
-    ).select(*_PROBE, normalize_amount(F.col("a")).alias("bk"))
-    r_amts = _cap(
+    # ONE blocking leg instead of two: dates and normalized amounts are
+    # tagged into disjoint key spaces ("d:" / "a:") and exploded in one
+    # pass per side, so the cap aggregation, the candidate equi-join and
+    # the dedup each run ONCE instead of twice + union (measured: the
+    # two-leg shape paid 2 collect_list cap chains + 2 joins + a union
+    # before the distinct — half the blocking exchanges for the same
+    # pair set). The tags make cross-type equality (a voucher date
+    # string equal to a ref amount string) impossible, exactly like the
+    # separate joins; per-key cap groups are unchanged because the tags
+    # partition the key space into the same per-type groups.
+    def _bks(dates_col: str, amounts_col: str):
+        return F.concat(
+            F.transform(dates_col, lambda d: F.concat(F.lit("d:"), d)),
+            F.transform(
+                amounts_col,
+                lambda a: F.concat(F.lit("a:"), normalize_amount(a)),
+            ),
+        )
+
+    v_keys = rest.select(
+        *_PROBE, F.explode(_bks("dates", "amounts")).alias("bk")
+    )
+    r_keys = _cap(
         r.select(
-            "t_doc", "t_page", F.explode("t_amounts").alias("a")
-        ).select("t_doc", "t_page", normalize_amount(F.col("a")).alias("bk"))
+            "t_doc", "t_page",
+            F.explode(_bks("t_dates", "t_amounts")).alias("bk"),
+        )
     )
     cand = (
-        v_dates.join(r_dates, "bk")
+        v_keys.join(r_keys, "bk")
         .select(*_PROBE, "t_doc", "t_page")
-        .unionByName(v_amts.join(r_amts, "bk").select(*_PROBE, "t_doc", "t_page"))
         .distinct()
         .cache()
     )
 
-    # J4 — bounded fallback for probes with zero candidates
+    # J4 — bounded fallback for probes with zero candidates. The ref
+    # side of the fallback carries its TEXT in the 100-row broadcast,
+    # so the (|no_cand| × cap) pair fan-out never routes through the
+    # reference-text join below (guide §8: attach payload to the
+    # bounded side once, move the fan-out rows through narrow ops only)
     no_cand = rest.select(*_PROBE).join(cand.select(*_PROBE), _PROBE, "left_anti")
     fb_refs = (
-        r.select("t_doc", "t_page")
+        r.select("t_doc", "t_page", "t_text")
         .orderBy("t_doc", "t_page")
         .limit(fallback_cap)
     )
-    fallback = no_cand.crossJoin(F.broadcast(fb_refs))
+    fallback = no_cand.crossJoin(F.broadcast(fb_refs.select("t_doc", "t_page")))
 
     # J5 — fuzzy similarity on candidate ∪ fallback pairs. Exact length
     # prefilter: lev(a,b) ≥ |len(a)−len(b)|, so sim can only reach the
@@ -344,16 +365,22 @@ def match_pages(
     # no distinct needed: cand is already distinct and fallback probes
     # are anti-joined out of cand, so the two legs are disjoint (the
     # oracle's UNION dedups across the same disjoint sets — no-op)
-    pairs = cand.unionByName(fallback)
     if pair_scorer is not None:
         # relational scorer: already aggregated per pair, its groupBy
         # exchange plays the anti-pushdown barrier role
+        pairs = cand.unionByName(fallback)
         scored = pair_scorer(pairs, rest, r).filter(
             F.col("sim") >= partial_threshold
         )
         return _rank_topk(exact, scored, top_k)
-    joined = pairs.join(rest.select(*_PROBE, "text"), _PROBE).join(
+    # candidate leg joins both texts; the fallback leg picks its ref
+    # text off the bounded broadcast instead of re-joining r
+    joined = cand.join(rest.select(*_PROBE, "text"), _PROBE).join(
         r.select("t_doc", "t_page", "t_text"), ["t_doc", "t_page"]
+    ).unionByName(
+        no_cand.join(rest.select(*_PROBE, "text"), _PROBE).crossJoin(
+            F.broadcast(fb_refs)
+        ).select(*_PROBE, "t_doc", "t_page", "text", "t_text")
     )
     if sim_fn is None:
         # exact length prefilter — the bound only holds for edit
@@ -414,33 +441,49 @@ def with_matched_keywords(
     sets; empty for 未找到): joins the per-page ``kw`` arrays back onto
     the best rows and intersects. Adds ``matched_kw_arr`` (sorted array,
     consumed by the merge union) and ``matched_kw`` ('|'-joined string,
-    the report column)."""
-    vk = vouchers.select(*_PROBE, F.col("kw").alias("v_kw"))
+    the report column).
+
+    When ``best`` already carries a ``v_kw`` column (the
+    ``best_matches(..., carry_kw=True)`` path), the voucher-side join
+    is skipped — one broadcast join fewer in every match query."""
     rk = refs.select(
         F.col("doc_id").alias("t_doc"),
         F.col("page_num").alias("t_page"),
         F.col("kw").alias("r_kw"),
     )
+    if "v_kw" in best.columns:
+        b = best
+    else:
+        b = best.join(
+            vouchers.select(*_PROBE, F.col("kw").alias("v_kw")), _PROBE, "left"
+        )
     arr = F.when(
         F.col("t_doc").isNull(), F.array().cast("array<string>")
     ).otherwise(F.array_sort(F.array_intersect("v_kw", "r_kw")))
     return (
-        best.join(vk, _PROBE, "left")
-        .join(rk, ["t_doc", "t_page"], "left")
+        b.join(rk, ["t_doc", "t_page"], "left")
         .withColumn("matched_kw_arr", arr)
         .withColumn("matched_kw", F.array_join("matched_kw_arr", "|"))
         .drop("v_kw", "r_kw")
     )
 
 
-def best_matches(vouchers: DataFrame, ranked: DataFrame) -> DataFrame:
+def best_matches(
+    vouchers: DataFrame, ranked: DataFrame, carry_kw: bool = False
+) -> DataFrame:
     """J7 — exactly one output row per voucher page; unmatched pages get
-    (未找到, sim 0.0) per content_matcher.py:320-351."""
+    (未找到, sim 0.0) per content_matcher.py:320-351.
+
+    ``carry_kw=True`` rides the voucher ``kw`` array through the
+    left join as ``v_kw`` (dropped again by ``with_matched_keywords``),
+    saving that function's voucher-side join — the voucher frame is
+    read here anyway."""
     best = ranked.filter(F.col("rn") == 1).select(
         *_PROBE, "t_doc", "t_page", "sim"
     )
+    carry = [F.col("kw").alias("v_kw")] if carry_kw else []
     return (
-        vouchers.select(*_PROBE)
+        vouchers.select(*_PROBE, *carry)
         .join(best, _PROBE, "left")
         .select(
             *_PROBE,
@@ -450,5 +493,6 @@ def best_matches(vouchers: DataFrame, ranked: DataFrame) -> DataFrame:
             F.when(F.col("t_doc").isNull(), F.lit(C.STATUS_NOT_FOUND))
             .otherwise(status_band(F.col("sim")))
             .alias("status"),
+            *([F.col("v_kw")] if carry_kw else []),
         )
     )

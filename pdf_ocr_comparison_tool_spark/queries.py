@@ -274,7 +274,7 @@ def q_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matched-keywords intersection column (content_matcher.py:353-356)."""
     v, r = _featured_roles(spark, sf_dir)
     ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
-    best = matching.best_matches(v, ranked)
+    best = matching.best_matches(v, ranked, carry_kw=True)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
 
 
@@ -290,7 +290,7 @@ def q_match_best_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, r, sim_fn=matching.jaccard_sim_expr, partial_threshold=0.3,
         ref_per_key_cap=matching.REF_PER_KEY_CAP,
     )
-    best = matching.best_matches(v, ranked)
+    best = matching.best_matches(v, ranked, carry_kw=True)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
 
 
@@ -327,7 +327,7 @@ def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_scorer=matching.cosine_scorer(vt, rt),
         ref_per_key_cap=matching.REF_PER_KEY_CAP,
     )
-    best = matching.best_matches(v, ranked)
+    best = matching.best_matches(v, ranked, carry_kw=True)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
 
 
@@ -351,7 +351,9 @@ def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, r = _featured_roles(spark, sf_dir)
     best = matching.with_matched_keywords(
         matching.best_matches(
-            v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+            v,
+            matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP),
+            carry_kw=True,
         ), v, r
     )
     return merge.merge_page_matches(best, keywords=True).withColumn(
