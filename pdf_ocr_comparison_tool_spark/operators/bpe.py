@@ -6,15 +6,15 @@ DataFrame dataflow:
   the initial corpus-wide word count is the only full-scan stage; every
   merge iteration runs over (vocab-size × word-length) symbol rows,
   orders of magnitude smaller than the corpus at 100 TB;
-* each unrolled iteration: positional symbol pairs (lead window inside
-  per-word partitions — bounded by word length), corpus-weighted pair
-  counts (map-side combinable groupBy), the argmax pair as a ONE-ROW
-  frame (orderBy+limit-1 = TakeOrderedAndProject; ties break
+* each unrolled iteration: adjacent symbol pairs via a shifted-zip over
+  the per-word symbol array (narrow — no positional explode, no
+  per-word window), corpus-weighted pair counts (map-side combinable
+  groupBy — the iteration's ONLY exchange), the argmax pair as a
+  ONE-ROW frame (orderBy+limit-1 = TakeOrderedAndProject; ties break
   lexicographically so the fit is deterministic), then the greedy
-  leftmost merge applied relationally: runs of consecutive overlapping
-  matches keep their odd-indexed positions (gaps-and-islands — the
-  exact greedy-left semantics of the reference algorithm), consumed
-  successors drop, arrays rebuild ordered.
+  leftmost merge applied as a NARROW left-to-right array fold per word
+  (the reference algorithm's exact while-loop semantics, including the
+  odd-run behaviour on self-overlapping pairs).
 
 Each iteration localCheckpoints its (tiny) state and argmax frames —
 the CC pattern: without the cut, every iteration's plan TREE embeds ~4
@@ -43,58 +43,77 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _pair_rows(state: DataFrame) -> DataFrame:
-    """(word, freq, pos, sym, nxt) — positional symbols with successor."""
-    rows = state.select(
-        "word", "freq", F.posexplode("syms").alias("pos", "sym")
+def _pair_counts(state: DataFrame) -> DataFrame:
+    """(sym, nxt, pf) corpus-weighted adjacent-pair counts, built
+    NARROWLY from the per-word symbol array: the successor array is a
+    shifted slice zipped against the original (each derived array is
+    the HOF's input — the single-evaluation rule), so no per-word
+    window and no positional explode+lead shuffle exists; the only
+    exchange is the map-side-combinable pair groupBy."""
+    nxt = F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0)))
+    pairs = F.filter(
+        F.zip_with(
+            "syms",
+            nxt,
+            lambda a, b: F.when(
+                b.isNotNull(), F.struct(a.alias("sym"), b.alias("nxt"))
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
-    w = Window.partitionBy("word").orderBy("pos")
-    return rows.withColumn("nxt", F.lead("sym").over(w))
+    return (
+        state.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.sym").alias("sym"), F.col("p.nxt").alias("nxt"))
+        .agg(F.sum("freq").alias("pf"))
+    )
 
 
-def _apply_merge(pr: DataFrame, best: DataFrame) -> DataFrame:
-    """One greedy-leftmost merge of the argmax pair, relationally:
-    matched positions chain only when the pair overlaps itself
-    (bl == br, e.g. 'aa' in 'aaaa'); within each maximal run of
-    consecutive matches the 1st, 3rd, ... merge (rrn odd) and their
-    successors are consumed. Returns the next (word, freq, syms)."""
-    m = pr.crossJoin(F.broadcast(best))
-    m = m.withColumn(
-        "is_m", (F.col("sym") == F.col("bl")) & (F.col("nxt") == F.col("br"))
-    )
-    wm = Window.partitionBy("word").orderBy("pos")
-    matched = (
-        m.filter("is_m")
-        .withColumn("mrn", F.row_number().over(wm))
-        .withColumn("rid", F.col("pos") - F.col("mrn"))
-    )
-    wr = Window.partitionBy("word", "rid").orderBy("pos")
-    starts = (
-        matched.withColumn("rrn", F.row_number().over(wr))
-        .filter(F.col("rrn") % 2 == 1)
-        .select("word", "pos")
-        .withColumn("is_start", F.lit(True))
-    )
-    consumed = starts.select(
-        "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("is_used")
-    )
-    j = (
-        m.join(starts, ["word", "pos"], "left")
-        .join(consumed, ["word", "pos"], "left")
-        .filter(F.col("is_used").isNull())
-        .select(
-            "word",
-            "freq",
-            "pos",
-            F.when(F.col("is_start"), F.concat("sym", "nxt"))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
+def _apply_merge(state: DataFrame, best: DataFrame) -> DataFrame:
+    """One greedy-leftmost merge of the argmax pair, as a NARROW
+    left-to-right array fold per word (the exact reference semantics —
+    bpe_fit_py's while loop): walk positions 1..n carrying (out,
+    skip); a matched (bl, br) at i emits the merged symbol and consumes
+    i+1, which also yields the odd-run behaviour on self-overlapping
+    pairs ('aaaa' + 'aa' → 'aa','aa'). Replaces the previous
+    relational form (posexplode + 3 windows + 2 joins + ordered
+    rebuild — five shuffles of the symbol rows per iteration) with
+    zero shuffles; returns the next (word, freq, syms)."""
+    syms = F.col("syms")
+    merged = F.concat(F.col("bl"), F.col("br"))
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.size(syms)),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(0).alias("skip"),
+        ),
+        lambda acc, i: F.when(
+            i == acc["skip"],
+            F.struct(acc["out"].alias("out"), F.lit(0).alias("skip")),
         )
+        .when(
+            (F.element_at(syms, i) == F.col("bl"))
+            & F.coalesce(
+                F.try_element_at(syms, i + F.lit(1)) == F.col("br"),
+                F.lit(False),
+            ),
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                (i + F.lit(1)).alias("skip"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(F.element_at(syms, i))).alias(
+                    "out"
+                ),
+                F.lit(0).alias("skip"),
+            )
+        ),
+        lambda acc: acc["out"],
     )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("pos", "sym"))), lambda s: s["sym"]
+    return state.crossJoin(F.broadcast(best)).select(
+        "word", "freq", folded.alias("syms")
     )
-    return j.groupBy("word", "freq").agg(ordered.alias("syms"))
 
 
 def _run_merges(
@@ -117,12 +136,7 @@ def _run_merges(
     ).localCheckpoint()
     merges = []
     for i in range(1, n_merges + 1):
-        pr = _pair_rows(state)
-        cnt = (
-            pr.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("freq").alias("pf"))
-        )
+        cnt = _pair_counts(state)
         best = (
             cnt.orderBy(F.desc("pf"), F.asc("sym"), F.asc("nxt"))
             .limit(1)
@@ -142,7 +156,7 @@ def _run_merges(
                 F.col("pair_freq").cast("long").alias("pair_freq"),
             )
         )
-        new_state = _apply_merge(pr, best).localCheckpoint()
+        new_state = _apply_merge(state, best).localCheckpoint()
         _release_local_checkpoint(state)
         state = new_state
     return merges, state

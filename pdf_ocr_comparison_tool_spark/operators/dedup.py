@@ -380,10 +380,17 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .distinct()
         .localCheckpoint()
     )
+    # init fused with round 1: starting from lbl=node, the first
+    # propagation round computes least(node, min neighbor id) — exactly
+    # min(dst) over the symmetrized edges, so the node-set groupBy that
+    # would only have deduplicated src doubles as the whole first round
+    # (one fewer driver-synchronized iteration; final labels unchanged
+    # because CC converges to the component min from any initial
+    # assignment along the same propagation lattice)
     labels_ckpt = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("lbl"))
         .localCheckpoint()
     )
     labels = labels_ckpt

@@ -205,11 +205,16 @@ def ivf_assign(
     pairs = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id", "centroid_id", dist.alias("dist")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "dist")
+    # argmin as a map-side-combinable struct-min (lexicographic on
+    # (dist, centroid_id) — identical winner and tie-break to the
+    # previous row_number window, without the per-vector sort shuffle)
+    m = pairs.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("centroid_id"))).alias("m")
+    )
+    return m.select(
+        "vec_id",
+        F.col("m.centroid_id").alias("centroid_id"),
+        F.col("m.dist").alias("dist"),
     )
 
 
