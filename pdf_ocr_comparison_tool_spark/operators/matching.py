@@ -163,9 +163,18 @@ def cosine_scorer(vt: DataFrame, rt: DataFrame):
 
     Values are bit-identical to :func:`cosine_sim_expr`: the dot and
     squared norms are the same integers (order-free sums), the final
-    sqrt/divide the same double ops. Pairs sharing no token get dot 0;
-    a page with no tokens has no TF rows, so its norm left-joins to
-    NULL → 0 → sim 0.0, exactly the zero-norm guard."""
+    sqrt/divide the same double ops.
+
+    Contract note: pairs sharing NO token (and pairs with a zero-norm
+    side) are OMITTED from the output instead of scored 0.0 — their
+    cosine is exactly 0, so any STRICTLY POSITIVE ``partial_threshold``
+    filters them identically. In exchange the scorer never re-joins the
+    pair set against its own aggregate (previously a 4-key sort-merge
+    join of two pair-sized tables — the single most expensive exchange
+    of the cosine match, ~3.3 s of a 16 s query at sf0.1); the norm
+    dims are small per-page aggregates and broadcast. A dot row implies
+    both pages have ≥1 token, so the norm joins are inner and the
+    zero-norm guard is vacuous on surviving rows."""
     vn = vt.groupBy(*_PROBE).agg(
         F.sum(F.col("cnt_v") * F.col("cnt_v")).alias("v_nsq")
     )
@@ -180,16 +189,13 @@ def cosine_scorer(vt: DataFrame, rt: DataFrame):
             .groupBy(*_PROBE, "t_doc", "t_page")
             .agg(F.sum(F.col("cnt_v") * F.col("cnt_r")).alias("dot"))
         )
-        v_nsq = F.coalesce(F.col("v_nsq"), F.lit(0).cast("long"))
-        r_nsq = F.coalesce(F.col("r_nsq"), F.lit(0).cast("long"))
-        sim = F.when((v_nsq == 0) | (r_nsq == 0), F.lit(0.0)).otherwise(
-            F.coalesce(F.col("dot"), F.lit(0).cast("long")).cast("double")
-            / (F.sqrt(v_nsq.cast("double")) * F.sqrt(r_nsq.cast("double")))
+        sim = F.col("dot").cast("double") / (
+            F.sqrt(F.col("v_nsq").cast("double"))
+            * F.sqrt(F.col("r_nsq").cast("double"))
         )
         return (
-            pairs.join(dots, _PROBE + ["t_doc", "t_page"], "left")
-            .join(vn, _PROBE, "left")
-            .join(rn, ["t_doc", "t_page"], "left")
+            dots.join(vn, _PROBE)
+            .join(rn, ["t_doc", "t_page"])
             .select(*_PROBE, "t_doc", "t_page", sim.alias("sim"))
         )
 
@@ -207,6 +213,7 @@ def match_pages(
     feature_cols: tuple[str, ...] | None = None,
     pair_scorer=None,
     broadcast_refs: bool = False,
+    best_only: bool = False,
 ) -> DataFrame:
     """vouchers/refs: (doc_id, page_num, text, text_hash, dates, amounts).
 
@@ -233,6 +240,17 @@ def match_pages(
     (it does at every test SF) and falls back to a shuffled hash join
     when it isn't — a hard F.broadcast here would force a driver-side
     build and OOM at 100× corpus scale.
+
+    ``best_only``: True emits ONLY each probe's rn=1 row (same schema,
+    rn ≡ 1) via a map-side-combinable max_by argmax instead of the
+    top-k row_number window — identical winner and tie-break
+    ((sim desc, t_doc asc, t_page asc); the ordering struct is unique
+    per candidate row, so ties cannot occur), and because no
+    sim-filter exists below the aggregation the θ filter moves AFTER
+    the argmax (equivalent: the argmax row clears θ iff any row does),
+    which also removes the anti-pushdown repartition barrier the
+    windowed path needs. Use for every best-match consumer; keep False
+    when downstream reads rn > 1 (match_topk, rn≤2 pair probes).
     """
     extra = list(feature_cols or ())
     v = vouchers.select(
@@ -367,8 +385,18 @@ def match_pages(
     # oracle's UNION dedups across the same disjoint sets — no-op)
     if pair_scorer is not None:
         # relational scorer: already aggregated per pair, its groupBy
-        # exchange plays the anti-pushdown barrier role
+        # exchange plays the anti-pushdown barrier role. Scorers may
+        # OMIT identically-zero pairs (cosine_scorer does), so the
+        # threshold must be strictly positive for the filter to be
+        # equivalent to scoring them.
+        if partial_threshold <= 0:
+            raise ValueError(
+                "pair_scorer path requires partial_threshold > 0 "
+                "(zero-similarity pairs are omitted, not scored)"
+            )
         pairs = cand.unionByName(fallback)
+        if best_only:
+            return _rank_best(exact, pair_scorer(pairs, rest, r), partial_threshold)
         scored = pair_scorer(pairs, rest, r).filter(
             F.col("sim") >= partial_threshold
         )
@@ -397,6 +425,15 @@ def match_pages(
         joined = joined.filter(len_ok)
         sim_fn = _sim_expr
     sim = sim_fn(F.col("text"), F.col("t_text"))
+    if best_only:
+        # no sim filter exists below the argmax aggregation, so nothing
+        # can push the similarity CASE into a join condition — the
+        # aggregation boundary replaces the repartition barrier below
+        return _rank_best(
+            exact,
+            joined.select(*_PROBE, "t_doc", "t_page", sim.alias("sim")),
+            partial_threshold,
+        )
     # The repartition between the sim projection and the θ filter is a
     # deliberate barrier: without it Catalyst collapses filter+project
     # and pushes the similarity CASE into the hash-join condition,
@@ -410,6 +447,37 @@ def match_pages(
         .filter(F.col("sim") >= partial_threshold)
     )
     return _rank_topk(exact, scored, top_k)
+
+
+def _rank_best(
+    exact: DataFrame, raw: DataFrame, partial_threshold: float
+) -> DataFrame:
+    """Best match per probe without a window: max_by over the ordering
+    struct (sim, −t_doc, −t_page) — lexicographically identical to the
+    top-k window's (sim desc, t_doc asc, t_page asc) first row, unique
+    per candidate so no tie exists — then the θ filter on the winner
+    (the winner clears θ iff any row does, so filtering after the
+    argmax is equivalent to pre-filtering the candidates). The
+    aggregation is map-side combinable: a hot probe's candidates
+    reduce per map partition instead of sorting on one reducer."""
+    allrows = exact.unionByName(raw)
+    ordk = F.struct(
+        F.col("sim").alias("s"),
+        (-F.col("t_doc")).alias("nd"),
+        (-F.col("t_page")).alias("np"),
+    )
+    m = allrows.groupBy(*_PROBE).agg(
+        F.max_by(
+            F.struct(F.col("t_doc"), F.col("t_page"), F.col("sim")), ordk
+        ).alias("m")
+    )
+    return m.select(
+        *_PROBE,
+        F.col("m.t_doc").alias("t_doc"),
+        F.col("m.t_page").alias("t_page"),
+        F.col("m.sim").alias("sim"),
+        F.lit(1).alias("rn"),
+    ).filter(F.col("sim") >= partial_threshold)
 
 
 def _rank_topk(exact: DataFrame, scored: DataFrame, top_k: int) -> DataFrame:

@@ -273,7 +273,9 @@ def q_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-J7 staged similarity join, best match per voucher page, with
     the matched-keywords intersection column (content_matcher.py:353-356)."""
     v, r = _featured_roles(spark, sf_dir)
-    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    ranked = matching.match_pages(
+        v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP, best_only=True
+    )
     best = matching.best_matches(v, ranked, carry_kw=True)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
 
@@ -288,7 +290,7 @@ def q_match_best_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, r = _featured_roles(spark, sf_dir)
     ranked = matching.match_pages(
         v, r, sim_fn=matching.jaccard_sim_expr, partial_threshold=0.3,
-        ref_per_key_cap=matching.REF_PER_KEY_CAP,
+        ref_per_key_cap=matching.REF_PER_KEY_CAP, best_only=True,
     )
     best = matching.best_matches(v, ranked, carry_kw=True)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
@@ -325,7 +327,7 @@ def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         v,
         r,
         pair_scorer=matching.cosine_scorer(vt, rt),
-        ref_per_key_cap=matching.REF_PER_KEY_CAP,
+        ref_per_key_cap=matching.REF_PER_KEY_CAP, best_only=True,
     )
     best = matching.best_matches(v, ranked, carry_kw=True)
     return matching.with_matched_keywords(best, v, r).drop("matched_kw_arr")
@@ -352,7 +354,9 @@ def q_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = matching.with_matched_keywords(
         matching.best_matches(
             v,
-            matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP),
+            matching.match_pages(
+                v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP, best_only=True
+            ),
             carry_kw=True,
         ), v, r
     )
@@ -389,7 +393,10 @@ def q_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 match status rollup with match rate."""
     v, r = _featured_roles(spark, sf_dir)
     best = matching.best_matches(
-        v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+        v,
+        matching.match_pages(
+            v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP, best_only=True
+        ),
     )
     return match_summary_from_best(best)
 
@@ -400,7 +407,10 @@ def q_match_summary_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     (content_matcher.py:385-407): per-status totals + match_rate."""
     v, r = _featured_roles(spark, sf_dir)
     best = matching.best_matches(
-        v, matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+        v,
+        matching.match_pages(
+            v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP, best_only=True
+        ),
     )
     is_ = lambda s: F.count(F.when(F.col("status") == s, 1))  # noqa: E731
     return best.agg(
@@ -1180,7 +1190,9 @@ def q_match_two_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     (run_ocr.py:258,270): strictly-above-0.75 → 匹配, else 部分匹配;
     pages with no surviving candidate → 未匹配."""
     v, r = _featured_roles(spark, sf_dir)
-    ranked = matching.match_pages(v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP)
+    ranked = matching.match_pages(
+        v, r, ref_per_key_cap=matching.REF_PER_KEY_CAP, best_only=True
+    )
     best = matching.best_matches(v, ranked)
     band2 = (
         F.when(F.col("status") == C.STATUS_NOT_FOUND, F.lit(C.STATUS_TB_NONE))
