@@ -941,8 +941,14 @@ def filter_funnel(
     CONSTRUCTION (the stage dim is a literal), never by corpus size.
     Integer-only output — no float crosses the oracle boundary."""
     verdict = corpus_filter(docs, cache_registry=cache_registry)
-    counts = verdict.groupBy("drop_reason").agg(
-        F.count("*").cast("long").alias("n")
+    # the ≤7-row stage-count frame feeds BOTH the stage join and the
+    # corpus total; localCheckpoint it so the full verdict DAG (quality
+    # + repetition + exact + LSH + CC) runs ONCE instead of once per
+    # consumer
+    counts = (
+        verdict.groupBy("drop_reason")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
     )
     total = counts.agg(F.sum("n").cast("long").alias("n_corpus"))
     stages = docs.sparkSession.createDataFrame(

@@ -611,7 +611,9 @@ def dedup_signal_agreement(
     (a, b) pair key + a 3-row aggregate."""
     from .dedup import lsh_candidate_pairs, verified_near_dups, with_minhash
 
-    withsig = with_minhash(docs)
+    # cache-before-branch: the shingle + 16-minhash fold feeds band
+    # generation AND both verification sides (the calibration pattern)
+    withsig = with_minhash(docs).cache()
     tp = (
         verified_near_dups(withsig, lsh_candidate_pairs(withsig))
         .select("a", "b")
@@ -624,8 +626,14 @@ def dedup_signal_agreement(
         .when(F.col("t").isNotNull(), "text_only")
         .otherwise("emb_only")
     )
-    cnt = j.select(sig.alias("signal")).groupBy("signal").agg(
-        F.count("*").cast("long").alias("n_pairs")
+    # ≤3-row class-count frame feeds BOTH the union total and the output
+    # join — localCheckpoint so the two pair pipelines run once, not
+    # once per consumer (the filter_funnel pattern)
+    cnt = (
+        j.select(sig.alias("signal"))
+        .groupBy("signal")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .localCheckpoint()
     )
     tot = cnt.agg(F.sum("n_pairs").cast("long").alias("n_union"))
     return cnt.crossJoin(F.broadcast(tot)).select(
