@@ -250,19 +250,24 @@ def _featured_from_pages(spark: SparkSession, pages: DataFrame):
     f = f.withColumn(
         "text", F.translate("text", G.CJK_FOLD_SRC, G.CJK_FOLD_DST)
     )
-    # cache: the staged match DAG branches over both sides many times
-    # (exact / anti / blocking / fallback / scoring); caching the
-    # featured pages mirrors the reference's build-once index (O5).
-    # Cache BEFORE the role split — one computation of the (expensive)
-    # feature projections serves both role filters as InMemoryTableScan
-    # + filter; caching per branch computed f twice (measured 2×).
-    # prune to what the match path consumes before caching — `numbers`
-    # alone is 4 regex passes over every page and no match stage reads
-    # it (cache materialization computes every cached column)
+    # localCheckpoint (was .cache()): the staged match DAG branches over
+    # both sides many times (exact / anti / blocking / fallback /
+    # scoring), and BUILDING it costs ~45 DataFrame ops, each of which
+    # re-runs the analyzer over the accumulated logical plan — with the
+    # full featured-pages tree under every branch that analysis was
+    # ~4.5 s of py4j/JVM time per match query (cProfile: 3.1k py4j
+    # round trips at ~1.4 ms). The eager checkpoint truncates the plan
+    # to a LogicalRDD leaf, so every downstream op analyzes a toy tree
+    # (match_best 10.7 → 7.0 s measured); compute/storage behaviour is
+    # the cache's (one materialization serving both role filters).
+    # Fault-tolerance tradeoff is the CC/BPE localCheckpoint one,
+    # documented there. Prune to what the match path consumes before
+    # materializing — `numbers` alone is 4 regex passes over every page
+    # and no match stage reads it.
     f = f.select(
         "doc_id", "role", "page_num", "text", "text_hash",
         "dates", "amounts", "kw",
-    ).cache()
+    ).localCheckpoint()
     v = f.filter(F.col("role") == "voucher").drop("role")
     r = f.filter(F.col("role") == "reference").drop("role")
     return v, r
