@@ -1061,18 +1061,20 @@ def keep_best_in_cluster(
     :func:`connected_components`; ``scores`` = (id, score) from e.g.
     textstats.quality_score.
 
-    Scale shape: two map-side-combinable groupBys on cluster_id (max,
-    then min over the arg-max members) + equi-joins back — a 10⁶-member
-    cluster is combiner-reduced, never a single-reducer window."""
+    Scale shape: ONE map-side-combinable max_by per cluster on the
+    (score, −id) ordering struct — identical winner to max-score with
+    min-id tie-break — + one equi-join back; a 10⁶-member cluster is
+    combiner-reduced, never a single-reducer window (previously a
+    max + join-back + filter + min chain: two aggregations and an
+    extra join for the same argmax)."""
     scored = clusters.select(id_col, "cluster_id").join(
         scores.select(id_col, score_col), id_col
     )
-    best = scored.groupBy("cluster_id").agg(F.max(score_col).alias("_best"))
-    keeper = (
-        scored.join(best, "cluster_id")
-        .filter(F.col(score_col) == F.col("_best"))
-        .groupBy("cluster_id")
-        .agg(F.min(id_col).alias("_keeper"))
+    keeper = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("ni")),
+        ).alias("_keeper")
     )
     return scored.join(keeper, "cluster_id").select(
         id_col,

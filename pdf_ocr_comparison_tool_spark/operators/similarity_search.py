@@ -1111,14 +1111,15 @@ def semdedup(
         .select(F.col("doc_id").alias("vec_id"), "cluster_id")
         .join(assign, "vec_id")
     )
-    # keep = arg-max dist per cluster (tie -> min vec_id): groupBy-max
-    # + arg-min join-back, never a window (the match_best pattern)
-    mx = memb.groupBy("cluster_id").agg(F.max("dist").alias("_mx"))
-    keeper = (
-        memb.join(mx, "cluster_id")
-        .filter(F.col("dist") == F.col("_mx"))
-        .groupBy("cluster_id")
-        .agg(F.min("vec_id").alias("_keep_id"))
+    # keep = arg-max dist per cluster (tie -> min vec_id): ONE
+    # map-side-combinable max_by on the (dist, −vec_id) ordering
+    # struct, never a window (previously max + join-back + filter +
+    # min — two aggregations and an extra join for the same argmax)
+    keeper = memb.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("vec_id"),
+            F.struct(F.col("dist"), (-F.col("vec_id")).alias("nv")),
+        ).alias("_keep_id")
     )
     return memb.join(keeper, "cluster_id").select(
         "vec_id", "centroid_id", "cluster_id", "dist",
