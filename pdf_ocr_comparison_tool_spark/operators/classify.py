@@ -56,19 +56,32 @@ def classify_pages(
         .filter(F.col("matches") > 0)
         .withColumn("score", F.col("matches") * (100 - F.col("priority")))
     )
-    w = Window.partitionBy(*keys).orderBy(
-        F.desc("score"), F.asc("priority"), F.asc("doc_type")
-    )
+    # argmax + partition total in ONE map-side-combinable aggregation:
+    # min_by over the (−score, priority, doc_type) ordering struct is
+    # the row_number (score desc, priority asc, doc_type asc) first row
+    # — identical winner and tie-break — and sum(score) rides the same
+    # groupBy (previously a window sort + a second window for the total)
     ranked = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .withColumn("total_score", F.sum("score").over(Window.partitionBy(*keys)))
-        .filter(F.col("rn") == 1)
+        hits.groupBy(*keys)
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("doc_type"), F.col("score"), F.col("matches")
+                ),
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col("priority"),
+                    F.col("doc_type"),
+                ),
+            ).alias("b"),
+            F.sum("score").alias("total_score"),
+        )
         .select(
             *keys,
-            F.col("doc_type").alias("best_type"),
-            F.col("score").alias("best_score"),
-            (F.col("score").cast("double") / F.col("total_score")).alias("best_conf"),
-            F.col("matches").alias("n_matched"),
+            F.col("b.doc_type").alias("best_type"),
+            F.col("b.score").alias("best_score"),
+            (F.col("b.score").cast("double") / F.col("total_score")).alias("best_conf"),
+            F.col("b.matches").alias("n_matched"),
         )
     )
     return (
@@ -113,11 +126,20 @@ def majority_doc_type(classified: DataFrame) -> DataFrame:
     counts = classified.groupBy("doc_id", "role", "doc_type").agg(
         F.count("*").alias("n_pages")
     )
-    w = Window.partitionBy("doc_id", "role").orderBy(
-        F.desc("n_pages"), F.asc("doc_type")
-    )
+    # argmax via min_by on (−n_pages, doc_type) — the (n_pages desc,
+    # doc_type asc) window's first row, without the per-doc sort
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "role", "doc_type", "n_pages")
+        counts.groupBy("doc_id", "role")
+        .agg(
+            F.min_by(
+                F.struct(F.col("doc_type"), F.col("n_pages")),
+                F.struct((-F.col("n_pages")).alias("nn"), F.col("doc_type")),
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            "role",
+            F.col("b.doc_type").alias("doc_type"),
+            F.col("b.n_pages").alias("n_pages"),
+        )
     )

@@ -82,12 +82,12 @@ def detect_projects(
     cond = (~src_dim.is_wild & (docs.source == src_dim.source_pat)) | (
         src_dim.is_wild & F.expr("source RLIKE pat_re")
     )
-    wp = Window.partitionBy("doc_id").orderBy("rule_id")
+    # first matching rule via map-side-combinable min_by on rule_id —
+    # the previous (rule_id asc) window's first row, no per-doc sort
     by_path = (
         docs.join(F.broadcast(src_dim), cond)
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") == 1)
-        .select("doc_id", F.col("project").alias("p_path"))
+        .groupBy("doc_id")
+        .agg(F.min_by(F.col("project"), F.col("rule_id")).alias("p_path"))
     )
 
     occ = (
@@ -100,11 +100,21 @@ def detect_projects(
         .groupBy("doc_id", "project")
         .agg(F.sum(F.col("occ") * F.length("keyword")).alias("score"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("project"))
+    # argmax via min_by on (−score, project) — the (score desc,
+    # project asc) window's first row, no per-doc sort
     by_content = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("project").alias("p_content"), "score")
+        hits.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("project"), F.col("score")),
+                F.struct((-F.col("score")).alias("ns"), F.col("project")),
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.project").alias("p_content"),
+            F.col("b.score").alias("score"),
+        )
     )
 
     return (

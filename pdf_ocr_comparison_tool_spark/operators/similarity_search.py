@@ -792,13 +792,14 @@ def _kmeans_core(rows: DataFrame, k: int, iters: int) -> DataFrame:
         pairs = rows.join(F.broadcast(cents), "grp").select(
             "grp", "vec_id", "centroid_id", _sqdist("v", "cv").alias("dist")
         )
-        w = Window.partitionBy("grp", "vec_id").orderBy(
-            F.asc("dist"), F.asc("centroid_id")
-        )
-        assign = (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("grp", "vec_id", "centroid_id")
+        # argmin via map-side-combinable min_by on (dist, centroid_id)
+        # — the previous (dist asc, centroid_id asc) window's first
+        # row, without a per-point sort in EVERY Lloyd iteration
+        assign = pairs.groupBy("grp", "vec_id").agg(
+            F.min_by(
+                F.col("centroid_id"),
+                F.struct(F.col("dist"), F.col("centroid_id")),
+            ).alias("centroid_id")
         )
         members = assign.join(rows, ["grp", "vec_id"]).select(
             "grp", "centroid_id", "vec_id", F.posexplode("v").alias("pos", "val")
@@ -931,13 +932,16 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame | None = None) -> DataF
     pairs = rows.join(F.broadcast(cb), "sub_id").select(
         "vec_id", "sub_id", "code_id", _sqdist("sv", "code_vec").alias("dist")
     )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy(
-        F.asc("dist"), F.asc("code_id")
+    # argmin via map-side-combinable struct-min on (dist, code_id) —
+    # identical winner/tie-break to the previous per-subvector window
+    m = pairs.groupBy("vec_id", "sub_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("code_id"))).alias("m")
     )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub_id", "code_id", "dist")
+    return m.select(
+        "vec_id",
+        "sub_id",
+        F.col("m.code_id").alias("code_id"),
+        F.col("m.dist").alias("dist"),
     )
 
 

@@ -41,11 +41,21 @@ def lang_id(docs: DataFrame, dim: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    # argmax via min_by on (−n_hits, lang) — the (n_hits desc, lang
+    # asc) window's first row, map-side combinable, no per-doc sort
     best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred"), "n_hits")
+        hits.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("lang"), F.col("n_hits")),
+                F.struct((-F.col("n_hits")).alias("nh"), F.col("lang")),
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.lang").alias("pred"),
+            F.col("b.n_hits").alias("n_hits"),
+        )
     )
     return docs.select("doc_id").join(best, "doc_id", "left").select(
         "doc_id",
