@@ -850,11 +850,16 @@ def incremental_dedup(
         "doc_id", text_hash(F.col("text")).alias("h")
     ).join(oldh, "h", "left").select("doc_id", "exact_dup_of")
 
-    osig = with_minhash(old).cache()
-    nsig = with_minhash(new).cache()
+    # registry callers own the unpersist → cache; one-shot callers get
+    # the plan-truncating eager localCheckpoint (corpus_filter pattern)
     if cache_registry is not None:
+        osig = with_minhash(old).cache()
+        nsig = with_minhash(new).cache()
         cache_registry.append(osig)
         cache_registry.append(nsig)
+    else:
+        osig = with_minhash(old).localCheckpoint()
+        nsig = with_minhash(new).localCheckpoint()
     ob = _band_rows(osig).select(
         F.col("doc_id").alias("o_id"), "band", "bucket"
     )

@@ -860,9 +860,18 @@ def corpus_filter(
     exact = hashed.join(keepers, "h").select(
         "doc_id", (F.col("doc_id") == F.col("keep_doc")).alias("exact_keep")
     )
-    withsig = dedup.with_minhash(docs).cache()
+    # signature frame feeds band generation + both verify sides. With a
+    # caller-owned registry (long-lived sessions) it is CACHED so the
+    # caller's unpersist() frees it; one-shot callers get an eager
+    # localCheckpoint instead — same one materialization, but the plan
+    # truncates to a LogicalRDD leaf, so the ~15 downstream DataFrame
+    # ops stop re-analyzing the signature subtree (the featured-pages
+    # lesson: analyzer time was a third of the dedup-chain wall)
     if cache_registry is not None:
+        withsig = dedup.with_minhash(docs).cache()
         cache_registry.append(withsig)
+    else:
+        withsig = dedup.with_minhash(docs).localCheckpoint()
     pairs = dedup.lsh_candidate_pairs(withsig)
     verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
     clusters = dedup.connected_components(verified).select(

@@ -613,7 +613,7 @@ def dedup_signal_agreement(
 
     # cache-before-branch: the shingle + 16-minhash fold feeds band
     # generation AND both verification sides (the calibration pattern)
-    withsig = with_minhash(docs).cache()
+    withsig = with_minhash(docs).localCheckpoint()
     tp = (
         verified_near_dups(withsig, lsh_candidate_pairs(withsig))
         .select("a", "b")

@@ -1032,7 +1032,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache-before-branch: the shingle + 16-minhash fold feeds the band
     # generation AND both scored sides (same pattern as the sibling
     # LSH queries)
-    withsig = dedup.with_minhash(docs).cache()
+    withsig = dedup.with_minhash(docs).localCheckpoint()
     pairs = dedup.lsh_candidate_pairs(withsig)
     return dedup.containment_pairs(withsig, pairs)
 
@@ -1330,7 +1330,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # cache: the signature table feeds both sides of the bucket
     # self-join and both sides of the verification join
-    withsig = dedup.with_minhash(docs).cache()
+    withsig = dedup.with_minhash(docs).localCheckpoint()
     pairs = dedup.lsh_candidate_pairs(withsig)
     return dedup.verified_near_dups(withsig, pairs)
 
@@ -1344,7 +1344,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys its drop decisions on."""
     docs = synth.load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    withsig = dedup.with_minhash(docs).cache()
+    withsig = dedup.with_minhash(docs).localCheckpoint()
     pairs = dedup.lsh_candidate_pairs(withsig)
     verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
     return dedup.connected_components(verified)
@@ -1358,7 +1358,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep policy production dedup jobs actually apply."""
     docs = synth.load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    withsig = dedup.with_minhash(docs).cache()
+    withsig = dedup.with_minhash(docs).localCheckpoint()
     pairs = dedup.lsh_candidate_pairs(withsig)
     verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
     clusters = dedup.connected_components(verified)
@@ -1393,7 +1393,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache-before-branch: the shingle + 16-minhash fold feeds the band
     # generation AND both scored pair sides — uncached it re-ran ~4×
     # inside one plan (measured 7.1 s vs 2.8 s at sf0.1)
-    withsig = dedup.with_minhash(docs).cache()
+    withsig = dedup.with_minhash(docs).localCheckpoint()
     return dedup.minhash_calibration(docs, withsig=withsig)
 
 
@@ -1404,7 +1404,7 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBys."""
     docs = synth.load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    withsig = dedup.with_minhash(docs).cache()
+    withsig = dedup.with_minhash(docs).localCheckpoint()
     pairs = dedup.lsh_candidate_pairs(withsig)
     verified = dedup.verified_near_dups(withsig, pairs).select("a", "b")
     return dedup.cluster_size_stats(dedup.connected_components(verified))
@@ -2007,7 +2007,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 100 + F.col("page_num")).alias("doc_id"), "text"
     )
     # cache-before-branch: signature fold feeds bands + both pair sides
-    withsig = dedup.with_minhash(pages).cache()
+    withsig = dedup.with_minhash(pages).localCheckpoint()
     return dedup.dedup_threshold_sweep(pages, withsig=withsig)
 
 
