@@ -338,12 +338,33 @@ def tokenizer_fertility(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFram
     and context budget per word of a fertility-1.0 language; reported
     before committing a vocab, next to token_coverage).
 
-    Scale shape: the encode is the one corpus-sized join (see
-    :func:`bpe_encode`); after it, a combiner-reduced per-doc count,
-    a narrow word count, and a groupBy on the tiny lang dim. Fertility
-    is one int/int→double division per lang (bit-exact)."""
-    enc = bpe_encode(docs.select("doc_id", "text"), n_merges)
-    n_sub = enc.groupBy("doc_id").agg(F.count("*").alias("n_sub"))
+    Scale shape: the corpus-sized join carries only (doc_id, word)
+    against the VOCAB's per-word subword COUNT — fertility never needs
+    the exploded subword rows, so Σ|syms(word)| per doc replaces
+    count-after-posexplode (the 2–3× subword fan-out and its positional
+    columns never materialize; same pinned sort-merge join rationale as
+    bpe_encode). Then a combiner-reduced per-doc sum, a narrow word
+    count, and a groupBy on the tiny lang dim. Fertility is one
+    int/int→double division per lang (bit-exact)."""
+    if n_merges <= 0:
+        state = word_freqs(docs).select(
+            "word", F.split(F.col("word"), "").alias("syms")
+        )
+    else:
+        _, state = _run_merges(docs, n_merges)
+    occ = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    n_sub = (
+        occ.join(
+            state.select("word", F.size("syms").cast("long").alias("ns")).hint(
+                "merge"
+            ),
+            "word",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("ns").alias("n_sub"))
+    )
     words = docs.select(
         "doc_id",
         "lang",

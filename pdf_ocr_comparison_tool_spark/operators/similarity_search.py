@@ -1079,9 +1079,14 @@ def semdedup(
     unpersist (the corpus_filter contract)."""
     from .dedup import connected_components
 
-    assign = ivf_assign(embeddings, n_centroids, centroids).cache()
+    # registry callers own the unpersist → cache; one-shot callers get
+    # the plan-truncating eager localCheckpoint (four consumers + the
+    # CC loop sit above the assignment; A/B 5.0 → 4.0 s)
     if cache_registry is not None:
+        assign = ivf_assign(embeddings, n_centroids, centroids).cache()
         cache_registry.append(assign)
+    else:
+        assign = ivf_assign(embeddings, n_centroids, centroids).localCheckpoint()
     ok = (
         assign.groupBy("centroid_id")
         .agg(F.count("*").alias("_n"))

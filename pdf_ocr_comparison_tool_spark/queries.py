@@ -316,9 +316,13 @@ def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (page, token), aggregate — fully codegen'd, no per-pair lambda
     and no interpreted map build."""
     v, r = _featured_roles(spark, sf_dir)
+    # localCheckpoint (was cache): each TF table is read twice (norms +
+    # dot) AND ~25 scorer/match ops sit above them — the eager
+    # checkpoint truncates analysis like the featured-pages one
+    # (A/B 10.1 -> 9.3 s)
     vt = matching.cosine_token_rows(
         v, ["doc_id", "page_num"], cnt_alias="cnt_v"
-    ).cache()
+    ).localCheckpoint()
     rt = matching.cosine_token_rows(
         r.select(
             F.col("doc_id").alias("t_doc"),
@@ -327,7 +331,7 @@ def q_match_best_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["t_doc", "t_page"],
         cnt_alias="cnt_r",
-    ).cache()
+    ).localCheckpoint()
     ranked = matching.match_pages(
         v,
         r,
