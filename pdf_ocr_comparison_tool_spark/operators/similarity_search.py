@@ -550,13 +550,17 @@ def pagerank_centrality(
     )
     if knn is None:
         edges = edges.localCheckpoint()
+    # out-degree and node dims are referenced by EVERY round's nested
+    # plan — eager localCheckpoints materialize each once (tiny frames)
+    # instead of once per iteration (A/B 3.37 → 2.87 s at sf0.1)
     out = edges.groupBy("src").agg(
         F.count("*").cast("long").alias("out_cnt")
-    )
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     ranks = nodes.select("node", F.lit(1.0).alias("r"))
     for _ in range(iters):

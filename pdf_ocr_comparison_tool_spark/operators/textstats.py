@@ -835,6 +835,11 @@ def lm_score(docs: DataFrame, cache_registry: list | None = None) -> DataFrame:
     if cache_registry is not None:
         tokenized = tokenized.cache()
         cache_registry.append(tokenized)
+    else:
+        # one-shot callers: eager localCheckpoint — one tokenization
+        # pass for the three consumers AND plan truncation for the
+        # scoring joins above (the corpus_filter withsig pattern)
+        tokenized = tokenized.localCheckpoint()
     rows = _bigram_rows_from_toks(tokenized)
     uni = (
         tokenized.select(F.explode("toks").alias("tok"))
@@ -906,9 +911,9 @@ def lm_buckets(docs: DataFrame, cache_registry: list | None = None) -> DataFrame
     — uncached, the regex tokenization would run 3× inside the
     materialize) and unpersists immediately after, since the eager
     checkpoint is the only consumer."""
-    own_registry = cache_registry is None
-    if own_registry:
-        cache_registry = []
+    # with no caller-owned registry, lm_score's tokenized frame is an
+    # eager localCheckpoint (no unpersist needed — GC-released), so no
+    # internal registry is created anymore
     scored = lm_score(docs, cache_registry)
     s = (
         scored.join(docs.select("doc_id", "source"), "doc_id")
@@ -925,9 +930,6 @@ def lm_buckets(docs: DataFrame, cache_registry: list | None = None) -> DataFrame
         )
         .localCheckpoint()
     )
-    if own_registry:
-        for df in cache_registry:
-            df.unpersist()
     binc = (
         s.filter(F.col("bin").isNotNull())
         .groupBy("source", "bin")
